@@ -1,0 +1,56 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_query_time", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": X}
+
+Each query materializes fully via the noop sink (distributed execution,
+no driver collect). A shared warm session amortizes JVM startup, mirroring
+a long-lived cluster context.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from smart_fraud_detection_data_pipeline_spark import get_spark  # noqa: E402
+from smart_fraud_detection_data_pipeline_spark.queries import registry  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    # Warm the JVM + file index on a trivial action so per-query times
+    # measure query execution, not session bring-up.
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    for spec in registry():
+        t0 = time.time()
+        spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[spec.name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_time",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

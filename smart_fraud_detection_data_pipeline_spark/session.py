@@ -1,0 +1,79 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference hand-configures executors (2g/2 cores, spark.py:42-43) and
+leaves everything else at defaults. We instead lean on the knobs that
+matter at 100 TB: AQE (runtime re-planning, skew-join splitting, shuffle
+coalescing), UTC session timezone (the reference's producer emits naive
+UTC ISO strings — transaction_producer.py:21), Arrow for any Pandas UDF
+exchange, and an explicit shuffle-partition count sized to the local test
+harness (on a real cluster this is overridden per-job or left to AQE's
+``spark.sql.adaptive.coalescePartitions.initialPartitionNum``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults applied to every session we build. Callers can override any
+#: of these via ``extra_conf``. All are public Spark conf keys.
+DEFAULT_CONF: dict[str, str] = {
+    # Determinism: naive timestamps in the test parquet are UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive query execution: coalesce post-shuffle partitions, split
+    # skewed join partitions, convert to broadcast at runtime. This is
+    # the single most important scale knob — at 100 TB the static
+    # shuffle.partitions number is always wrong for some stage.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas_udf / mapInPandas exchange (similarity + multimodal ops).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dimension tables (customer/part/supplier/nation/region) are tiny
+    # relative to facts; make sure they broadcast rather than shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Input split sizing: big enough that sf0.1 doesn't explode into
+    # thousands of tiny tasks, small enough to parallelize a 100 TB scan.
+    "spark.sql.files.maxPartitionBytes": "128MB",
+    # Local-mode UI is dead weight in tests/bench.
+    "spark.ui.enabled": "false",
+    # The testdata writes TIMESTAMP(NANOS) parquet, which Spark rejects by
+    # default; read as long nanos and convert (sources.tables) — the data
+    # carries only microsecond precision, so the conversion is lossless.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "smart_fraud_detection_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no active session exists; on a real cluster pass ``None`` with a
+    pre-set master or spark-submit config.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+
+    conf = dict(DEFAULT_CONF)
+    if shuffle_partitions is None:
+        # Local harness: one partition per core is the sweet spot for
+        # sf<=0.1. On a cluster, AQE coalescing makes the initial number
+        # mostly irrelevant as long as it is high enough.
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,67 @@
+"""Tests for keyed dedup (A5/A6) and merge upsert (A7/A8/J3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from smart_fraud_detection_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    dedup_keep_last,
+    union_slices,
+)
+from smart_fraud_detection_data_pipeline_spark.operators.merge import merge_upsert
+
+
+def test_dedup_keep_last_survivor(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, v="old", batch=1),
+            Row(k=1, v="new", batch=2),
+            Row(k=2, v="only", batch=1),
+            Row(k=3, v="a", batch=5),
+            Row(k=3, v="b", batch=4),
+        ]
+    )
+    out = {r.k: r.v for r in dedup_keep_last(df, ["k"], ["batch"]).collect()}
+    assert out == {1: "new", 2: "only", 3: "a"}
+
+    first = {r.k: r.v for r in dedup_keep_last(df, ["k"], ["batch"], keep="first").collect()}
+    assert first == {1: "old", 2: "only", 3: "b"}
+
+
+def test_union_slices_by_name(spark):
+    a = spark.createDataFrame([Row(x=1, y="a")])
+    b = spark.createDataFrame([Row(y="b", x=2)])  # reordered columns
+    out = union_slices(a, b).orderBy("x").collect()
+    assert [(r.x, r.y) for r in out] == [(1, "a"), (2, "b")]
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame([Row(a=1, b=2), Row(a=1, b=2), Row(a=1, b=3)])
+    assert dedup_exact(df).count() == 2
+    assert dedup_exact(df, ["a"]).count() == 1
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [Row(k=1, v=10.0, n=1), Row(k=2, v=20.0, n=2), Row(k=3, v=30.0, n=3)]
+    )
+    source = spark.createDataFrame(
+        [Row(k=2, v=99.0, n=9), Row(k=4, v=40.0, n=4)]
+    )
+    out = {r.k: (r.v, r.n) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert out == {
+        1: (10.0, 1),  # untouched target row survives
+        2: (99.0, 9),  # matched → source wins
+        3: (30.0, 3),
+        4: (40.0, 4),  # source-only → inserted
+    }
+
+
+def test_merge_upsert_dedups_source_keep_last(spark):
+    target = spark.createDataFrame([Row(k=1, v=1.0, b=0)])
+    source = spark.createDataFrame(
+        [Row(k=1, v=5.0, b=1), Row(k=1, v=7.0, b=2)]
+    )
+    out = merge_upsert(target, source, ["k"], order_by=["b"]).collect()
+    assert len(out) == 1 and out[0].v == 7.0 and out[0].b == 2

@@ -1,0 +1,60 @@
+"""Tests for windowed trend aggregation (A1-A3, F1/F2)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from smart_fraud_detection_data_pipeline_spark.operators.trends import user_spend_trends
+
+
+def test_window_bounds_and_sums(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 30)
+    rows = [
+        Row(transaction_id="a", user_id=1, amount=10.0, timestamp=t0),
+        Row(transaction_id="b", user_id=1, amount=20.5, timestamp=t0 + datetime.timedelta(seconds=20)),
+        # next minute
+        Row(transaction_id="c", user_id=1, amount=1.0, timestamp=t0 + datetime.timedelta(seconds=40)),
+        # duplicate id in same window → distinct count 2, sum counts both
+        Row(transaction_id="a", user_id=1, amount=5.0, timestamp=t0 + datetime.timedelta(seconds=10)),
+        Row(transaction_id="d", user_id=2, amount=7.0, timestamp=t0),
+    ]
+    out = user_spend_trends(spark.createDataFrame(rows)).collect()
+    by_key = {(r.user_id, r.window_start): r for r in out}
+
+    r = by_key[(1, "2024-01-01 00:00:00")]
+    assert r.total_spent == 35.5
+    assert r.num_transactions == 2  # a,b distinct; duplicate 'a' collapses
+    assert r.window_end == "2024-01-01 00:01:00"
+
+    r2 = by_key[(1, "2024-01-01 00:01:00")]
+    assert r2.total_spent == 1.0 and r2.num_transactions == 1
+
+    assert by_key[(2, "2024-01-01 00:00:00")].total_spent == 7.0
+
+
+def test_windows_are_60s_apart(spark, sf_dir):
+    from smart_fraud_detection_data_pipeline_spark.queries import q_user_spend_trends
+
+    out = q_user_spend_trends(spark, sf_dir)
+    bad = out.where(
+        F.col("window_end").cast("timestamp").cast("long")
+        - F.col("window_start").cast("timestamp").cast("long")
+        != 60
+    ).count()
+    assert bad == 0
+
+
+def test_approx_mode_close_to_exact(spark, sf_dir):
+    from smart_fraud_detection_data_pipeline_spark.queries import (
+        q_user_spend_trends,
+        q_user_spend_trends_approx,
+    )
+
+    exact = q_user_spend_trends(spark, sf_dir).agg(F.sum("num_transactions")).collect()[0][0]
+    approx = (
+        q_user_spend_trends_approx(spark, sf_dir).agg(F.sum("num_transactions")).collect()[0][0]
+    )
+    assert abs(approx - exact) / exact < 0.1  # HLL++ rsd 0.05
