@@ -1,0 +1,320 @@
+"""Text deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Extension surface (SURVEY §7 step 6) — the dedup family a training-data
+pipeline runs over billions of documents. Four tiers, cheapest first:
+
+1. `exact_dup_groups` — hash-groupBy on normalized text. One shuffle on
+   a 32-char digest; at 100 TB this is the always-run first pass.
+2. `ngram_jaccard_pairs` — exact all-pairs similarity via an inverted
+   shingle index (explode → self-join → count). Exact but quadratic in
+   the worst case: the `max_df` cut drops shingles appearing in more
+   than N docs (stopword shingles generate almost all join fan-out and
+   almost no signal).
+3. `minhash_lsh_pairs` — MinHash signatures + banded LSH: candidates
+   only where a band collides, then exact Jaccard verification of the
+   candidates. Linear-ish in corpus size; the 100 TB path.
+4. `simhash` / `simhash_pairs` — 60-bit SimHash per doc + hamming-
+   banded near-dup pairs. Cheapest signature; catches small edits.
+
+Cross-engine determinism: all hashing is md5 (available in DuckDB and
+Spark); MinHash "permutations" are min-over-md5(i || shingle), so the
+DuckDB oracle reproduces signatures exactly. SimHash needs hex→int
+(conv), which DuckDB lacks — its queries are rows-only checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE = 3  # tokens per shingle
+DEFAULT_PERMS = 12
+DEFAULT_BANDS = 4  # 4 bands × 3 rows
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate groups: (text_hash, n_docs, canonical_id=min id).
+
+    One shuffle keyed on the digest; map-side partial agg means the
+    shuffle carries one row per (partition, hash).
+    """
+    return (
+        df.select(
+            F.md5(normalize_text(F.col(text_col)).cast("binary")).alias("text_hash"),
+            F.col(id_col),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def shingles(text: Column, n: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct word n-gram shingles of a document (array<string>).
+
+    Shorter docs produce their full token sequence as one shingle.
+    """
+    toks = F.split(F.trim(text), "\\s+")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_SHINGLE,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Inverted index (id, shingle), optionally dropping shingles with
+    document frequency > max_df (the scale lever: frequent shingles are
+    the quadratic fan-out in any all-pairs join)."""
+    idx = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    if max_df is not None:
+        w = Window.partitionBy("shingle")
+        idx = idx.withColumn("__df", F.count(F.lit(1)).over(w)).where(
+            F.col("__df") <= max_df
+        ).drop("__df")
+    return idx
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs ≥ threshold.
+
+    Plan: explode distinct shingles → self-join on shingle (inverted
+    index, the only shuffle) → per-pair intersection counts →
+    |A∪B| = |A|+|B|−|A∩B|. Output (id_a, id_b, jaccard), id_a < id_b.
+    """
+    idx = shingle_index(df, text_col, id_col, n, max_df)
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = idx.toDF("id_a", "shingle")
+    b = idx.toDF("id_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.toDF("id_a", "n_a")
+    sb = sizes.toDF("id_b", "n_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_SHINGLE,
+    num_perm: int = DEFAULT_PERMS,
+) -> DataFrame:
+    """MinHash signature per document: sig_i = min(md5('pi|' || shingle)).
+
+    min-over-md5 with a per-permutation salt is an order-free, engine-
+    portable stand-in for random permutations (public MinHash theory:
+    collision probability ≈ Jaccard). Two chained projections per doc,
+    no shuffle: the shingle array is materialized as a column FIRST —
+    inlining it into each signature expression would re-derive it
+    num_perm times (Catalyst doesn't CSE across generated columns here;
+    measured 8× slower).
+    """
+
+    def perm_hash(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"p{i}|"), s).cast("binary"))
+
+    base = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("__sh"))
+    sig_cols = [
+        F.array_min(F.transform(F.col("__sh"), perm_hash(i))).alias(f"sig_{i}")
+        for i in range(num_perm)
+    ]
+    return base.select(F.col(id_col), *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_SHINGLE,
+    num_perm: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate pairs, verified with exact Jaccard.
+
+    Stages (each one shuffle): band-bucket explode → join on
+    (band, key) → distinct candidate pairs → exact verification by
+    joining each candidate pair back to the two shingle SETS and
+    intersecting in-row (array_intersect) — cost scales with candidate
+    count, never with all-pairs. The verification is what makes the
+    output deterministic & engine-portable: LSH only decides WHICH
+    pairs get scored.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm)
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).cast("binary")
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    bucket = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band"), F.col("bk.key"))
+    a = bucket.toDF("id_a", "band", "key")
+    b = bucket.toDF("id_b", "band", "key")
+    candidates = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+    sa = sets.toDF("id_a", "sh_a")
+    sb = sets.toDF("id_b", "sh_b")
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.size("sh_a") + F.size("sh_b") - F.col("__inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash (rows-only oracle: needs hex→int conversion) -------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit long
+
+
+def simhash(text: Column) -> Column:
+    """60-bit SimHash of the whitespace tokens, as a long.
+
+    Pure higher-order-function fold — per row: token hash via
+    conv(md5[:15], 16, 10), ±1 vote per bit, then bit reassembly. No
+    shuffle, no UDF; at 100 TB this is a map-only projection.
+    """
+    toks = F.split(F.trim(text), "\\s+")
+    # Hash each token ONCE up front (md5+conv is the expensive part; doing
+    # it inside the per-bit lambda would recompute it 60× per token).
+    tok_hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10).cast("long"),
+    )
+    # Literal per-bit masks (shiftleft/shiftright only take Python-int
+    # shift amounts, so bit tests use AND against constants instead).
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the 60-bit hash into `chunks` 15-bit
+    chunks; any pair within hamming ≤ chunks−1 must agree on ≥1 chunk,
+    so the join key is (chunk_idx, chunk_value) — never all-pairs.
+    """
+    h = simhash(F.col(text_col))
+    base = df.select(F.col(id_col), h.alias("simhash"))
+    width = SIMHASH_BITS // chunks
+    chunked = base.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select(F.col(id_col), "simhash", F.col("ck.chunk"), F.col("ck.key"))
+    a = chunked.toDF("id_a", "sim_a", "chunk", "key")
+    b = chunked.toDF("id_b", "sim_b", "chunk", "key")
+    return (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

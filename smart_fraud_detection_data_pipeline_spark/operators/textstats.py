@@ -1,0 +1,141 @@
+"""Text-analysis operators over a document table (extension surface).
+
+Beyond the reference's operator set (SURVEY §7 step 6): the text-side
+primitives a 100 TB training-data pipeline needs — token counting,
+quality scoring, language ID, and document fingerprinting. All are pure
+Catalyst column expressions (no Python UDFs): at scale each is a single
+narrow projection over the scan — no shuffle, no Arrow exchange, full
+WholeStageCodegen.
+
+Determinism contract: every function here has an exact DuckDB-SQL twin
+(queries.py) — hence md5 (present in both engines) rather than
+xxhash64/murmur for anything hashed, and explicit DOUBLE casts before
+ratio math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small + hardcoded: the heuristic must be
+#: reproducible in ANSI SQL, not tuned. Tie order = this dict's order.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un"),
+    "es": ("el", "la", "los", "las", "es", "un", "una"),
+}
+
+#: "BPE-ish" word-piece pattern: runs of letters, runs of digits, or a
+#: single non-alphanumeric symbol — a public-domain approximation of how
+#: byte-pair tokenizers split before merges.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _member_of(words: tuple[str, ...]):
+    """One-arg lambda factory for F.filter (pyspark introspects the lambda
+    signature, so extra default args would be treated as lambda params)."""
+    return lambda t: t.isin(*words)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (empty string → one empty token, as in SQL split)."""
+    return F.split(F.trim(text), "\\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def wordpiece_count(text: Column) -> Column:
+    """BPE-ish sub-token count via regexp extraction."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-scoring signal columns (length/punct/stopword ratios).
+
+    score = 0.4*len_score + 0.3*(1-punct_ratio) + 0.3*stopword_ratio,
+    len_score = least(n_tokens/100, 1). All-double arithmetic with
+    explicit casts so the SQL twin is bit-identical.
+    """
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("double")
+    n_char = F.length(text).cast("double")
+    n_punct = (
+        F.length(text) - F.length(F.regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+    ).cast("double")
+    all_stops = tuple({w for ws in LANG_STOPWORDS.values() for w in ws})
+    n_stop = F.size(F.filter(toks, _member_of(all_stops))).cast("double")
+    punct_ratio = F.when(n_char > 0, n_punct / n_char).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score + F.lit(0.3) * (F.lit(1.0) - punct_ratio) + F.lit(0.3) * stop_ratio
+    )
+    return {
+        "n_tokens": F.size(toks),
+        "n_punct": n_punct.cast("long"),
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per language (the language-ID signal)."""
+    toks = tokens(F.lower(text))
+    return {
+        lang: F.size(F.filter(toks, _member_of(words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by stopword hits; CJK-character presence trumps all;
+    ties break in LANG_STOPWORDS order; zero hits → 'unknown'."""
+    scores = lang_scores(text)
+    has_cjk = F.length(F.regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
+    from functools import reduce
+
+    langs = list(scores)
+    best: Column = F.lit("unknown")
+    for lang in reversed(langs):  # fold right so earlier langs win ties
+        ge_all = reduce(
+            lambda a, b: a & b, [scores[lang] >= scores[o] for o in langs if o != lang]
+        )
+        best = F.when((scores[lang] > 0) & ge_all, F.lit(lang)).otherwise(best)
+    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+
+def fingerprint(text: Column, ngram: int = 8) -> Column:
+    """Rolling-hash document fingerprint: min md5 over all character
+    n-grams (winnowing with window = whole doc). Documents shorter than
+    the n-gram get md5(text). O(len) md5 calls per doc, embarrassingly
+    parallel, no shuffle.
+    """
+    n = F.length(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(ngram - 1), F.lit(1))),
+        lambda i: F.md5(F.substring(text, i, ngram).cast("binary")),
+    )
+    return F.array_min(grams)
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All text-analysis signals in one projection (one scan, no shuffle)."""
+    t = F.col(text_col)
+    qc = quality_columns(t)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        wordpiece_count(t).alias("n_wordpieces"),
+        qc["punct_ratio"].alias("punct_ratio"),
+        qc["stopword_ratio"].alias("stopword_ratio"),
+        qc["quality_score"].alias("quality_score"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

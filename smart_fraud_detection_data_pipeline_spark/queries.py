@@ -443,3 +443,315 @@ def q_customers_with_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
         "c_custkey", "c_name", "c_acctbal"
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension: text deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash)
+# ---------------------------------------------------------------------------
+
+from smart_fraud_detection_data_pipeline_spark.operators import textdedup as TD  # noqa: E402
+from smart_fraud_detection_data_pipeline_spark.operators import textstats as TS  # noqa: E402
+from smart_fraud_detection_data_pipeline_spark.operators import similarity as SIM  # noqa: E402
+from smart_fraud_detection_data_pipeline_spark.operators import multimodal as MM  # noqa: E402
+
+# The documents table has no exact duplicates, so the exact-dedup query
+# re-emits every 5th document under a shifted id — modeling a re-crawled
+# slice — in BOTH engines.
+_SQL_DOCS_WITH_DUPS = """
+all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup_slice = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return docs.unionByName(dup_slice)
+
+
+@_register(
+    "doc_dedup_exact",
+    f"""
+WITH {_SQL_DOCS_WITH_DUPS}
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS canonical_id
+FROM all_docs
+GROUP BY 1
+""",
+)
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by md5 of normalized text (hash-groupBy)."""
+    return TD.exact_dup_groups(_docs_with_dups(spark, sf_dir))
+
+
+# Shared SQL for word-3-gram shingling + exact Jaccard pairs.
+_SQL_SHINGLE_CTES = """
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 1)),
+           i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT id_a, id_b, n_inter / (sa.n + sb.n - n_inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+)"""
+
+
+@_register(
+    "doc_ngram_jaccard",
+    f"""
+WITH {_SQL_SHINGLE_CTES}
+SELECT id_a, id_b, jaccard FROM jacc WHERE jaccard >= 0.5
+""",
+)
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs word-3-gram Jaccard ≥ 0.5 via inverted shingle index."""
+    return TD.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def _minhash_sql(num_perm: int, bands: int, threshold: float) -> str:
+    """DuckDB twin of minhash_lsh_pairs, generated from the same constants."""
+    rows = num_perm // bands
+    sig_exprs = ",\n         ".join(
+        f"min(md5('p{i}|' || shingle)) AS sig_{i}" for i in range(num_perm)
+    )
+    band_exprs = ",\n         ".join(
+        "md5(" + " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)) + f") AS band_{b}"
+        for b in range(bands)
+    )
+    bucket_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, band_{b} AS key FROM banded" for b in range(bands)
+    )
+    return f"""
+WITH {_SQL_SHINGLE_CTES},
+sigs AS (
+  SELECT doc_id,
+         {sig_exprs}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+         {band_exprs}
+  FROM sigs
+),
+buckets AS (
+{bucket_union}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, j.jaccard
+FROM candidates c JOIN jacc j ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= {threshold}
+"""
+
+
+@_register(
+    "doc_minhash_lsh",
+    _minhash_sql(TD.DEFAULT_PERMS, TD.DEFAULT_BANDS, 0.5),
+)
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (banded candidates, exact verification).
+
+    md5-salted min-hashing makes the signatures engine-portable, so the
+    oracle reproduces candidate generation AND verification exactly.
+    """
+    return TD.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@_register("doc_simhash", None)  # hex→int (conv) has no DuckDB equivalent
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (map-only projection; rows-only check —
+    the bit math needs conv(hex,16,10), which the oracle engine lacks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TD.simhash(F.col("text")).alias("simhash"))
+
+
+@_register("doc_simhash_pairs", None)  # same conv() limitation
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ 3 via pigeonhole chunk join."""
+    return TD.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Extension: text analysis (token stats, quality, language ID, fingerprint)
+# ---------------------------------------------------------------------------
+
+def _lang_sql() -> str:
+    """CASE-chain twin of textstats.lang_id, from the same stopword lists."""
+    langs = list(TS.LANG_STOPWORDS)
+    score_defs = ",\n  ".join(
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        "t -> list_contains([{words}], t))) AS s_{lang}".format(
+            lang=lang,
+            words=", ".join(f"'{w}'" for w in TS.LANG_STOPWORDS[lang]),
+        )
+        for lang in langs
+    )
+    cases = "\n       ".join(
+        "WHEN s_{l} > 0 AND {ge} THEN '{l}'".format(
+            l=lang,
+            ge=" AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang),
+        )
+        for lang in langs
+    )
+    return score_defs, cases
+
+
+_LANG_SCORES, _LANG_CASES = _lang_sql()
+
+_SQL_PROFILE = f"""
+WITH scored AS (
+  SELECT doc_id, text,
+  {_LANG_SCORES}
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{TS.TOKEN_PATTERN}')) AS INTEGER) AS n_wordpieces,
+       CAST(CASE WHEN length(text) > 0
+            THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE)
+            ELSE 0.0e0 END AS DOUBLE) AS punct_ratio,
+       CAST(CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+            THEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> list_contains([{{all_stops}}], t)))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+            ELSE 0.0e0 END AS DOUBLE) AS stopword_ratio,
+       CASE WHEN length(regexp_replace(text, '[^\\x{{{{4e00}}}}-\\x{{{{9fff}}}}]', '', 'g')) > 0 THEN 'zh'
+       {_LANG_CASES}
+       ELSE 'unknown' END AS lang_pred,
+       list_min(list_transform(
+         generate_series(1, greatest(length(text) - 7, 1)),
+         i -> md5(substr(text, i, 8)))) AS fingerprint
+FROM scored
+"""
+
+
+def _profile_sql() -> str:
+    all_stops = sorted({w for ws in TS.LANG_STOPWORDS.values() for w in ws})
+    return _SQL_PROFILE.format(all_stops=", ".join(f"'{w}'" for w in all_stops))
+
+
+@_register("doc_profile", _profile_sql())
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis profile: token counts, punct/stopword ratios,
+    language-ID heuristic, rolling-hash fingerprint — one scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    qc = TS.quality_columns(t)
+    return docs.select(
+        "doc_id",
+        TS.token_count(t).alias("n_tokens"),
+        TS.wordpiece_count(t).alias("n_wordpieces"),
+        qc["punct_ratio"].alias("punct_ratio"),
+        qc["stopword_ratio"].alias("stopword_ratio"),
+        TS.lang_id(t).alias("lang_pred"),
+        TS.fingerprint(t).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension: embedding similarity search
+# ---------------------------------------------------------------------------
+
+_SQL_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id,
+         round(CASE WHEN sqrt(list_sum(list_transform(qv, x -> x*x))) > 0
+                     AND sqrt(list_sum(list_transform(cv, x -> x*x))) > 0
+               THEN list_sum(list_transform(list_zip(qv, cv), p -> p[1]*p[2]))
+                    / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                       * sqrt(list_sum(list_transform(cv, x -> x*x))))
+               END, 6) AS cosine_sim
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_sim DESC NULLS LAST, vec_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@_register("embed_cosine_topk", _SQL_COSINE_TOPK)
+def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (exact ANN baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.cosine_topk(emb, queries, k=10)
+
+
+@_register("embed_srp_ann", None)  # LSH planes derived host-side → rows-only
+def q_embed_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-10 (bucketed candidates only — the 100 TB
+    path; recall vs the exact baseline is asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.srp_ann_topk(emb, queries, k=10, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Extension: multimodal column plumbing
+# ---------------------------------------------------------------------------
+
+@_register(
+    "multimodal_meta",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       'txt' AS format
+FROM documents
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata struct (schema plumbing check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = MM.attach_binary_payload(docs)
+    return mm.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.format").alias("format"),
+    )
+
+
+@_register("multimodal_byte_features", None)  # mapInPandas fake decode → rows-only
+def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (the decode
+    itself is a deterministic stub; plumbing is the real product)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.extract_byte_features(MM.attach_binary_payload(docs))

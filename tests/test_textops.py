@@ -1,0 +1,93 @@
+"""Tests for text dedup (exact/Jaccard/MinHash/SimHash) and text analysis."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from smart_fraud_detection_data_pipeline_spark.operators import textdedup as TD
+from smart_fraud_detection_data_pipeline_spark.operators import textstats as TS
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),  # near dup of 1
+            Row(doc_id=3, text="the  quick brown fox jumps over the lazy dog"),  # dup of 1 modulo whitespace
+            Row(doc_id=4, text="completely different words about spark engines here"),
+        ]
+    )
+
+
+def test_exact_dup_groups(spark):
+    out = TD.exact_dup_groups(_docs(spark)).collect()
+    groups = {r.canonical_id: r.n_docs for r in out}
+    assert groups[1] == 2  # docs 1+3 normalize to the same text
+    assert groups[2] == 1 and groups[4] == 1
+    assert len(out) == 3
+
+
+def test_ngram_jaccard_pairs(spark):
+    out = TD.ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # identical shingle sets
+    assert (1, 2) in pairs and 0.3 <= pairs[(1, 2)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_pairs_subset_of_exact(spark, sf_dir):
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b) for r in TD.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in TD.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert lsh <= exact  # verification guarantees no false positives
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5  # banded LSH recall on near-dups
+
+
+def test_simhash_deterministic_and_sensitive(spark):
+    df = _docs(spark).select("doc_id", TD.simhash(F.col("text")).alias("h"))
+    h = {r.doc_id: r.h for r in df.collect()}
+    h2 = {r.doc_id: r.h for r in df.collect()}
+    assert h == h2  # same plan, same hashes
+    assert h[1] != h[4]  # different docs differ
+    # near-dups land close in hamming space
+    ham = bin(h[1] ^ h[2]).count("1")
+    assert ham <= 20
+
+
+def test_simhash_pairs_finds_near_dup(spark):
+    out = TD.simhash_pairs(_docs(spark), max_hamming=20).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 3) in pairs  # exact dup → hamming 0 (after normalize-free hash of same tokens)
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog of a house"),
+            Row(doc_id=2, text="der hund und die katze ist ein tier"),
+            Row(doc_id=3, text="xyzzy plugh foobar"),
+            Row(doc_id=4, text=""),
+        ]
+    )
+    out = {r.doc_id: r for r in TS.text_profile(df).collect()}
+    assert out[1].lang_pred == "en"
+    assert out[2].lang_pred == "de"
+    assert out[3].lang_pred == "unknown"
+    assert out[1].stopword_ratio > 0.3
+    assert 0.0 <= out[1].quality_score <= 1.0
+    assert out[3].punct_ratio == 0.0
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="abcdefghij"), Row(doc_id=2, text="abcdefghij"), Row(doc_id=3, text="short")]
+    )
+    out = {r.doc_id: r.f for r in df.select("doc_id", TS.fingerprint(F.col("text")).alias("f")).collect()}
+    assert out[1] == out[2]  # same text → same fingerprint
+    assert len(out[3]) == 32  # <8 chars falls back to md5(text)
