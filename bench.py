@@ -28,12 +28,16 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
 
-    # Warm the JVM + file index on a trivial action so per-query times
-    # measure query execution, not session bring-up.
-    spark.range(1).count()
+    # Warm the JVM (whole-stage codegen, parquet reader, broadcast
+    # machinery) on a real query at the smallest sf so per-query times
+    # measure query execution, not first-use compilation.
+    specs = registry()
+    specs[0].spark_fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     times: dict[str, float] = {}
-    for spec in registry():
+    for spec in specs:
         t0 = time.time()
         spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[spec.name] = round(time.time() - t0, 3)

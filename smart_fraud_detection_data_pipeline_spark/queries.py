@@ -755,3 +755,79 @@ def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is a deterministic stub; plumbing is the real product)."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.extract_byte_features(MM.attach_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Streaming parity: the Structured Streaming path must equal the batch oracle
+# ---------------------------------------------------------------------------
+
+def _spec(name: str) -> QuerySpec:
+    return next(s for s in _REGISTRY if s.name == name)
+
+
+@_register("fraud_enrich_streaming", None)  # oracle attached below (same as batch)
+def q_fraud_enrich_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship enrichment executed through Structured Streaming
+    (file source → watermark → stream-static broadcast joins →
+    foreachBatch parquet, availableNow trigger, checkpointed), then read
+    back as a batch DataFrame. Hash-compared against the SAME oracle SQL
+    as the batch query — stream/batch equivalence is part of the
+    correctness gate, not just a unit test."""
+    import os
+    import tempfile
+
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import stream_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = stream_table(spark, sf_dir, "events")
+    n_part = load_table(spark, sf_dir, "part").count()
+    tx = raw.select(
+        F.col("event_id").alias("transaction_id"),
+        F.col("user_id"),
+        F.pmod(F.col("event_id"), F.lit(n_part)).alias("product_id"),
+        F.col("value").alias("amount"),
+        F.col("event_type").alias("payment_method"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
+    ).withWatermark("timestamp", "15 minutes")
+    enriched = E.enrich_transactions(
+        tx, _users_dim(spark, sf_dir), _products_dim(spark, sf_dir), with_date_parts=True
+    )
+    out_cols = [
+        "transaction_id", "user_id", "product_id", "amount", "payment_method",
+        F.col("timestamp").cast("timestamp_ntz").alias("timestamp"),
+        "user_name", "user_country", "product_name", "category", "base_price",
+        "discount", "product_country", "country_mismatch", "high_value_flag",
+        "fraud_score", "discounted_price", "tx_year", "tx_month", "tx_day",
+    ]
+    result = enriched.select(*out_cols)
+    tmp = tempfile.mkdtemp(prefix="fraud_stream_")
+    q = SK.start_foreach_batch(
+        result,
+        SK.parquet_batch_sink(os.path.join(tmp, "out"), partitions=None),
+        os.path.join(tmp, "ckpt"),
+        output_mode="append",
+        available_now=True,
+        query_name="fraud_enrich_streaming",
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(tmp, "out"))
+
+
+# stream output == batch output, so the oracle SQL is shared verbatim
+_REGISTRY[-1] = QuerySpec(
+    "fraud_enrich_streaming",
+    q_fraud_enrich_streaming,
+    _spec("fraud_enrich").oracle,
+)
+
+
+@_register("synthetic_transactions", None)  # generator source — no oracle table
+def q_synthetic_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: the seeded distributed transaction generator (spark.range +
+    seeded rand, reference domains). Rows-only: its input is no table."""
+    from smart_fraud_detection_data_pipeline_spark.sources.generator import synthetic_transactions
+
+    return synthetic_transactions(spark, 10000)

@@ -94,6 +94,14 @@ def stream_table(
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = spark.read.parquet(path).schema
+    # The file stream source only accepts directories; testdata tables are
+    # single files, so stage a symlink inside a temp directory.
+    if os.path.isfile(path):
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"stream_{name}_")
+        os.symlink(path, os.path.join(d, f"{name}.parquet"))
+        path = d
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -1,0 +1,137 @@
+"""Streaming sinks: partitioned parquet, foreachBatch handlers, CSV ingest.
+
+Reference parity:
+- S7  partitioned parquet sink: append, partitionBy(payment_method,
+      tx_year, tx_month, tx_day) (spark.py:229-232)
+- S8  unpartitioned parquet sinks for the trend tables (spark.py:242-252)
+- S9/ST6 foreachBatch handlers with an empty-batch guard (spark.py:209-254;
+      the reference uses count()>0 — we use isEmpty(), which stops at the
+      first row instead of scanning the batch twice)
+- S10 one checkpoint dir per query (spark.py:273-285)
+- S4  the Kafka-consumer micro-batch CSV sink: Hive-style
+      year=/month=/day= layout keyed on PROCESSING date (consumer.py:
+      111-129 — processing-time, not event-time, is the reference
+      semantic there)
+
+Scale notes: sinks partition by low-cardinality columns so file counts
+stay sane; the fraud sink's 4-level layout gives partition pruning on
+the read side (payment_method + date are the loaders' scan keys). At
+100 TB, pair with maxRecordsPerFile and AQE coalescing to keep output
+files near the HDFS-friendly 128 MB-1 GB band.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+
+FRAUD_PARTITIONS = ("payment_method", "tx_year", "tx_month", "tx_day")
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, partitions=FRAUD_PARTITIONS) -> None:
+    """S7: append-mode partitioned parquet (batch side of foreachBatch)."""
+    df.write.mode("append").partitionBy(*partitions).parquet(path)
+
+
+def parquet_batch_sink(
+    path: str, partitions: tuple[str, ...] | None = FRAUD_PARTITIONS
+) -> Callable[[DataFrame, int], None]:
+    """S9 handler: skip empty batches, append parquet (spark.py:209-232).
+
+    isEmpty() replaces the reference's count()>0 guard — it limits to one
+    row instead of executing the full batch plan an extra time.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        writer = batch_df.write.mode("append")
+        if partitions:
+            writer = writer.partitionBy(*partitions)
+        writer.parquet(path)
+
+    return handle
+
+
+def reemit_parquet_sink(path: str) -> Callable[[DataFrame, int], None]:
+    """ST4 faithful sink: append the COMPLETE result table every trigger,
+    stamped with the micro-batch id.
+
+    This reproduces the reference's write-amplification contract
+    (complete output mode + append parquet, spark.py:276-286): each
+    trigger re-emits every (key, window) row, and downstream consumers
+    are expected to dedup keep-last — operators.dedup.dedup_keep_last
+    on batch_id, exactly like the loaders' drop_duplicates(keep='last').
+    """
+    from pyspark.sql import functions as F
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(path)
+
+    return handle
+
+
+def start_foreach_batch(
+    df: DataFrame,
+    handler: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    *,
+    output_mode: str = "append",
+    available_now: bool = True,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """S9/S10: foreachBatch writeStream with a checkpoint dir.
+
+    available_now=True processes all pending input then stops — bounded
+    runs for tests/backfills; pass False for a continuous query.
+    """
+    writer: DataStreamWriter = (
+        df.writeStream.outputMode(output_mode)
+        .foreachBatch(handler)
+        .option("checkpointLocation", checkpoint)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def csv_ingest_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    trigger_seconds: int | None = 60,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """S4: micro-batch CSV files under year=/month=/day= (processing date).
+
+    The reference's consumer flushes every 100 rows or 60 s to
+    raw/<topic>/year=Y/month=M/day=D/batch_*.csv; in Structured
+    Streaming the flush cadence IS the trigger, and the directory layout
+    is partitionBy on processing-date columns.
+    """
+    from pyspark.sql import functions as F
+
+    dated = (
+        df.withColumn("year", F.year(F.current_date()))
+        .withColumn("month", F.month(F.current_date()))
+        .withColumn("day", F.dayofmonth(F.current_date()))
+    )
+    writer = (
+        dated.writeStream.format("csv")
+        .option("header", "true")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("year", "month", "day")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,0 +1,208 @@
+"""Structured Streaming tests: stream/batch equivalence, the faithful
+complete-mode re-emission contract (ST4+A6), watermark late-data
+semantics, ingest sink layout, and the seeded generator (S1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_fraud_detection_data_pipeline_spark.operators.enrich import enrich_transactions
+from smart_fraud_detection_data_pipeline_spark.operators.trends import windowed_trends
+from smart_fraud_detection_data_pipeline_spark.sources.generator import (
+    COUNTRIES,
+    PAYMENT_METHODS,
+    synthetic_transactions,
+)
+from smart_fraud_detection_data_pipeline_spark.streaming import pipeline as P
+
+
+def _dims(spark):
+    users = spark.range(1, 1501).select(
+        F.col("id").cast("int").alias("user_id"),
+        F.concat(F.lit("U"), F.col("id")).alias("name"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in COUNTRIES]), (F.col("id") % 4 + 1).cast("int")
+        ).alias("country"),
+    )
+    products = spark.range(1, 401).select(
+        F.col("id").cast("int").alias("product_id"),
+        F.concat(F.lit("P"), F.col("id")).alias("name"),
+        F.element_at(
+            F.array(F.lit("Books"), F.lit("Toys"), F.lit("Electronics")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("category"),
+        (F.lit(100.0) + F.col("id")).alias("base_price"),
+        F.concat(F.lit("Sup"), F.col("id") % 5).alias("supplier"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in COUNTRIES]), (F.col("id") % 3 + 1).cast("int")
+        ).alias("country"),
+        (F.col("id") % 2 == 0).alias("in_stock"),
+        (F.col("id") % 50).cast("double").alias("discount"),
+    )
+    return users, products
+
+
+@pytest.fixture(scope="module")
+def staged_stream_dir(spark, tmp_path_factory):
+    """Transactions written as two time-ordered file groups so availableNow
+    + maxFilesPerTrigger produces multiple micro-batches."""
+    d = str(tmp_path_factory.mktemp("txstream"))
+    tx = synthetic_transactions(spark, 6000).cache()  # 2 rows/s → 50 min span
+    cut = F.lit("2024-01-01 00:30:00").cast("timestamp_ntz")
+    tx.where(F.col("timestamp") < cut).coalesce(1).write.mode("append").parquet(d)
+    tx.where(F.col("timestamp") >= cut).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def _stream(spark, d, files_per_trigger=1):
+    schema = spark.read.parquet(d).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .parquet(d)
+    )
+
+
+def test_stream_batch_equivalence_enrichment(spark, staged_stream_dir, tmp_path):
+    users, products = _dims(spark)
+    out = str(tmp_path / "out")
+    qs = P.run_pipeline(
+        spark, _stream(spark, staged_stream_dir), users, products, out, mode="faithful"
+    )
+    qs.await_all(120)
+
+    got = spark.read.parquet(os.path.join(out, "fraud_records"))
+    batch_tx = spark.read.parquet(staged_stream_dir)
+    want = enrich_transactions(batch_tx, users, products)
+    assert got.count() == want.count() == 6000
+    # value-level spot check: fraud_score histograms identical
+    g = {r.fraud_score: r["count"] for r in got.groupBy("fraud_score").count().collect()}
+    w = {r.fraud_score: r["count"] for r in want.groupBy("fraud_score").count().collect()}
+    assert g == w
+    # partition layout (S7): payment_method=... dirs exist
+    assert any(
+        p.startswith("payment_method=") for p in os.listdir(os.path.join(out, "fraud_records"))
+    )
+
+
+def test_faithful_mode_reemits_then_dedups_to_batch_result(
+    spark, staged_stream_dir, tmp_path
+):
+    """The ST4+A6 contract: complete-mode re-emission duplicates windows
+    across triggers; keep-last dedup restores exactly the batch answer."""
+    users, products = _dims(spark)
+    out = str(tmp_path / "out")
+    qs = P.run_pipeline(
+        spark, _stream(spark, staged_stream_dir), users, products, out, mode="faithful"
+    )
+    qs.await_all(120)
+
+    raw = spark.read.parquet(os.path.join(out, "user_spend_trends"))
+    assert raw.select("batch_id").distinct().count() >= 2  # ≥2 triggers fired
+    # write amplification really happened: duplicates per (key, window)
+    assert raw.count() > raw.select("user_id", "window_start").distinct().count()
+
+    deduped = P.read_trends_deduped(
+        spark, os.path.join(out, "user_spend_trends"), ["user_id", "window_start"]
+    )
+    batch_tx = spark.read.parquet(staged_stream_dir)
+    want = windowed_trends(
+        batch_tx, key_col="user_id", sum_alias="total_spent", exact=False
+    )
+    assert deduped.count() == want.count()
+    # exact value equality on the money column (decimal-sum is associative)
+    diff = (
+        deduped.select("user_id", "window_start", "total_spent")
+        .exceptAll(want.select("user_id", "window_start", "total_spent"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_idiomatic_append_mode_emits_closed_windows_only(
+    spark, staged_stream_dir, tmp_path
+):
+    users, products = _dims(spark)
+    out = str(tmp_path / "out")
+    qs = P.run_pipeline(
+        spark, _stream(spark, staged_stream_dir), users, products, out, mode="idiomatic"
+    )
+    qs.await_all(120)
+
+    path = os.path.join(out, "user_spend_trends")
+    got = spark.read.parquet(path)
+    batch_tx = spark.read.parquet(staged_stream_dir)
+    want = windowed_trends(batch_tx, key_col="user_id", sum_alias="total_spent", exact=False)
+    # append mode: emitted windows are exactly right (subset of batch),
+    # and every emitted window closed before the final watermark
+    assert 0 < got.count() <= want.count()
+    diff = got.drop("batch_id").exceptAll(want).count()
+    assert diff == 0
+    max_ts = batch_tx.agg(F.max("timestamp")).collect()[0][0]
+    for r in got.select("window_end").distinct().collect():
+        assert r.window_end <= (max_ts.strftime("%Y-%m-%d %H:%M:%S"))
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """A row older than watermark delay arriving in a later batch must not
+    resurrect or alter an already-closed window."""
+    d = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    users, products = _dims(spark)
+    tx = synthetic_transactions(spark, 6000).cache()
+    early = tx.where(F.col("timestamp") < F.lit("2024-01-01 00:30:00").cast("timestamp_ntz"))
+    late_probe = tx.limit(1).withColumn(
+        "timestamp", F.lit("2023-12-31 10:00:00").cast("timestamp_ntz")
+    )  # hours older than any watermark
+    advance = tx.where(
+        F.col("timestamp") >= F.lit("2024-01-01 00:30:00").cast("timestamp_ntz")
+    )
+    early.coalesce(1).write.mode("append").parquet(d)
+    advance.coalesce(1).write.mode("append").parquet(d)
+    late_probe.coalesce(1).write.mode("append").parquet(d)
+
+    qs = P.run_pipeline(spark, _stream(spark, d), users, products, out, mode="idiomatic")
+    qs.await_all(120)
+    got = spark.read.parquet(os.path.join(out, "user_spend_trends"))
+    assert got.where(F.col("window_start") < "2024-01-01 00:00:00").count() == 0
+
+
+def test_csv_ingest_sink_layout(spark, tmp_path):
+    from smart_fraud_detection_data_pipeline_spark.streaming.sinks import csv_ingest_sink
+
+    d = str(tmp_path / "in")
+    synthetic_transactions(spark, 50).coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = csv_ingest_sink(
+        stream,
+        str(tmp_path / "raw"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(60)
+    back = spark.read.option("header", "true").csv(
+        str(tmp_path / "raw"), recursiveFileLookup=False
+    )
+    # Hive-style processing-date partitions (year=/month=/day=) + all rows
+    assert {"year", "month", "day"} <= set(back.columns)
+    assert back.count() == 50
+
+
+def test_generator_deterministic_and_in_domain(spark):
+    a = synthetic_transactions(spark, 500)
+    b = synthetic_transactions(spark, 500)
+    assert a.exceptAll(b).count() == 0  # same seed → same rows
+    rows = a.collect()
+    assert all(r.transaction_id.startswith("T") for r in rows)
+    assert all(1 <= r.user_id <= 2000 for r in rows)
+    assert all(1 <= r.product_id <= 500 for r in rows)
+    assert all(r.payment_method in PAYMENT_METHODS for r in rows)
+    assert all(r.country in COUNTRIES for r in rows)
+    assert all(10 <= r.amount <= 5000 for r in rows)
+    # producer cadence: 2 rows/s from the base timestamp
+    ts = sorted(r.timestamp for r in rows)
+    assert (ts[-1] - ts[0]).total_seconds() == pytest.approx(249, abs=1)
