@@ -831,3 +831,65 @@ def q_synthetic_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_fraud_detection_data_pipeline_spark.sources.generator import synthetic_transactions
 
     return synthetic_transactions(spark, 10000)
+
+
+# ---------------------------------------------------------------------------
+# Warehouse entry point (EP3): S7 partitioned sink → S11-S13 scan → A6 → A8
+# ---------------------------------------------------------------------------
+
+@_register("warehouse_load", None)  # oracle attached below (fraud_enrich twin)
+def q_warehouse_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader pipeline end-to-end, Spark-native: the enriched fraud
+    table is written twice to a Hive-partitioned prefix (modeling
+    re-emitted micro-batches, S7), scanned back with typed partition
+    discovery (S11-S13), deduped keep-last by load sequence (A6), and
+    column-ordered for the warehouse (P7). Result must equal the batch
+    enrichment — so it shares fraud_enrich's oracle SQL verbatim."""
+    import tempfile
+
+    from smart_fraud_detection_data_pipeline_spark.operators import loaders as L
+    from smart_fraud_detection_data_pipeline_spark.streaming.sinks import FRAUD_PARTITIONS
+
+    cols = [
+        "transaction_id", "user_id", "product_id", "amount", "payment_method",
+        "timestamp", "user_name", "user_country", "product_name", "category",
+        "base_price", "discount", "product_country", "country_mismatch",
+        "high_value_flag", "fraud_score", "discounted_price",
+        "tx_year", "tx_month", "tx_day",
+    ]
+    enriched = q_fraud_enrich(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="warehouse_")
+    first = enriched.withColumn("load_seq", F.lit(1))
+    reemit = enriched.where(F.col("transaction_id") % 4 == 0).withColumn(
+        "load_seq", F.lit(2)
+    )
+    for batch in (first, reemit):
+        batch.write.mode("append").partitionBy(*FRAUD_PARTITIONS).parquet(tmp)
+    loaded = L.warehouse_load(
+        spark,
+        tmp,
+        target=None,
+        keys=["transaction_id", "timestamp"],
+        order_by=["load_seq"],
+        columns=cols,
+    )
+    return loaded
+
+
+_REGISTRY[-1] = QuerySpec(
+    "warehouse_load", q_warehouse_load, _spec("fraud_enrich").oracle
+)
+
+
+@_register(
+    "sql_pricing_summary",
+    _spec("pricing_summary").oracle,
+)
+def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL frontend surface: the engine registers the testdata tables
+    as views and executes the SAME dialect-portable SQL text the oracle
+    runs — DataFrame API and spark.sql() are two doors to one Catalyst."""
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir, names=("lineitem",))
+    return spark.sql(_spec("pricing_summary").oracle)
