@@ -63,10 +63,22 @@ def registry() -> list[QuerySpec]:
 # Shared testdata→reference-shape adapters
 # ---------------------------------------------------------------------------
 
+_COUNTS: dict[tuple[str, str], int] = {}
+
+
+def _table_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Cached dimension row count (used to derive synthetic FKs); avoids
+    re-running a count job on every query construction."""
+    key = (sf_dir, name)
+    if key not in _COUNTS:
+        _COUNTS[key] = load_table(spark, sf_dir, name).count()
+    return _COUNTS[key]
+
+
 def _transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as the reference's transaction stream shape (FIXTURES §B)."""
     ev = load_table(spark, sf_dir, "events")
-    n_part = load_table(spark, sf_dir, "part").count()
+    n_part = _table_count(spark, sf_dir, "part")
     return ev.select(
         F.col("event_id").alias("transaction_id"),
         F.col("user_id"),
@@ -91,7 +103,7 @@ def _products_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     the product `country`, p_size plays the discount percentage."""
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
-    n_supp = supp.count()
+    n_supp = _table_count(spark, sf_dir, "supplier")
     return (
         part.join(
             F.broadcast(supp),
@@ -783,7 +795,7 @@ def q_fraud_enrich_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = stream_table(spark, sf_dir, "events")
-    n_part = load_table(spark, sf_dir, "part").count()
+    n_part = _table_count(spark, sf_dir, "part")
     tx = raw.select(
         F.col("event_id").alias("transaction_id"),
         F.col("user_id"),
@@ -893,3 +905,180 @@ def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir, names=("lineitem",))
     return spark.sql(_spec("pricing_summary").oracle)
+
+
+# ---------------------------------------------------------------------------
+# Coverage beyond the reference: JSON, rollup, analytic windows, sliding and
+# session windows, salted aggregation (skew). Each oracle-checked.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "events_json_props",
+    """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (F13 family): parse the props JSON column
+    JVM-side (get_json_object — no Python in the loop) and aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@_register(
+    "orders_rollup",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+)
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (beyond-reference agg coverage): grand
+    total + per-status + per-(status,priority) in one pass (Expand)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            exact_sum_double("o_totalprice").alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "customer_order_seq",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS INTEGER) AS order_seq,
+       lag(o_totalprice) OVER w AS prev_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_customer_order_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (SURVEY §2.5 — absent in the reference
+    but required for keep-last dedup): row_number + lag over a
+    per-customer event-time ordering, ties broken by key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+@_register(
+    "sliding_window_trends",
+    """
+WITH buckets AS (
+  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS w_start, value FROM events
+  UNION ALL
+  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) - INTERVAL 1 MINUTE, value FROM events
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(w_start + INTERVAL 2 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(*) AS n_events
+FROM buckets
+GROUP BY w_start
+""",
+)
+def q_sliding_window_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 2-minute windows every 1 minute — each
+    event lands in two windows (the oracle materializes both buckets)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "2 minutes", "1 minute")).agg(
+        exact_sum_double("value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    from smart_fraud_detection_data_pipeline_spark.functions.timeutil import stringify_window
+
+    return stringify_window(agg).select(
+        "window_start", "window_end", "total_value", "n_events"
+    )
+
+
+@_register(
+    "session_windows",
+    """
+WITH o AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s
+GROUP BY user_id, sess_id
+""",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) — the stateful windowing
+    the reference lacks entirely. Spark: F.session_window (merging state
+    windows); oracle: gaps-and-islands via lag + running sum."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.session_window("ts", "5 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum_double("value").alias("total_value"),
+    )
+    return agg.select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        "total_value",
+    )
+
+
+@_register(
+    "salted_category_totals",
+    """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def q_salted_category_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation: two-stage salted sum/count must equal
+    the plain GROUP BY bit-for-bit (decimal accumulation is associative)
+    — the oracle IS the unsalted query."""
+    from smart_fraud_detection_data_pipeline_spark.operators.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_sum_count(
+        ev,
+        "event_type",
+        "value",
+        salt_from=F.col("event_id"),
+        sum_alias="total_value",
+        count_alias="n_events",
+    )

@@ -1,0 +1,84 @@
+"""Tests for skew operators and the window-function coverage queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from smart_fraud_detection_data_pipeline_spark.operators.skew import salted_inner_join, salted_sum_count
+from smart_fraud_detection_data_pipeline_spark.plans import explain as X
+from smart_fraud_detection_data_pipeline_spark.queries import registry
+
+Q = {s.name: s.spark_fn for s in registry()}
+
+
+def test_salted_sum_equals_plain_groupby(spark):
+    # heavy skew: 10k rows on one key, 10 on another
+    df = spark.range(10010).select(
+        F.when(F.col("id") < 10000, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 97 / 100).cast("double").alias("v"),
+        F.col("id"),
+    )
+    salted = salted_sum_count(df, "k", "v", salt_from=F.col("id")).collect()
+    plain = (
+        df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert {(r.k, r.total, r.n) for r in salted} == {(r.k, r.total, r.n) for r in plain}
+
+
+def test_salted_agg_two_exchanges(spark, sf_dir):
+    """The salted plan trades one potentially-skewed shuffle for two even
+    ones — the plan must show exactly 2 exchanges."""
+    c = X.plan_counts(Q["salted_category_totals"](spark, sf_dir))
+    assert c["exchange"] == 2
+
+
+def test_salted_inner_join(spark):
+    facts = spark.createDataFrame(
+        [Row(k=1, v=i) for i in range(100)] + [Row(k=2, v=0)]
+    )
+    dim = spark.createDataFrame([Row(k=1, name="a"), Row(k=2, name="b")])
+    out = salted_inner_join(facts, dim, "k", buckets=4, salt_from=F.col("v"))
+    assert out.count() == 101
+    assert out.where("k = 1").select("name").distinct().collect()[0].name == "a"
+
+
+def test_rollup_includes_all_levels(spark, sf_dir):
+    rows = Q["orders_rollup"](spark, sf_dir).collect()
+    grand = [r for r in rows if r.o_orderstatus is None and r.o_orderpriority is None]
+    assert len(grand) == 1
+    per_status = [r for r in rows if r.o_orderstatus is not None and r.o_orderpriority is None]
+    assert len(per_status) >= 2
+    assert grand[0].n_orders == sum(r.n_orders for r in per_status)
+
+
+def test_sliding_windows_double_count(spark, sf_dir):
+    """Every event belongs to exactly two 2-min/1-min-slide windows."""
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    total_events = load_table(spark, sf_dir, "events").count()
+    windows = Q["sliding_window_trends"](spark, sf_dir)
+    assert windows.agg(F.sum("n_events")).collect()[0][0] == 2 * total_events
+
+
+def test_session_windows_respect_gap(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, ts=t0, value=1.0),
+        Row(user_id=1, ts=t0 + datetime.timedelta(minutes=2), value=1.0),  # same session
+        Row(user_id=1, ts=t0 + datetime.timedelta(minutes=10), value=1.0),  # new session
+        Row(user_id=2, ts=t0, value=1.0),
+    ]
+    df = spark.createDataFrame(rows)
+    agg = df.groupBy(F.session_window("ts", "5 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = {(r.user_id, r.n) for r in agg.collect()}
+    assert out == {(1, 2), (1, 1), (2, 1)}
