@@ -1,0 +1,79 @@
+"""Tests for the warehouse loader utilities (P7/P8/P11, S11-S13)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from smart_fraud_detection_data_pipeline_spark.operators import loaders as L
+
+
+def test_uppercase_columns(spark):
+    df = spark.createDataFrame([Row(a=1, b_c="x")])
+    assert L.uppercase_columns(df).columns == ["A", "B_C"]
+
+
+def test_pad_missing_columns_typed_nulls(spark):
+    df = spark.createDataFrame([Row(a=1)])
+    required = StructType(
+        [StructField("a", StringType()), StructField("extra", DoubleType())]
+    )
+    out = L.pad_missing_columns(df, required)
+    assert out.columns == ["a", "extra"]
+    field = {f.name: f.dataType for f in out.schema.fields}
+    assert isinstance(field["extra"], DoubleType)  # typed, not string-null
+    assert out.collect()[0].extra is None
+
+
+def test_select_required_reorders(spark):
+    df = spark.createDataFrame([Row(b=2, a=1)])
+    assert L.select_required(df, ["a", "b"]).columns == ["a", "b"]
+
+
+def test_partitioned_prefix_roundtrip_with_typed_discovery(spark, tmp_path):
+    """S11-S13: write Hive-partitioned, read back with typed partition
+    values (the reference recovers them as strings by path parsing —
+    Spark gives them back typed for free)."""
+    p = str(tmp_path / "prefix")
+    df = spark.createDataFrame(
+        [Row(k=1, v=1.0, year=2024), Row(k=2, v=2.0, year=2025)]
+    )
+    df.write.partitionBy("year").parquet(p)
+    back = L.read_partitioned_prefix(spark, p)
+    assert dict(back.dtypes)["year"] == "int"
+    assert {r.year for r in back.collect()} == {2024, 2025}
+    # _SUCCESS marker files are ignored by the file index
+    assert os.path.exists(os.path.join(p, "_SUCCESS"))
+
+
+def test_warehouse_load_composite(spark, tmp_path):
+    p = str(tmp_path / "src")
+    first = spark.createDataFrame(
+        [Row(k=1, v=10.0, seq=1), Row(k=2, v=20.0, seq=1)]
+    )
+    reemit = spark.createDataFrame([Row(k=2, v=99.0, seq=2)])
+    first.write.mode("append").parquet(p)
+    reemit.write.mode("append").parquet(p)
+    target = spark.createDataFrame([Row(k=3, v=30.0, seq=0)])
+    out = L.warehouse_load(
+        spark, p, target, ["k"], order_by=["seq"], columns=["k", "v", "seq"]
+    )
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0}  # keep-last + upsert + keep-old
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """The 100 TB incremental path: a partition predicate must prune at
+    the file-index level, not filter post-scan."""
+    from smart_fraud_detection_data_pipeline_spark.plans.explain import formatted_plan
+
+    p = str(tmp_path / "pp")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("part")
+    ).write.partitionBy("part").parquet(p)
+    df = L.read_partitioned_prefix(spark, p).where(F.col("part") == 2)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "part" in plan.split("PartitionFilters")[1][:120]
