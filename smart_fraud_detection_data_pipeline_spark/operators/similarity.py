@@ -93,6 +93,41 @@ def cosine_topk(
     )
 
 
+def cosine_dup_pairs(
+    df: DataFrame,
+    *,
+    threshold: float,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with blocking.
+
+    All-pairs cosine is O(n²·dim) — never viable raw at 100 TB. Blocking
+    restricts comparisons to pairs sharing `block_col` (a label, an SRP
+    bucket, a cluster id …): the join is an equi-join on the block key
+    and cost scales with Σ block² instead of n². Output
+    (id_a, id_b, cosine_sim ≥ threshold), id_a < id_b; cosine rounded to
+    6 dp before thresholding so the cut is portable across engines.
+    """
+    base = df.select(
+        F.col(id_col), F.col(block_col).alias("__blk"),
+        as_double_array(F.col(vec_col)).alias("__vec"),
+    )
+    a = base.toDF("id_a", "__blk", "vec_a")
+    b = base.toDF("id_b", "__blk", "vec_b")
+    return (
+        a.join(b, "__blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 # --- SRP-LSH (ANN scale path) ----------------------------------------------
 
 def srp_planes(dim: int, n_planes: int) -> list[list[float]]:

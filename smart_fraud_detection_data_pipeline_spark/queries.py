@@ -1082,3 +1082,32 @@ def q_salted_category_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_alias="total_value",
         count_alias="n_events",
     )
+
+
+@_register(
+    "embed_cosine_dups",
+    """
+WITH base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(CASE WHEN sqrt(list_sum(list_transform(a.v, x -> x*x))) > 0
+                     AND sqrt(list_sum(list_transform(b.v, x -> x*x))) > 0
+               THEN list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
+                    / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                       * sqrt(list_sum(list_transform(b.v, x -> x*x))))
+               END, 6) AS cosine_sim
+  FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.4
+""",
+)
+def q_embed_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the dedup-family
+    member for embedding columns: comparisons stay within blocks, so
+    cost is Σ block² not n²)."""
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import cosine_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(emb, threshold=0.4, block_col="label")
