@@ -110,20 +110,26 @@ def cosine_dup_pairs(
     (id_a, id_b, cosine_sim ≥ threshold), id_a < id_b; cosine rounded to
     6 dp before thresholding so the cut is portable across engines.
     """
+    vec = as_double_array(F.col(vec_col))
+    # Norms computed ONCE per vector (a per-pair cosine would fold each
+    # vector 3× — dot + both norms — per comparison).
     base = df.select(
         F.col(id_col), F.col(block_col).alias("__blk"),
-        as_double_array(F.col(vec_col)).alias("__vec"),
+        vec.alias("__vec"), _norm(vec).alias("__n"),
     )
-    a = base.toDF("id_a", "__blk", "vec_a")
-    b = base.toDF("id_b", "__blk", "vec_b")
+    a = base.toDF("id_a", "__blk", "vec_a", "n_a")
+    b = base.toDF("id_b", "__blk", "vec_b", "n_b")
+    sim = F.round(
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")),
+        ),
+        ROUND_DP,
+    )
     return (
         a.join(b, "__blk")
         .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"),
-        )
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
 

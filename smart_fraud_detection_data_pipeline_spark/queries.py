@@ -1111,3 +1111,207 @@ def q_embed_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_dup_pairs(emb, threshold=0.4, block_col="label")
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of / interval) and streaming windowed-agg parity
+# ---------------------------------------------------------------------------
+
+@_register(
+    "asof_last_purchase",
+    """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT e.event_id, e.user_id, e.ts, p.purchase_id, p.purchase_ts, p.purchase_value,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY p.purchase_ts DESC NULLS LAST, p.purchase_id DESC NULLS LAST
+         ) AS rn
+  FROM e LEFT JOIN p
+    ON p.user_id = e.user_id AND p.purchase_ts <= e.ts
+)
+SELECT event_id, user_id, ts, purchase_id AS last_purchase_id,
+       purchase_ts AS last_purchase_ts, purchase_value AS last_purchase_value
+FROM j WHERE rn = 1
+""",
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: every event paired with the same user's most
+    recent purchase at-or-before it — the canonical 'state as of event
+    time' feature join the reference cannot express."""
+    from smart_fraud_detection_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    purchases = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        ev,
+        purchases,
+        on=["user_id"],
+        left_key="event_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        tie_break="purchase_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("purchase_id").alias("last_purchase_id"),
+        F.col("purchase_ts").alias("last_purchase_ts"),
+        F.col("purchase_value").alias("last_purchase_value"),
+    )
+
+
+@_register(
+    "error_burst_window",
+    """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+)
+SELECT a.event_id,
+       COUNT(b.event_id) AS n_follow,
+       CAST(SUM(CASE WHEN b.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_follow_errors
+FROM (SELECT * FROM e WHERE event_type = 'error') a
+LEFT JOIN e b
+  ON b.user_id = a.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+GROUP BY a.event_id
+""",
+)
+def q_error_burst_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: per error event, the same user's activity in
+    the following 10 minutes — equi-key join bounds the fan-out, the
+    range predicate trims inside each key group."""
+    from smart_fraud_detection_data_pipeline_spark.operators.asof import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    follows = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("f_id"),
+        F.col("ts").alias("f_ts"),
+        F.col("event_type").alias("f_type"),
+    )
+    pairs = interval_join(
+        errors, follows, on=["user_id"], left_ts="ts", right_ts="f_ts",
+        lower="0 seconds", upper="10 minutes",
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count("f_id").alias("n_follow"),
+        F.sum(F.when(F.col("f_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_follow_errors"),
+    )
+    # left semantics: errors with zero followers keep a zero-count row
+    return (
+        errors.select("event_id")
+        .join(counts, "event_id", "left")
+        .fillna(0, ["n_follow", "n_follow_errors"])
+    )
+
+
+@_register("user_spend_trends_streaming", None)  # oracle attached below
+def q_user_spend_trends_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 through Structured Streaming: the tumbling-window aggregation
+    runs in faithful mode (complete output re-emitted per trigger,
+    batch_id-stamped append parquet), then the loader-contract keep-last
+    dedup recovers the final table — which must hash-match a plain batch
+    GROUP BY oracle. The full ST4+A6 contract inside the correctness
+    gate. Uses count(*) (not distinct) — exact and streamable."""
+    import os
+    import tempfile
+
+    from smart_fraud_detection_data_pipeline_spark.operators.dedup import dedup_keep_last
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import stream_table
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+    from smart_fraud_detection_data_pipeline_spark.functions.numeric import exact_sum_double
+    from smart_fraud_detection_data_pipeline_spark.functions.timeutil import stringify_window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = stream_table(spark, sf_dir, "events")
+    tx = raw.select(
+        F.col("user_id"),
+        F.col("value").alias("amount"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
+    ).withWatermark("timestamp", "15 minutes")
+    agg = tx.groupBy(F.window("timestamp", "1 minute"), "user_id").agg(
+        exact_sum_double("amount").alias("total_spent"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    out = stringify_window(agg).select(
+        "user_id", "total_spent", "n_events", "window_start", "window_end"
+    )
+    tmp = tempfile.mkdtemp(prefix="trend_stream_")
+    q = SK.start_foreach_batch(
+        out,
+        SK.reemit_parquet_sink(os.path.join(tmp, "out")),
+        os.path.join(tmp, "ckpt"),
+        output_mode="complete",
+        available_now=True,
+        query_name="user_spend_trends_streaming",
+    )
+    q.awaitTermination(300)
+    raw_out = spark.read.parquet(os.path.join(tmp, "out"))
+    return dedup_keep_last(
+        raw_out, ["user_id", "window_start"], ["batch_id"]
+    ).drop("batch_id")
+
+
+_REGISTRY[-1] = QuerySpec(
+    "user_spend_trends_streaming",
+    q_user_spend_trends_streaming,
+    """
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+       COUNT(*) AS n_events,
+       strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('minute', ts) + INTERVAL 1 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end
+FROM events
+GROUP BY user_id, date_trunc('minute', ts)
+""",
+)
+
+
+@_register(
+    "value_quantiles",
+    """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY event_type
+""",
+)
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (sort-based agg — the only
+    sort-heavy aggregate in the catalog; the approx_percentile sketch is
+    the 100 TB path when exactness isn't contractual). Interpolation is
+    bit-identical across engines (verified)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+    )

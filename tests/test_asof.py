@@ -1,0 +1,98 @@
+"""Unit tests for as-of and interval joins."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from smart_fraud_detection_data_pipeline_spark.operators.asof import asof_join, interval_join
+
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _m(minutes):
+    return T0 + datetime.timedelta(minutes=minutes)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            Row(id=1, k="a", ts=_m(10)),
+            Row(id=2, k="a", ts=_m(30)),
+            Row(id=3, k="b", ts=_m(5)),   # no right rows for key b at/before
+            Row(id=4, k="c", ts=_m(5)),   # key c absent from right entirely
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", r_ts=_m(0), payload="a0"),
+            Row(k="a", r_ts=_m(20), payload="a20"),
+            Row(k="b", r_ts=_m(50), payload="b50"),  # after left's ts
+        ]
+    )
+    return left, right
+
+
+def test_asof_backward(spark):
+    left, right = _frames(spark)
+    out = {
+        r.id: r.payload
+        for r in asof_join(
+            left, right, on=["k"], left_key="id", left_ts="ts", right_ts="r_ts"
+        ).collect()
+    }
+    assert out == {1: "a0", 2: "a20", 3: None, 4: None}
+
+
+def test_asof_forward(spark):
+    left, right = _frames(spark)
+    out = {
+        r.id: r.payload
+        for r in asof_join(
+            left,
+            right,
+            on=["k"],
+            left_key="id",
+            left_ts="ts",
+            right_ts="r_ts",
+            direction="forward",
+        ).collect()
+    }
+    assert out == {1: "a20", 2: None, 3: "b50", 4: None}
+
+
+def test_asof_output_size_equals_left(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on=["k"], left_key="id", left_ts="ts", right_ts="r_ts"
+    )
+    assert out.count() == left.count()
+
+
+def test_asof_rejects_bad_direction(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="unknown direction"):
+        asof_join(
+            left, right, on=["k"], left_key="id", left_ts="ts", right_ts="r_ts",
+            direction="sideways",
+        )
+
+
+def test_interval_join_bounds(spark):
+    left = spark.createDataFrame([Row(id=1, k="a", ts=_m(0))])
+    right = spark.createDataFrame(
+        [
+            Row(k="a", r_id=10, r_ts=_m(0)),    # excluded: strict lower bound
+            Row(k="a", r_id=11, r_ts=_m(5)),    # in
+            Row(k="a", r_id=12, r_ts=_m(10)),   # in: inclusive upper
+            Row(k="a", r_id=13, r_ts=_m(11)),   # out
+            Row(k="b", r_id=14, r_ts=_m(5)),    # wrong key
+        ]
+    )
+    out = interval_join(
+        left, right, on=["k"], left_ts="ts", right_ts="r_ts",
+        lower="0 seconds", upper="10 minutes",
+    )
+    assert {r.r_id for r in out.collect()} == {11, 12}
