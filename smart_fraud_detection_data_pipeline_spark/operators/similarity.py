@@ -134,6 +134,131 @@ def cosine_dup_pairs(
     )
 
 
+# --- IVF-flat (ANN scale path, cluster-routed) ------------------------------
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "__cvec",
+    out_col: str = "__cluster",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (argmin of squared L2).
+
+    Centroids arrive as plain Python lists (small — they broadcast as
+    literals inside the expression), so assignment is a map-only
+    projection: k dot-products per row, no shuffle, trivially cacheable.
+    Ties resolve to the lowest centroid index (array_position finds the
+    first minimum) — deterministic.
+    """
+    dists = F.array(
+        *[
+            _dot(
+                F.zip_with(F.col(vec_col), F.array(*[F.lit(v) for v in c]), lambda x, y: x - y),
+                F.zip_with(F.col(vec_col), F.array(*[F.lit(v) for v in c]), lambda x, y: x - y),
+            )
+            for c in centroids
+        ]
+    )
+    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return corpus.withColumn(out_col, cluster)
+
+
+def sample_centroids(
+    corpus: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse centroids: every (n/k)-th vector by id.
+
+    A stand-in for k-means that needs no RNG state and no iterations —
+    good enough as an IVF coarse quantizer on roughly isotropic data.
+    (Swap in Lloyd iterations per-DataFrame if the corpus is clustered;
+    the search path below is unchanged.)
+    """
+    n = corpus.count()
+    step = max(n // k, 1)
+    rows = (
+        corpus.where(F.col(id_col) % step == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .select(as_double_array(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    return [list(r.v) for r in rows]
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: route each query to its `nprobe`
+    nearest centroids, score only vectors assigned to those clusters.
+
+    The scored fraction is ~nprobe/n_clusters of the corpus. Unlike SRP
+    buckets, IVF cells adapt to the data's density through the centroid
+    sample, and nprobe gives a smooth recall/cost dial. The cluster
+    assignment is a map-only projection (in production: computed once,
+    stored as a partition column → partition pruning does the routing).
+    """
+    cents = sample_centroids(corpus, n_clusters, id_col=id_col, vec_col=vec_col)
+    c = ivf_assign(
+        corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")),
+        cents,
+        vec_col="__cvec",
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("__qvec")
+    )
+    # nprobe nearest centroids per query: small cross product (|Q| × k)
+    dists = F.array(
+        *[
+            _dot(
+                F.zip_with(F.col("__qvec"), F.array(*[F.lit(v) for v in cent]), lambda x, y: x - y),
+                F.zip_with(F.col("__qvec"), F.array(*[F.lit(v) for v in cent]), lambda x, y: x - y),
+            )
+            for cent in cents
+        ]
+    )
+    ranked_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dists,
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        nprobe,
+    )
+    probed = q.withColumn("__cluster", F.explode(ranked_cells))
+    scored = c.join(F.broadcast(probed), "__cluster").select(
+        query_id_col,
+        id_col,
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc_nulls_last(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
 # --- SRP-LSH (ANN scale path) ----------------------------------------------
 
 def srp_planes(dim: int, n_planes: int) -> list[list[float]]:

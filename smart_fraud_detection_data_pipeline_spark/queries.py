@@ -1315,3 +1315,79 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("value", 0.99).alias("p99"),
         )
     )
+
+
+@_register(
+    "doc_tfidf",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf,
+       CAST(tf.tf AS DOUBLE) * (ln((CAST((SELECT n_docs FROM n) AS DOUBLE) + 1.0e0)
+            / (CAST(doc_freq AS DOUBLE) + 1.0e0)) + 1.0e0) AS tfidf
+FROM tf JOIN df USING (token)
+""",
+)
+def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF features (tokenize → TF per doc → smoothed IDF join)
+    in long form (doc_id, token, tf, tfidf) — the CountVectorizer/IDF
+    capability as pure relational ops. Two shuffles: TF groupBy and the
+    DF groupBy, then a broadcast of the (small) vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = _table_count(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("doc_freq")
+    )
+    idf = (
+        F.log((F.lit(float(n_docs)) + F.lit(1.0)) / (F.col("doc_freq").cast("double") + F.lit(1.0)))
+        + F.lit(1.0)
+    )
+    return tf.join(F.broadcast(dfreq), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        (F.col("tf").cast("double") * idf).alias("tfidf"),
+    )
+
+
+@_register("value_quantiles_approx", None)  # sketch-based → approximate
+def q_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile twin of value_quantiles: the KLL-sketch path that
+    replaces the sort-based exact percentile at 100 TB (single pass,
+    mergeable state, bounded memory). Rows-only by construction."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", 0.5, 10000).alias("p50"),
+            F.approx_percentile("value", 0.9, 10000).alias("p90"),
+            F.approx_percentile("value", 0.99, 10000).alias("p99"),
+        )
+    )
+
+
+@_register("embed_ivf_ann", None)  # centroid routing is data-derived → rows-only
+def q_embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-10: queries routed to nprobe=4 of 16
+    coarse cells, only those cells scored (~25% of the corpus). The
+    second ANN family next to SRP-LSH; recall vs the exact baseline is
+    asserted in tests."""
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(emb, queries, k=10, n_clusters=16, nprobe=4)

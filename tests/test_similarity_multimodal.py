@@ -67,3 +67,19 @@ def test_multimodal_features_match_python_reference(spark, sf_dir):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG")
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, emb):
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import ivf_ann_topk
+
+    exact = SIM.cosine_topk(emb, _queries(emb), k=10).collect()
+    approx = ivf_ann_topk(emb, _queries(emb), k=10, n_clusters=16, nprobe=4).collect()
+    es, aps = {}, {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        aps.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(es[q] & aps.get(q, set())) / len(es[q]) for q in es]
+    assert sum(recalls) / len(recalls) >= 0.3  # 25% of corpus scored
+    for q in es:
+        assert q in aps.get(q, set())  # self always in its own probed cell
