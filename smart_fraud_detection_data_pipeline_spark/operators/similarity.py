@@ -148,15 +148,18 @@ def ivf_assign(
     Centroids arrive as plain Python lists (small — they broadcast as
     literals inside the expression), so assignment is a map-only
     projection: k dot-products per row, no shuffle, trivially cacheable.
-    Ties resolve to the lowest centroid index (array_position finds the
-    first minimum) — deterministic.
+    Distances expand as ‖x−c‖² = ‖x‖² + ‖c‖² − 2·x·c: ‖x‖² is one fold
+    per ROW, ‖c‖² a Python constant — so each centroid costs exactly one
+    fold instead of a zip-subtract-square pass. Ties resolve to the
+    lowest centroid index (array_position finds the first minimum) —
+    deterministic.
     """
+    xsq = _dot(F.col(vec_col), F.col(vec_col))
     dists = F.array(
         *[
-            _dot(
-                F.zip_with(F.col(vec_col), F.array(*[F.lit(v) for v in c]), lambda x, y: x - y),
-                F.zip_with(F.col(vec_col), F.array(*[F.lit(v) for v in c]), lambda x, y: x - y),
-            )
+            xsq
+            + F.lit(sum(v * v for v in c))
+            - F.lit(2.0) * _dot(F.col(vec_col), F.array(*[F.lit(v) for v in c]))
             for c in centroids
         ]
     )
@@ -220,12 +223,12 @@ def ivf_ann_topk(
         F.col(query_id_col), as_double_array(F.col(vec_col)).alias("__qvec")
     )
     # nprobe nearest centroids per query: small cross product (|Q| × k)
+    qsq = _dot(F.col("__qvec"), F.col("__qvec"))
     dists = F.array(
         *[
-            _dot(
-                F.zip_with(F.col("__qvec"), F.array(*[F.lit(v) for v in cent]), lambda x, y: x - y),
-                F.zip_with(F.col("__qvec"), F.array(*[F.lit(v) for v in cent]), lambda x, y: x - y),
-            )
+            qsq
+            + F.lit(sum(v * v for v in cent))
+            - F.lit(2.0) * _dot(F.col("__qvec"), F.array(*[F.lit(v) for v in cent]))
             for cent in cents
         ]
     )

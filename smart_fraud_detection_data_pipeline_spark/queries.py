@@ -869,7 +869,11 @@ def q_warehouse_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         "high_value_flag", "fraud_score", "discounted_price",
         "tx_year", "tx_month", "tx_day",
     ]
-    enriched = q_fraud_enrich(spark, sf_dir)
+    from pyspark.storagelevel import StorageLevel
+
+    # Cache the enriched table: both load slices derive from it, and
+    # without materialization the two writes re-run the enrichment.
+    enriched = q_fraud_enrich(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     tmp = tempfile.mkdtemp(prefix="warehouse_")
     first = enriched.withColumn("load_seq", F.lit(1))
     reemit = enriched.where(F.col("transaction_id") % 4 == 0).withColumn(
