@@ -1395,3 +1395,46 @@ def q_embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_ann_topk(emb, queries, k=10, n_clusters=16, nprobe=4)
+
+
+@_register(
+    "user_running_totals_streaming",
+    """
+SELECT user_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+)
+def q_user_running_totals_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (applyInPandasWithState): per-user
+    running totals accumulated in integer-cents GroupState across
+    micro-batches; the final emission per user must equal a plain batch
+    GROUP BY — arbitrary-state streaming inside the correctness gate."""
+    import os
+    import tempfile
+
+    from smart_fraud_detection_data_pipeline_spark.operators.dedup import dedup_keep_last
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import stream_table
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+    from smart_fraud_detection_data_pipeline_spark.streaming.stateful import user_running_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = stream_table(spark, sf_dir, "events")
+    tx = raw.select("user_id", F.col("value").alias("amount"))
+    tmp = tempfile.mkdtemp(prefix="running_totals_")
+    q = SK.start_foreach_batch(
+        user_running_totals(tx),
+        SK.reemit_parquet_sink(os.path.join(tmp, "out")),
+        os.path.join(tmp, "ckpt"),
+        output_mode="update",
+        available_now=True,
+        query_name="user_running_totals_streaming",
+    )
+    q.awaitTermination(300)
+    emissions = spark.read.parquet(os.path.join(tmp, "out"))
+    return dedup_keep_last(emissions, ["user_id"], ["n_events", "batch_id"]).drop(
+        "batch_id"
+    )

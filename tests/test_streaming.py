@@ -206,3 +206,42 @@ def test_generator_deterministic_and_in_domain(spark):
     # producer cadence: 2 rows/s from the base timestamp
     ts = sorted(r.timestamp for r in rows)
     assert (ts[-1] - ts[0]).total_seconds() == pytest.approx(249, abs=1)
+
+
+def test_stateful_running_totals_match_batch(spark, staged_stream_dir, tmp_path):
+    """applyInPandasWithState: per-user running totals accumulated across
+    micro-batches must equal a batch groupBy exactly (integer-cents
+    state — no float drift)."""
+    from smart_fraud_detection_data_pipeline_spark.operators.dedup import dedup_keep_last
+    from smart_fraud_detection_data_pipeline_spark.streaming.stateful import user_running_totals
+
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+
+    out_path = str(tmp_path / "totals")
+    stream = _stream(spark, staged_stream_dir)
+    q = SK.start_foreach_batch(
+        user_running_totals(stream),
+        SK.reemit_parquet_sink(out_path),
+        str(tmp_path / "ckpt"),
+        output_mode="update",
+        available_now=True,
+        query_name="running_totals",
+    )
+    q.awaitTermination(120)
+
+    emissions = spark.read.parquet(out_path)
+    assert emissions.count() > 0
+    final = dedup_keep_last(emissions, ["user_id"], ["n_events"]).drop("batch_id")
+
+    batch = spark.read.parquet(staged_stream_dir)
+    want = batch.groupBy("user_id").agg(
+        F.sum(F.round(F.col("amount") * 100).cast("long")).alias("want_cents"),
+        F.count(F.lit(1)).alias("want_n"),
+    )
+    joined = final.join(want, "user_id")
+    assert joined.count() == want.count()
+    bad = joined.where(
+        (F.col("total_cents") != F.col("want_cents"))
+        | (F.col("n_events") != F.col("want_n"))
+    ).count()
+    assert bad == 0
