@@ -28,8 +28,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SHINGLE = 3  # tokens per shingle
-DEFAULT_PERMS = 12
-DEFAULT_BANDS = 4  # 4 bands × 3 rows
+DEFAULT_PERMS = 8
+DEFAULT_BANDS = 4  # 4 bands × 2 rows: at t=0.5 the s-curve gives
+# P(candidate) = 1-(1-s^2)^4 ≈ 0.68 (vs 0.41 for 4×3) — better recall
+# AND a third fewer md5 evaluations; false positives die in verification
 
 
 def normalize_text(text: Column) -> Column:
