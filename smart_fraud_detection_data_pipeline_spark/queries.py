@@ -1438,3 +1438,52 @@ def q_user_running_totals_streaming(spark: SparkSession, sf_dir: str) -> DataFra
     return dedup_keep_last(emissions, ["user_id"], ["n_events", "batch_id"]).drop(
         "batch_id"
     )
+
+
+@_register(
+    "user_event_type_pivot",
+    """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+FROM events
+GROUP BY user_id
+""",
+)
+def q_user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): per-user spend matrix across the five
+    event types. Explicit pivot values keep the output schema static —
+    required both for the oracle and for any plan at scale (value
+    discovery would need an extra pass + dynamic schema). Compiles to a
+    single-shuffle aggregate with one CASE-guarded sum per column."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(exact_sum_double("value"))
+    )
+
+
+@_register(
+    "user_event_type_unpivot",
+    """
+SELECT user_id, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id, event_type
+""",
+)
+def q_user_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide pivot matrix folded back to long form
+    must equal a plain two-key GROUP BY — a pivot→unpivot round-trip
+    proving both reshape directions are lossless."""
+    wide = q_user_event_type_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["click", "error", "purchase", "signup", "view"],
+        variableColumnName="event_type",
+        valueColumnName="total_value",
+    ).where(F.col("total_value").isNotNull())
