@@ -203,9 +203,12 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: route each query to its `nprobe`
     nearest centroids, score only vectors assigned to those clusters.
+    ``centroids`` overrides the sampled coarse quantizer (e.g. with
+    KMeans-fitted cells from operators.ml.kmeans_centroids).
 
     The scored fraction is ~nprobe/n_clusters of the corpus. Unlike SRP
     buckets, IVF cells adapt to the data's density through the centroid
@@ -213,7 +216,11 @@ def ivf_ann_topk(
     assignment is a map-only projection (in production: computed once,
     stored as a partition column → partition pruning does the routing).
     """
-    cents = sample_centroids(corpus, n_clusters, id_col=id_col, vec_col=vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else sample_centroids(corpus, n_clusters, id_col=id_col, vec_col=vec_col)
+    )
     c = ivf_assign(
         corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")),
         cents,

@@ -1487,3 +1487,38 @@ def q_user_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="event_type",
         valueColumnName="total_value",
     ).where(F.col("total_value").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# MLlib layer (rows-only: learned models are not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@_register("fraud_ml_score", None)  # learned model → rows-only
+def q_fraud_ml_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib fraud scorer: logistic regression trained on the enrichment
+    features with the rule score as weak label, then applied as a pure
+    JVM pipeline transform (streams unchanged). Sanity (tests): the
+    model must rank rule-flagged rows above clean rows (AUC-style)."""
+    from smart_fraud_detection_data_pipeline_spark.operators import ml as ML
+
+    enriched = q_fraud_enrich(spark, sf_dir)
+    model = ML.train_fraud_scorer(enriched)
+    return ML.score_transactions(model, enriched)
+
+
+@_register("embed_ivf_kmeans_ann", None)  # learned centroids → rows-only
+def q_embed_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with LEARNED (seeded KMeans) coarse centroids instead
+    of sampled ones — cells adapt to the data distribution; recall vs
+    the exact baseline asserted in tests."""
+    from smart_fraud_detection_data_pipeline_spark.operators import ml as ML
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ML.kmeans_centroids(emb, k=16)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(
+        emb, queries, k=10, n_clusters=16, nprobe=4, centroids=cents
+    )

@@ -1,0 +1,80 @@
+"""Tests for the MLlib-backed operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_fraud_detection_data_pipeline_spark.operators import ml as ML
+from smart_fraud_detection_data_pipeline_spark.queries import registry
+from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+Q = {s.name: s.spark_fn for s in registry()}
+
+
+def test_fraud_ml_score_separates_classes(spark, sf_dir):
+    """The LR scorer must rank rule-flagged transactions above clean ones
+    (it's trained on that signal — this is a plumbing sanity check, not
+    a modeling claim)."""
+    enriched = Q["fraud_enrich"](spark, sf_dir)
+    scored = Q["fraud_ml_score"](spark, sf_dir)
+    joined = enriched.select("transaction_id", "fraud_score").join(
+        scored, "transaction_id"
+    )
+    means = {
+        r.flagged: r.mean_p
+        for r in joined.select(
+            (F.col("fraud_score") >= 0.5).alias("flagged"), "ml_fraud_probability"
+        )
+        .groupBy("flagged")
+        .agg(F.avg("ml_fraud_probability").alias("mean_p"))
+        .collect()
+    }
+    assert means[True] > means[False] + 0.2
+    # probabilities are probabilities
+    bad = scored.where(
+        (F.col("ml_fraud_probability") < 0) | (F.col("ml_fraud_probability") > 1)
+    ).count()
+    assert bad == 0
+
+
+def test_fraud_ml_score_deterministic(spark, sf_dir):
+    a = Q["fraud_ml_score"](spark, sf_dir)
+    b = Q["fraud_ml_score"](spark, sf_dir)
+    assert a.exceptAll(b).count() == 0
+
+
+def test_kmeans_centroids_shape_and_determinism(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = ML.kmeans_centroids(emb, k=8)
+    c2 = ML.kmeans_centroids(emb, k=8)
+    assert len(c1) == 8 and len(c1[0]) == 64
+    assert c1 == c2  # seeded
+
+
+def test_ivf_kmeans_recall(spark, sf_dir):
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = Q["embed_ivf_kmeans_ann"](spark, sf_dir).collect()
+    es, aps = {}, {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        aps.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(es[q] & aps.get(q, set())) / len(es[q]) for q in es]
+    assert sum(recalls) / len(recalls) >= 0.3
+    for q in es:
+        assert q in aps.get(q, set())
+
+
+def test_ml_gate_message():
+    if not ML.HAVE_ML:
+        with pytest.raises(ImportError, match="pyspark.ml"):
+            ML._require_ml()
+    else:
+        ML._require_ml()  # no-op when available

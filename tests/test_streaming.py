@@ -245,3 +245,40 @@ def test_stateful_running_totals_match_batch(spark, staged_stream_dir, tmp_path)
         | (F.col("n_events") != F.col("want_n"))
     ).count()
     assert bad == 0
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """S10: a restarted query resumes from checkpointed offsets — new
+    files are processed exactly once, nothing is reprocessed."""
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    tx = synthetic_transactions(spark, 600).cache()
+    first_half = tx.where(F.col("transaction_id").substr(2, 7).cast("long") % 2 == 0)
+    second_half = tx.subtract(first_half)
+
+    first_half.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = SK.start_foreach_batch(
+            stream.select("transaction_id", "user_id", "amount"),
+            SK.parquet_batch_sink(out, partitions=None),
+            ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(60)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first_half.count()
+
+    # second run with the SAME checkpoint: only the new file is processed
+    second_half.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    result = spark.read.parquet(out)
+    assert result.count() == 600  # no duplicates from re-processing
+    assert result.select("transaction_id").distinct().count() == result.count()
