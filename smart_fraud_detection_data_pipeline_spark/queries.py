@@ -1522,3 +1522,73 @@ def q_embed_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(
         emb, queries, k=10, n_clusters=16, nprobe=4, centroids=cents
     )
+
+
+def _clean_corpus_sql() -> str:
+    """Oracle for the composite cleaning pipeline: profile + near-dup
+    losers + filters, from the same fragments as doc_profile/jaccard."""
+    all_stops = ", ".join(
+        f"'{w}'" for w in sorted({w for ws in TS.LANG_STOPWORDS.values() for w in ws})
+    )
+    return f"""
+WITH {_SQL_SHINGLE_CTES},
+losers AS (
+  SELECT DISTINCT id_b FROM jacc WHERE jaccard >= 0.5
+),
+scored AS (
+  SELECT doc_id, text,
+  {_LANG_SCORES}
+  FROM documents
+),
+profile AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         CAST(0.4e0 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0e0, 1.0e0)
+            + 0.3e0 * (1.0e0 - CAST(CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                      / CAST(length(text) AS DOUBLE)
+                 ELSE 0.0e0 END AS DOUBLE))
+            + 0.3e0 * CAST(CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                 THEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                          t -> list_contains([{all_stops}], t)))
+                      / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                 ELSE 0.0e0 END AS DOUBLE) AS DOUBLE) AS quality_score,
+         CASE WHEN length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) > 0 THEN 'zh'
+         {_LANG_CASES}
+         ELSE 'unknown' END AS lang_pred
+  FROM scored
+)
+SELECT doc_id, n_tokens, quality_score, lang_pred
+FROM profile
+WHERE n_tokens >= 20
+  AND lang_pred <> 'unknown'
+  AND doc_id NOT IN (SELECT id_b FROM losers)
+"""
+
+
+@_register("doc_clean_corpus", _clean_corpus_sql())
+def q_doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data cleaning pipeline end-to-end: quality profile →
+    length + language filters → near-duplicate removal (keep the lowest
+    doc_id of every ≥0.5-Jaccard pair). One composite, fully
+    oracle-checked — the 100 TB shape is identical, with the near-dup
+    stage swapped from exact Jaccard to minhash_lsh_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    qc = TS.quality_columns(t)
+    profile = docs.select(
+        "doc_id",
+        TS.token_count(t).alias("n_tokens"),
+        qc["quality_score"].alias("quality_score"),
+        TS.lang_id(t).alias("lang_pred"),
+    )
+    losers = (
+        TD.ngram_jaccard_pairs(docs, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        profile.where((F.col("n_tokens") >= 20) & (F.col("lang_pred") != "unknown"))
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality_score", "lang_pred")
+    )
