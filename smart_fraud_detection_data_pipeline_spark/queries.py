@@ -1592,3 +1592,91 @@ def q_doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(losers, "doc_id", "left_anti")
         .select("doc_id", "n_tokens", "quality_score", "lang_pred")
     )
+
+
+@_register("session_windows_streaming", None)  # oracle attached below
+def q_session_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under Structured Streaming: events arrive in two
+    time-ordered micro-batches, so sessions spanning the file boundary
+    must MERGE in the state store; the final complete-mode emission must
+    equal the batch gaps-and-islands answer. Demonstrates stateful
+    window merging — the hardest streaming-state semantics in the
+    catalog."""
+    import os
+    import tempfile
+
+    from smart_fraud_detection_data_pipeline_spark.functions.numeric import exact_sum_double
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # stage two time-ordered file groups so sessions straddle the trigger
+    src = tempfile.mkdtemp(prefix="session_stream_src_")
+    half = ev.count() // 2
+    cut = ev.orderBy("ts").limit(half).agg(F.max("ts")).collect()[0][0]
+    ev.where(F.col("ts") < F.lit(cut)).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= F.lit(cut)).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "15 minutes")
+    )
+    agg = stream.groupBy(F.session_window("ts", "5 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum_double("value").alias("total_value"),
+    )
+    out = agg.select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        "total_value",
+    )
+    tmp = tempfile.mkdtemp(prefix="session_stream_out_")
+    q = SK.start_foreach_batch(
+        out,
+        SK.reemit_parquet_sink(os.path.join(tmp, "out")),
+        os.path.join(tmp, "ckpt"),
+        output_mode="complete",
+        available_now=True,
+        query_name="session_windows_streaming",
+    )
+    q.awaitTermination(300)
+    emissions = spark.read.parquet(os.path.join(tmp, "out"))
+    # merging windows: only the LAST complete emission is the truth
+    # (keep-last per key would resurrect sessions that later merged away)
+    last = emissions.agg(F.max("batch_id")).collect()[0][0]
+    return emissions.where(F.col("batch_id") == last).drop("batch_id")
+
+
+_REGISTRY[-1] = QuerySpec(
+    "session_windows_streaming",
+    q_session_windows_streaming,
+    """
+WITH o AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s
+GROUP BY user_id, sess_id
+""",
+)
