@@ -91,3 +91,27 @@ def test_fingerprint_stability(spark):
     out = {r.doc_id: r.f for r in df.select("doc_id", TS.fingerprint(F.col("text")).alias("f")).collect()}
     assert out[1] == out[2]  # same text → same fingerprint
     assert len(out[3]) == 32  # <8 chars falls back to md5(text)
+
+
+def test_minhash_signatures_shape_and_determinism(spark):
+    df = _docs(spark)
+    s1 = TD.minhash_signatures(df, num_perm=6)
+    assert s1.columns == ["doc_id"] + [f"sig_{i}" for i in range(6)]
+    r1 = {tuple(r) for r in s1.collect()}
+    r2 = {tuple(r) for r in TD.minhash_signatures(df, num_perm=6).collect()}
+    assert r1 == r2  # md5-salted permutations are stateless
+    # identical docs (modulo whitespace) share identical signatures
+    rows = {r.doc_id: tuple(r)[1:] for r in s1.collect()}
+    assert rows[1] == rows[3]
+
+
+def test_shingle_index_counts(spark):
+    df = _docs(spark)
+    idx = TD.shingle_index(df)
+    from pyspark.sql import functions as F2
+
+    sizes = df.select(F2.size(TD.shingles(F2.col("text"))).alias("n")).collect()
+    assert idx.count() == sum(r.n for r in sizes)
+    # max_df cut removes shingles shared by all near-dup docs
+    cut = TD.shingle_index(df, max_df=1)
+    assert cut.count() < idx.count()
