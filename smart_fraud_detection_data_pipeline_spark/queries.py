@@ -1680,3 +1680,70 @@ FROM s
 GROUP BY user_id, sess_id
 """,
 )
+
+
+@_register(
+    "events_props_map",
+    """
+SELECT k AS prop_key,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(CAST(json_extract_string(props, '$.' || k) AS INTEGER)) AS INTEGER) AS min_v,
+       CAST(MAX(CAST(json_extract_string(props, '$.' || k) AS INTEGER)) AS INTEGER) AS max_v
+FROM events, unnest(json_keys(props)) AS t(k)
+GROUP BY k
+""",
+)
+def q_events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType coverage: parse the props JSON column into map<string,int>,
+    explode entries, aggregate per key — the dynamic-properties pattern
+    (the reference's data model has no map/array types at all)."""
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        F.explode(F.from_json("props", "map<string,int>")).alias("prop_key", "v")
+    )
+    return entries.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+@_register(
+    "customer_activity_set_ops",
+    """
+SELECT 'events_and_orders' AS segment, user_id FROM
+  (SELECT DISTINCT user_id FROM events
+   INTERSECT
+   SELECT DISTINCT o_custkey FROM orders)
+UNION ALL
+SELECT 'events_only', user_id FROM
+  (SELECT DISTINCT user_id FROM events
+   EXCEPT
+   SELECT DISTINCT o_custkey FROM orders)
+UNION ALL
+SELECT 'orders_only', o_custkey FROM
+  (SELECT DISTINCT o_custkey FROM orders
+   EXCEPT
+   SELECT DISTINCT user_id FROM events)
+""",
+)
+def q_customer_activity_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT — the reference has union-all
+    only, SURVEY §2.7): segment customers by which fact tables they
+    appear in. Each set op compiles to a hash aggregate + join."""
+    ev_users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    ord_users = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("user_id"))
+        .distinct()
+    )
+    both = ev_users.intersect(ord_users).select(
+        F.lit("events_and_orders").alias("segment"), "user_id"
+    )
+    ev_only = ev_users.exceptAll(ord_users).select(
+        F.lit("events_only").alias("segment"), "user_id"
+    )
+    ord_only = ord_users.exceptAll(ev_users).select(
+        F.lit("orders_only").alias("segment"), "user_id"
+    )
+    return both.unionByName(ev_only).unionByName(ord_only)
