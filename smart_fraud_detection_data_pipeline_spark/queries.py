@@ -1747,3 +1747,51 @@ def q_customer_activity_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("orders_only").alias("segment"), "user_id"
     )
     return both.unionByName(ev_only).unionByName(ord_only)
+
+
+@_register(
+    "data_quality_report",
+    """
+WITH t AS (SELECT COUNT(*) AS n,
+  SUM(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS v_value_non_negative,
+  SUM(CASE WHEN event_type IN ('click','error','purchase','signup','view') THEN 0 ELSE 1 END) AS v_event_type_in_domain,
+  SUM(CASE WHEN ts IS NOT NULL THEN 0 ELSE 1 END) AS v_ts_not_null,
+  SUM(CASE WHEN user_id >= 0 THEN 0 ELSE 1 END) AS v_user_id_non_negative,
+  SUM(CASE WHEN value <= 400 THEN 0 ELSE 1 END) AS v_value_within_soft_cap
+FROM events)
+SELECT 'value_non_negative' AS rule, n AS n_rows, CAST(v_value_non_negative AS BIGINT) AS n_violations,
+       CAST(CASE WHEN n > 0 THEN v_value_non_negative / CAST(n AS DOUBLE) ELSE 0.0e0 END AS DOUBLE) AS violation_rate FROM t
+UNION ALL
+SELECT 'event_type_in_domain', n, CAST(v_event_type_in_domain AS BIGINT),
+       CAST(CASE WHEN n > 0 THEN v_event_type_in_domain / CAST(n AS DOUBLE) ELSE 0.0e0 END AS DOUBLE) FROM t
+UNION ALL
+SELECT 'ts_not_null', n, CAST(v_ts_not_null AS BIGINT),
+       CAST(CASE WHEN n > 0 THEN v_ts_not_null / CAST(n AS DOUBLE) ELSE 0.0e0 END AS DOUBLE) FROM t
+UNION ALL
+SELECT 'user_id_non_negative', n, CAST(v_user_id_non_negative AS BIGINT),
+       CAST(CASE WHEN n > 0 THEN v_user_id_non_negative / CAST(n AS DOUBLE) ELSE 0.0e0 END AS DOUBLE) FROM t
+UNION ALL
+SELECT 'value_within_soft_cap', n, CAST(v_value_within_soft_cap AS BIGINT),
+       CAST(CASE WHEN n > 0 THEN v_value_within_soft_cap / CAST(n AS DOUBLE) ELSE 0.0e0 END AS DOUBLE) FROM t
+""",
+)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: five constraints over events,
+    evaluated in ONE aggregation pass (every rule a conditional count —
+    a 100-rule suite still costs one scan at 100 TB). The soft-cap rule
+    intentionally fires on real rows so the report is non-trivial."""
+    from smart_fraud_detection_data_pipeline_spark.operators.quality import constraint_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return constraint_report(
+        ev,
+        {
+            "value_non_negative": F.col("value") >= 0,
+            "event_type_in_domain": F.col("event_type").isin(
+                "click", "error", "purchase", "signup", "view"
+            ),
+            "ts_not_null": F.col("ts").isNotNull(),
+            "user_id_non_negative": F.col("user_id") >= 0,
+            "value_within_soft_cap": F.col("value") <= 400,
+        },
+    )
