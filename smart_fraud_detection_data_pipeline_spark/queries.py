@@ -880,7 +880,12 @@ def q_warehouse_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         "load_seq", F.lit(2)
     )
     for batch in (first, reemit):
-        batch.write.mode("append").partitionBy(*FRAUD_PARTITIONS).parquet(tmp)
+        # One shuffle keyed on the partition columns → one file per
+        # Hive partition dir instead of (tasks × dirs) small files; the
+        # read-back + dedup then scans far fewer footers.
+        batch.repartition(*FRAUD_PARTITIONS).write.mode("append").partitionBy(
+            *FRAUD_PARTITIONS
+        ).parquet(tmp)
     loaded = L.warehouse_load(
         spark,
         tmp,
