@@ -1,0 +1,83 @@
+"""Connected components: near-duplicate pairs → dedup clusters.
+
+Pairwise similarity (textdedup/similarity) gives EDGES; deduplication
+policy needs CLUSTERS — "keep one document per connected component of
+the similarity graph". This is the one genuinely iterative algorithm in
+the engine: min-label propagation over DataFrame joins, driven to a
+fixpoint by the driver loop (the standard Spark pattern for bounded
+iterative graph algorithms without GraphX).
+
+Convergence: each vertex's label is the min vertex id it has seen; a
+round propagates labels one hop, so rounds ≤ graph diameter (near-dup
+components are tiny — diameter 2-3; `max_iter` bounds pathological
+chains). Each round is one shuffle (join) + one aggregation; labels are
+localCheckpoint-ed each round — persist alone caches DATA but the plan
+tree still doubles per iteration until plan stringification itself
+OOMs (observed at diameter 9). Truncating lineage per round is the
+non-negotiable discipline of iterative DataFrame algorithms.
+
+The oracle (queries.py) expresses the same fixpoint as a recursive CTE
+(transitive closure + min over the reachable set) — iterative Spark vs
+recursive SQL, hash-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label every vertex with the min vertex id of its component.
+
+    ``vertices``: one column `id_col`. ``edges``: undirected pairs
+    (src, dst). Isolated vertices keep their own id as component.
+    Returns (id, component).
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()  # truncate lineage — see module docstring
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels

@@ -1800,3 +1800,40 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_within_soft_cap": F.col("value") <= 400,
         },
     )
+
+
+@_register(
+    "doc_dup_components",
+    f"""
+WITH RECURSIVE {_SQL_SHINGLE_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jacc WHERE jaccard >= 0.5
+),
+und AS (
+  SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+)
+SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+""",
+)
+def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components of the ≥0.5-Jaccard
+    similarity graph via iterative min-label propagation (the engine's
+    iterative-algorithm representative). The oracle computes the same
+    fixpoint as a recursive CTE — iterative DataFrame joins vs
+    recursive SQL, hash-identical. Dedup policy downstream: keep
+    doc_id == component."""
+    from smart_fraud_detection_data_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = TD.ngram_jaccard_pairs(docs, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    out = connected_components(
+        docs.select(F.col("doc_id").alias("id")), edges
+    )
+    return out.select(F.col("id").alias("doc_id"), "component")
