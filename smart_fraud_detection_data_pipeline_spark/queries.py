@@ -1837,3 +1837,124 @@ def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("id")), edges
     )
     return out.select(F.col("id").alias("doc_id"), "component")
+
+
+def _srp_oracle_sql(n_planes: int = 4, k: int = 10, dim: int = 64) -> str:
+    """Oracle twin of srp_ann_topk, generated from the SAME deterministic
+    hyperplanes (embedded as literals) — bucket assignment, hamming-1
+    multiprobe, candidate scoring and ranking all reproduced in SQL."""
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(dim, n_planes)
+
+    def lit(plane):
+        return "[" + ",".join(f"{v:.1f}" for v in plane) + "]::DOUBLE[]"
+
+    def bucket_expr(vcol):
+        terms = [
+            f"(CASE WHEN list_sum(list_transform(list_zip({vcol}, {lit(p)}), z -> z[1]*z[2])) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+        return " + ".join(terms)
+
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(n_planes)])
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+cb AS (SELECT vec_id, cv, {bucket_expr('cv')} AS bucket FROM c),
+qb AS (SELECT query_id, qv, {bucket_expr('qv')} AS bucket FROM q),
+probes AS (
+  SELECT query_id, qv, unnest([{probes}]) AS bucket FROM qb
+),
+scored AS (
+  SELECT p.query_id, cb.vec_id,
+         round(CASE WHEN sqrt(list_sum(list_transform(p.qv, x -> x*x))) > 0
+                     AND sqrt(list_sum(list_transform(cb.cv, x -> x*x))) > 0
+               THEN list_sum(list_transform(list_zip(p.qv, cb.cv), z -> z[1]*z[2]))
+                    / (sqrt(list_sum(list_transform(p.qv, x -> x*x)))
+                       * sqrt(list_sum(list_transform(cb.cv, x -> x*x))))
+               END, 6) AS cosine_sim
+  FROM cb JOIN probes p USING (bucket)
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_sim DESC NULLS LAST, vec_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+# Promote embed_srp_ann from rows-only to oracle-checked: the SQL twin
+# reproduces bucket routing exactly because both derive hyperplanes from
+# the same srp_planes() constants.
+for _i, _s in enumerate(_REGISTRY):
+    if _s.name == "embed_srp_ann":
+        _REGISTRY[_i] = QuerySpec("embed_srp_ann", _s.spark_fn, _srp_oracle_sql())
+        break
+
+
+def _simhash_sql_cte() -> str:
+    """Per-doc token-hash list + 60-bit SimHash in pure SQL: the hex→int
+    conversion Spark does with conv() becomes an integer fold over md5
+    hex digits (verified bit-identical), and each of the 60 vote/bit
+    terms is generated from the same SIMHASH_BITS constant."""
+    bit_terms = "\n       + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN h // {1 << b} % 2 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(TD.SIMHASH_BITS)
+    )
+    return f"""
+hashes AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(trim(text), '\\s+'),
+           t -> list_reduce(
+                  list_transform(generate_series(1, 15),
+                    i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
+                  (acc, d) -> acc * 16 + d)) AS hs
+  FROM documents
+),
+sims AS (
+  SELECT doc_id,
+       {bit_terms} AS simhash
+  FROM hashes
+)"""
+
+
+# Promote the SimHash queries from rows-only to oracle-checked.
+for _i, _s in enumerate(_REGISTRY):
+    if _s.name == "doc_simhash":
+        _REGISTRY[_i] = QuerySpec(
+            "doc_simhash",
+            _s.spark_fn,
+            f"WITH {_simhash_sql_cte()}\nSELECT doc_id, simhash FROM sims",
+        )
+    elif _s.name == "doc_simhash_pairs":
+        chunk_union = "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, simhash, {c} AS chunk, simhash // {1 << (c * 15)} % {1 << 15} AS key FROM sims"
+            for c in range(4)
+        )
+        _REGISTRY[_i] = QuerySpec(
+            "doc_simhash_pairs",
+            _s.spark_fn,
+            f"""
+WITH {_simhash_sql_cte()},
+chunked AS (
+{chunk_union}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM chunked a JOIN chunked b
+    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM candidates
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
+        )
