@@ -1958,3 +1958,67 @@ FROM candidates
 WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """,
         )
+
+
+def _ivf_oracle_sql(k: int = 10, n_clusters: int = 16, nprobe: int = 4) -> str:
+    """Oracle twin of the sampled-centroid IVF query: centroid selection
+    (every n/k-th vector by id), squared-L2 argmin assignment with
+    lowest-index tie-break, nprobe cell routing, candidate scoring and
+    ranking — all recomputed from the table in SQL."""
+    dist = (
+        "list_sum(list_transform({v}, x -> x*x))"
+        " + list_sum(list_transform(cents.cv, x -> x*x))"
+        " - 2 * list_sum(list_transform(list_zip({v}, cents.cv), z -> z[1]*z[2]))"
+    )
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx, v AS cv
+  FROM c
+  WHERE vec_id % greatest((SELECT count(*) FROM embeddings) // {n_clusters}, 1) = 0
+  ORDER BY vec_id LIMIT {n_clusters}
+),
+assign AS (
+  SELECT vec_id, v, cidx FROM (
+    SELECT c.vec_id, c.v, cents.cidx,
+           row_number() OVER (
+             PARTITION BY c.vec_id ORDER BY {dist.format(v='c.v')}, cents.cidx
+           ) AS rn
+    FROM c CROSS JOIN cents
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+qprobe AS (
+  SELECT query_id, qv, cidx FROM (
+    SELECT q.query_id, q.qv, cents.cidx,
+           row_number() OVER (
+             PARTITION BY q.query_id ORDER BY {dist.format(v='q.qv')}, cents.cidx
+           ) AS rn
+    FROM q CROSS JOIN cents
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(CASE WHEN sqrt(list_sum(list_transform(p.qv, x -> x*x))) > 0
+                     AND sqrt(list_sum(list_transform(a.v, x -> x*x))) > 0
+               THEN list_sum(list_transform(list_zip(p.qv, a.v), z -> z[1]*z[2]))
+                    / (sqrt(list_sum(list_transform(p.qv, x -> x*x)))
+                       * sqrt(list_sum(list_transform(a.v, x -> x*x))))
+               END, 6) AS cosine_sim
+  FROM qprobe p JOIN assign a ON a.cidx = p.cidx
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_sim DESC NULLS LAST, vec_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+for _i, _s in enumerate(_REGISTRY):
+    if _s.name == "embed_ivf_ann":
+        _REGISTRY[_i] = QuerySpec("embed_ivf_ann", _s.spark_fn, _ivf_oracle_sql())
+        break
