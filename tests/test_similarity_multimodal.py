@@ -83,3 +83,24 @@ def test_ivf_ann_recall_vs_bruteforce(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.3  # 25% of corpus scored
     for q in es:
         assert q in aps.get(q, set())  # self always in its own probed cell
+
+
+def test_cosine_handles_zero_vector(spark):
+    """A zero-norm vector must yield null similarity (not NaN/div-by-zero)
+    and sort to the end of the ranking."""
+    from pyspark.sql import Row
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 0.0]),  # zero vector
+            Row(vec_id=2, embedding=[0.5, 0.5]),
+        ]
+    )
+    queries = corpus.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.cosine_topk(corpus, queries, k=3).collect()
+    by_rank = {r.rank: (r.vec_id, r.cosine_sim) for r in out}
+    assert by_rank[1] == (0, 1.0)
+    assert by_rank[3][0] == 1 and by_rank[3][1] is None  # zero vec last, null sim
