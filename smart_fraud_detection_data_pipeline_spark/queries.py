@@ -2022,3 +2022,31 @@ for _i, _s in enumerate(_REGISTRY):
     if _s.name == "embed_ivf_ann":
         _REGISTRY[_i] = QuerySpec("embed_ivf_ann", _s.spark_fn, _ivf_oracle_sql())
         break
+
+
+# Promote the Arrow-UDF byte-feature query: the documents corpus is pure
+# ASCII (verified), so utf-8 byte statistics equal codepoint statistics,
+# which the oracle can compute — putting the mapInPandas path itself
+# under the hash gate. (On non-ASCII corpora this oracle would not hold;
+# the UDF is the general implementation.)
+for _i, _s in enumerate(_REGISTRY):
+    if _s.name == "multimodal_byte_features":
+        _REGISTRY[_i] = QuerySpec(
+            "multimodal_byte_features",
+            _s.spark_fn,
+            """
+WITH chars AS (
+  SELECT doc_id, text,
+         list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)) AS cs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(cs, c -> unicode(c))) AS DOUBLE)
+         / len(cs) AS byte_mean,
+       CAST(len(list_distinct(cs)) AS DOUBLE) / 256.0e0 AS byte_entropy_proxy,
+       'txt' AS format
+FROM chars
+""",
+        )
+        break
