@@ -52,15 +52,19 @@ def merge_upsert(
     cols = target.columns
     non_keys = [c for c in cols if c not in keys]
     t = target.alias("t")
-    s = source.select(*cols).alias("s")
+    # The join condition is eqNullSafe, which deliberately admits NULL
+    # keys; "source row present" therefore can't be inferred from key
+    # nullness. A literal marker column is null exactly when the outer
+    # join produced no source row.
+    s = source.select(*cols).withColumn("__src", F.lit(1)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     joined = t.join(s, on=cond, how="full_outer")
+    matched = F.col("s.__src").isNotNull()
     out_cols = [
-        F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys
+        F.when(matched, F.col(f"s.{k}")).otherwise(F.col(f"t.{k}")).alias(k)
+        for k in keys
     ] + [
-        F.when(F.col(f"s.{keys[0]}").isNotNull(), F.col(f"s.{c}"))
-        .otherwise(F.col(f"t.{c}"))
-        .alias(c)
+        F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
         for c in non_keys
     ]
     return joined.select(*out_cols)

@@ -298,22 +298,30 @@ WITH t AS (
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
          COUNT(*) AS num_orders
   FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01' GROUP BY o_custkey
+  UNION ALL
+  SELECT CAST(NULL AS BIGINT), 1.0e0, CAST(1 AS BIGINT)
 ), s AS (
   SELECT o_custkey,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
-         COUNT(*) AS num_orders
+         COUNT(*) AS num_orders, 1 AS __src
   FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01' GROUP BY o_custkey
+  UNION ALL
+  SELECT CAST(NULL AS BIGINT), 99.0e0, CAST(9 AS BIGINT), 1
 )
-SELECT COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
-       CASE WHEN s.o_custkey IS NOT NULL THEN s.total_price ELSE t.total_price END AS total_price,
-       CASE WHEN s.o_custkey IS NOT NULL THEN s.num_orders ELSE t.num_orders END AS num_orders
-FROM t FULL OUTER JOIN s ON t.o_custkey = s.o_custkey
+SELECT CASE WHEN s.__src IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+       CASE WHEN s.__src IS NOT NULL THEN s.total_price ELSE t.total_price END AS total_price,
+       CASE WHEN s.__src IS NOT NULL THEN s.num_orders ELSE t.num_orders END AS num_orders
+FROM t FULL OUTER JOIN s ON t.o_custkey IS NOT DISTINCT FROM s.o_custkey
 """,
 )
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/J3: keyed upsert — new-period per-customer totals overwrite the
     old snapshot, unmatched old rows survive (MERGE semantics as a pure
-    DataFrame transform; see operators.merge for the scale notes)."""
+    DataFrame transform; see operators.merge for the scale notes).
+
+    A synthetic NULL-key row is injected into both sides so the oracle
+    exercises the eqNullSafe match path: the source's NULL-key values
+    must win (VERDICT r1 "What's wrong" #1)."""
     orders = load_table(spark, sf_dir, "orders")
     cutoff = F.lit("1999-01-01").cast("timestamp_ntz")
 
@@ -323,8 +331,14 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("num_orders"),
         )
 
-    target = totals(orders.where(F.col("o_orderdate") < cutoff))
-    source = totals(orders.where(F.col("o_orderdate") >= cutoff))
+    def with_null_key(df, price: float, n: int):
+        null_row = spark.createDataFrame(
+            [(None, price, n)], "o_custkey bigint, total_price double, num_orders bigint"
+        )
+        return df.unionByName(null_row)
+
+    target = with_null_key(totals(orders.where(F.col("o_orderdate") < cutoff)), 1.0, 1)
+    source = with_null_key(totals(orders.where(F.col("o_orderdate") >= cutoff)), 99.0, 9)
     return merge_upsert(target, source, ["o_custkey"])
 
 
