@@ -25,6 +25,28 @@ from pyspark.sql import functions as F
 
 from smart_fraud_detection_data_pipeline_spark import TABLES
 
+#: CSV timestamp formats (shared with streaming.sinks.csv_ingest_sink).
+#: Write pins 6-digit fractions so microseconds survive the text hop
+#: (Spark's default CSV format truncates to millis); read makes the
+#: fraction optional so hand-written or reference-produced CSVs without
+#: sub-seconds still parse.
+CSV_TS_WRITE_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+CSV_TS_READ_FORMAT = "yyyy-MM-dd HH:mm:ss[.SSSSSS]"
+
+
+def _csv_options(header: bool) -> dict[str, str]:
+    return {
+        "header": "true" if header else "false",
+        # By-POSITION schema application, ignoring header names — the
+        # reference semantic: its producer emits `transaction_time` but
+        # the hand-written StructType names the field `timestamp`
+        # (transaction_producer.py:21 vs spark.py:74) and Spark maps by
+        # position when an explicit schema is given.
+        "enforceSchema": "true",
+        "timestampFormat": CSV_TS_READ_FORMAT,
+        "timestampNTZFormat": CSV_TS_READ_FORMAT,
+    }
+
 
 @lru_cache(maxsize=None)
 def _nano_ts_columns(path: str) -> tuple[str, ...]:
@@ -64,6 +86,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the DuckDB oracle is naive — keeping Spark's tz-aware TimestampType
     # would make the same wall-clock instant a different Arrow type.
     # Under the UTC session tz this cast is wall-clock-preserving.
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
+    return df
+
+
+def load_csv_table(spark: SparkSession, path: str, schema, *, header: bool = True) -> DataFrame:
+    """S6 as the reference writes it: batch CSV scan with an explicit
+    hand-written schema applied by position (spark.py:109-120).
+
+    Timestamp columns are cast to TIMESTAMP_NTZ after the read so CSV-
+    and parquet-backed pipelines produce identical types end-to-end.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.read.format("csv").schema(schema)
+    for k, v in _csv_options(header).items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
+    return df
+
+
+def stream_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    header: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S5: streaming CSV scan with explicit schema (spark.py:102-106).
+
+    Reads the year=/month=/day= layout `csv_ingest_sink` produces when
+    `schema` includes the partition columns; point it at a leaf
+    directory otherwise. Timestamps are cast to NTZ as in the batch
+    path.
+    """
+    reader = spark.readStream.format("csv").schema(schema)
+    for k, v in _csv_options(header).items():
+        reader = reader.option(k, v)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.load(path)
     for f in df.schema.fields:
         if f.dataType.typeName() == "timestamp":
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))

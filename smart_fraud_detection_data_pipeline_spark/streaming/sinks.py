@@ -123,9 +123,18 @@ def csv_ingest_sink(
         .withColumn("month", F.month(F.current_date()))
         .withColumn("day", F.dayofmonth(F.current_date()))
     )
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import (
+        CSV_TS_WRITE_FORMAT,
+    )
+
     writer = (
         dated.writeStream.format("csv")
         .option("header", "true")
+        # 6-digit fractions: Spark's default CSV timestamp format drops
+        # microseconds, which would break round-trips through the S5
+        # streaming CSV scan (sources.tables.stream_csv_table).
+        .option("timestampFormat", CSV_TS_WRITE_FORMAT)
+        .option("timestampNTZFormat", CSV_TS_WRITE_FORMAT)
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .partitionBy("year", "month", "day")
