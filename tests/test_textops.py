@@ -36,6 +36,33 @@ def test_ngram_jaccard_pairs(spark):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_max_df_bounds_fanout(spark):
+    """The max_df cut must bound per-shingle pair fan-out at C(max_df, 2):
+    a stopword shingle shared by every doc generates ZERO pairs instead of
+    C(n_docs, 2) (the 100 TB scale-killer, VERDICT r1 #2)."""
+    n_docs, max_df = 40, 5
+    # every doc contains the same stopword trigram; each doc also has a
+    # unique tail so docs are otherwise dissimilar
+    rows = [
+        Row(doc_id=i, text=f"the quick fox u{i}a u{i}b u{i}c") for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(rows)
+
+    # uncapped: the hot shingle alone links every doc pair
+    uncapped = TD.ngram_jaccard_pairs(df, threshold=0.0)
+    assert uncapped.count() == n_docs * (n_docs - 1) // 2
+
+    # capped: hot shingles (df > max_df) leave the index entirely, so no
+    # pair is generated through them — fan-out collapses to zero here
+    capped = TD.ngram_jaccard_pairs(df, threshold=0.0, max_df=max_df)
+    assert capped.count() == 0
+
+    # the index itself is bounded: no surviving shingle has df > max_df
+    idx = TD.shingle_index(df, max_df=max_df)
+    assert idx.groupBy("shingle").count().agg(F.max("count")).first()[0] is None or \
+        idx.groupBy("shingle").count().agg(F.max("count")).first()[0] <= max_df
+
+
 def test_minhash_pairs_subset_of_exact(spark, sf_dir):
     from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
 
