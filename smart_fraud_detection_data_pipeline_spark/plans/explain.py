@@ -57,6 +57,13 @@ def pushed_filters(df: DataFrame) -> str:
     return "; ".join(m)
 
 
+def partition_filters(df: DataFrame) -> str:
+    """The PartitionFilters clause(s) of the scan nodes ('' if none) —
+    non-empty means the scan prunes Hive partitions before listing files."""
+    m = re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df))
+    return "; ".join(m)
+
+
 def read_schema(df: DataFrame) -> str:
     """The ReadSchema clause(s) of the scan nodes."""
     m = re.findall(r"ReadSchema: ([^\n]*)", formatted_plan(df))

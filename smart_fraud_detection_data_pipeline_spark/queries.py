@@ -33,7 +33,10 @@ from smart_fraud_detection_data_pipeline_spark.functions.numeric import exact_su
 from smart_fraud_detection_data_pipeline_spark.operators import enrich as E
 from smart_fraud_detection_data_pipeline_spark.operators import trends as T
 from smart_fraud_detection_data_pipeline_spark.operators.dedup import dedup_keep_last, union_slices
-from smart_fraud_detection_data_pipeline_spark.operators.merge import merge_upsert
+from smart_fraud_detection_data_pipeline_spark.operators.merge import (
+    merge_upsert,
+    merge_upsert_partitioned,
+)
 from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
 
 
@@ -956,6 +959,79 @@ def q_warehouse_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY[-1] = QuerySpec(
     "warehouse_load", q_warehouse_load, _spec("fraud_enrich").oracle
 )
+
+
+@_register(
+    "warehouse_load_incremental",
+    """
+WITH t AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month, o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+         COUNT(*) AS num_orders
+  FROM orders GROUP BY 1, 2
+), s AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month, o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+         COUNT(*) AS num_orders, 1 AS __src
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-06-01' AND o_orderkey % 3 = 0
+  GROUP BY 1, 2
+),
+untouched AS (
+  SELECT * FROM t WHERE order_month NOT IN (SELECT DISTINCT order_month FROM s)
+),
+touched AS (
+  SELECT * FROM t WHERE order_month IN (SELECT DISTINCT order_month FROM s)
+),
+merged AS (
+  SELECT CASE WHEN s.__src IS NOT NULL THEN s.order_month ELSE t.order_month END AS order_month,
+         CASE WHEN s.__src IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+         CASE WHEN s.__src IS NOT NULL THEN s.total_price ELSE t.total_price END AS total_price,
+         CASE WHEN s.__src IS NOT NULL THEN s.num_orders ELSE t.num_orders END AS num_orders
+  FROM touched t FULL OUTER JOIN s
+    ON t.order_month IS NOT DISTINCT FROM s.order_month
+   AND t.o_custkey IS NOT DISTINCT FROM s.o_custkey
+)
+SELECT * FROM untouched UNION ALL SELECT * FROM merged
+""",
+)
+def q_warehouse_load_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped incremental MERGE (VERDICT r1 next #5): a monthly
+    per-customer snapshot is upserted with a restatement of only the
+    last months (every third order), via merge_upsert_partitioned — the
+    full-outer merge join touches ONLY the restated partitions; all
+    earlier months pass through without entering the join. On a
+    partitioned parquet/lakehouse target the `isin` partition filter
+    becomes real partition pruning, so merge cost scales with the
+    source, not the target (pruning pinned in tests/test_plans.py).
+
+    Matched (order_month, o_custkey) rows must take the restated
+    (smaller) totals; target rows in touched months whose customers
+    have no %3 orders must survive unchanged.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).alias("order_month")
+
+    def totals(df):
+        return (
+            df.select(month, "o_custkey", "o_totalprice")
+            .groupBy("order_month", "o_custkey")
+            .agg(
+                exact_sum_double("o_totalprice").alias("total_price"),
+                F.count(F.lit(1)).alias("num_orders"),
+            )
+        )
+
+    target = totals(orders)
+    source = totals(
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp_ntz"))
+            & (F.col("o_orderkey") % 3 == 0)
+        )
+    )
+    return merge_upsert_partitioned(
+        target, source, ["order_month", "o_custkey"], "order_month"
+    )
 
 
 @_register(

@@ -73,6 +73,47 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     assert c["hash_aggregate"] >= 2
 
 
+def test_incremental_merge_prunes_partitions(spark, sf_dir, tmp_path):
+    """merge_upsert_partitioned against a Hive-partitioned parquet target
+    must push its partition-scope filters into the scan as
+    PartitionFilters — both branches (touched IN, untouched NOT IN) prune
+    BEFORE file listing, so merge cost scales with the source months,
+    not the target's history."""
+    from pyspark.sql import functions as F
+
+    from smart_fraud_detection_data_pipeline_spark.operators.merge import (
+        merge_upsert_partitioned,
+    )
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .groupBy("order_month", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("num_orders"))
+    )
+    path = str(tmp_path / "snapshot")
+    monthly.write.partitionBy("order_month").parquet(path)
+    target = spark.read.parquet(path)
+
+    source = monthly.where(F.col("order_month") == "2001-07").withColumn(
+        "num_orders", F.col("num_orders") + 1
+    )
+    merged = merge_upsert_partitioned(
+        target, source, ["order_month", "o_custkey"], "order_month"
+    )
+    pf = X.partition_filters(merged)
+    assert "order_month" in pf  # both target scans prune on the partition col
+    assert "2001-07" in pf
+    # and the result is the full snapshot with exactly that month restated
+    assert merged.count() == monthly.count()
+    restated = merged.join(
+        monthly.withColumnRenamed("num_orders", "old_n"),
+        ["order_month", "o_custkey"],
+    ).where(F.col("num_orders") != F.col("old_n"))
+    assert restated.select("order_month").distinct().collect()[0][0] == "2001-07"
+
+
 def test_text_profile_is_map_only(spark, sf_dir):
     """The whole text-analysis profile must be a narrow projection —
     zero shuffles at any scale."""
