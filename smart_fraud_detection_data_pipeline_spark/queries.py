@@ -1665,8 +1665,15 @@ def q_fraud_ml_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("embed_ivf_kmeans_ann", None)  # learned centroids → rows-only
 def q_embed_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with LEARNED (seeded KMeans) coarse centroids instead
-    of sampled ones — cells adapt to the data distribution; recall vs
-    the exact baseline asserted in tests."""
+    of sampled ones — cells adapt to the data distribution; recall@10
+    >= 0.9 vs the exact baseline pinned in tests/test_ml.py.
+
+    nprobe=10/16 is deliberately high: the synthetic embeddings are
+    uniform random (no cluster structure), the adversarial case for any
+    cell-routing ANN, so hitting the recall target costs a ~60% scan
+    fraction here. On real clustered embedding corpora the same recall
+    arrives at far lower nprobe — the knob, not the algorithm, is what
+    the testdata stresses."""
     from smart_fraud_detection_data_pipeline_spark.operators import ml as ML
     from smart_fraud_detection_data_pipeline_spark.operators.similarity import ivf_ann_topk
 
@@ -1676,7 +1683,7 @@ def q_embed_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_ann_topk(
-        emb, queries, k=10, n_clusters=16, nprobe=4, centroids=cents
+        emb, queries, k=10, n_clusters=16, nprobe=10, centroids=cents
     )
 
 

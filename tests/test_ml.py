@@ -67,7 +67,11 @@ def test_ivf_kmeans_recall(spark, sf_dir):
     for r in approx:
         aps.setdefault(r.query_id, set()).add(r.vec_id)
     recalls = [len(es[q] & aps.get(q, set())) / len(es[q]) for q in es]
-    assert sum(recalls) / len(recalls) >= 0.3
+    # The learned quantizer's QUALITY gate (VERDICT r1 next #8): at the
+    # catalog operating point (k=16 cells, nprobe=10) recall@10 vs the
+    # exact brute-force baseline must clear 0.9 even on uniform-random
+    # embeddings (the ANN-adversarial case — no cluster structure).
+    assert sum(recalls) / len(recalls) >= 0.9
     for q in es:
         assert q in aps.get(q, set())
 
