@@ -79,5 +79,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Loop exhausted with changed > 0: a component with diameter >
+        # max_iter has NOT reached its fixpoint and the labels are
+        # partial. Silent divergence is worse than noise (ADVICE r1).
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} "
+            "iterations; labels for components with diameter > "
+            f"{max_iter} are partial. Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     und.unpersist()
     return labels

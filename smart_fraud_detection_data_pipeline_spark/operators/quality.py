@@ -57,21 +57,39 @@ def compact_parquet(
     """Rewrite a parquet directory into size-targeted files; returns the
     new file count. Sizing: total bytes / target (floor min_files) —
     at scale run per partition directory so rewrites stay bounded and
-    parallel. Writes to a temp sibling then swaps, so a crash never
-    leaves the directory half-compacted.
+    parallel.
+
+    Swap discipline: data is never half-compacted (the rewrite goes to a
+    temp sibling), but POSIX cannot atomically swap directories, so
+    between the two renames there is a window where ``path`` does not
+    exist; a crash there strands the data in ``<path>__old``. Entry
+    therefore RECOVERS from a leftover ``__old`` first (rename it back
+    if ``path`` is missing, drop it if a prior swap completed), so a
+    re-run after any crash converges. Concurrent readers during the
+    window still fail — on a lakehouse table format the commit would be
+    a metadata swap instead.
     """
     import glob
     import os
     import shutil
+
+    path = path.rstrip("/")
+    old = path + "__old"
+    tmp = path + "__compacting"
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)  # crashed mid-swap: restore
+        else:
+            shutil.rmtree(old)  # swap completed, cleanup died
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # crashed mid-rewrite: discard partial output
 
     total_bytes = sum(
         os.path.getsize(f) for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )
     n_files = max(min_files, round(total_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -2217,8 +2217,10 @@ WITH chars AS (
 )
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(list_sum(list_transform(cs, c -> unicode(c))) AS DOUBLE)
-         / len(cs) AS byte_mean,
+       CASE WHEN length(text) > 0
+            THEN CAST(list_sum(list_transform(cs, c -> unicode(c))) AS DOUBLE)
+                   / len(cs)
+            ELSE 0.0e0 END AS byte_mean,
        CAST(len(list_distinct(cs)) AS DOUBLE) / 256.0e0 AS byte_entropy_proxy,
        'txt' AS format
 FROM chars

@@ -31,3 +31,22 @@ def test_direction_irrelevant(spark):
     a = _cc(spark, 4, [(0, 3), (3, 1)])
     b = _cc(spark, 4, [(3, 0), (1, 3)])
     assert a == b == {0: 0, 1: 0, 3: 0, 2: 2}
+
+
+def test_nonconvergence_warns(spark):
+    """Component diameter > max_iter must WARN, not silently return
+    partial labels (ADVICE r1)."""
+    import warnings
+
+    import pytest
+
+    n = 8
+    vertices = spark.createDataFrame([Row(id=i) for i in range(n)])
+    edges = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(vertices, edges, max_iter=2).collect()
+    # and a converged run stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = connected_components(vertices, edges, max_iter=n + 1).collect()
+    assert {r.component for r in out} == {0}

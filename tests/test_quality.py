@@ -62,3 +62,22 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"k", "v", "extra"}
     rows = {r.k: r.extra for r in merged.collect()}
     assert rows == {1: None, 2: "new"}
+
+
+def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves data stranded in
+    <path>__old with <path> missing; the next run must restore and
+    complete (ADVICE r1: recover from a leftover __old on entry)."""
+    path = str(tmp_path / "data")
+    spark.range(100).repartition(4).write.parquet(path)
+    os.rename(path, path + "__old")  # simulate mid-swap crash
+    assert not os.path.exists(path)
+    compact_parquet(spark, path, target_file_mb=1024, min_files=1)
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + "__old")
+
+    # and a leftover __old AFTER a completed swap is just cleaned up
+    spark.range(7).write.parquet(path + "__old")
+    compact_parquet(spark, path, target_file_mb=1024, min_files=1)
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + "__old")

@@ -104,3 +104,28 @@ def test_cosine_handles_zero_vector(spark):
     by_rank = {r.rank: (r.vec_id, r.cosine_sim) for r in out}
     assert by_rank[1] == (0, 1.0)
     assert by_rank[3][0] == 1 and by_rank[3][1] is None  # zero vec last, null sim
+
+
+def test_documents_corpus_is_ascii(spark, sf_dir):
+    """PRECONDITION of the promoted multimodal_byte_features oracle: byte
+    statistics equal codepoint statistics only for pure-ASCII text. If
+    the corpus ever grows non-ASCII documents this test (not a silent
+    hash mismatch) is what should fail (ADVICE r1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    non_ascii = docs.where(F.octet_length("text") != F.length("text")).count()
+    assert non_ascii == 0
+
+
+def test_byte_features_empty_payload_conventions(spark):
+    """Empty payloads: byte_mean and the entropy proxy are defined as
+    0.0 (not NULL) — the convention the oracle's CASE guard mirrors."""
+    df = spark.createDataFrame([(1, ""), (2, "ab")], "doc_id long, text string")
+    rows = {
+        r.doc_id: r
+        for r in MM.extract_byte_features(MM.attach_binary_payload(df)).collect()
+    }
+    assert rows[1].n_bytes == 0
+    assert rows[1].byte_mean == 0.0
+    assert rows[1].byte_entropy_proxy == 0.0
+    assert rows[2].n_bytes == 2
+    assert rows[2].byte_mean == (97 + 98) / 2
