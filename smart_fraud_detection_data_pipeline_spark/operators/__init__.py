@@ -7,6 +7,7 @@ with its own scale notes.
 from smart_fraud_detection_data_pipeline_spark.operators import (  # noqa: F401
     asof,
     bucketing,
+    datasets,
     dedup,
     enrich,
     graph,

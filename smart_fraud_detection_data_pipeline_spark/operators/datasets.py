@@ -1,0 +1,92 @@
+"""Training-dataset assembly operators: deterministic splits + packing.
+
+The last mile of an LLM data pipeline, after cleaning/dedup: assign
+every document to train/val/test REPRODUCIBLY (no RNG — re-running the
+pipeline on a grown corpus must keep every old document in its old
+split), and pack variable-length documents into fixed token-budget
+sequences for the trainer.
+
+Both are pure Catalyst expressions:
+
+- `split_assign`: bucket = first 8 hex digits of md5(id || salt) mod
+  100 — a map-only projection, no shuffle, stable under corpus growth
+  and engine-portable (md5 is the one hash DuckDB and Spark share, so
+  the assignment is oracle-checkable bit-for-bit).
+- `pack_sequences`: shard by id mod n_shards, order within the shard,
+  and cut bins where the running token count crosses the budget:
+  bin_id = floor(cumulative_tokens_before / budget). One window scan
+  per shard — shards are independent, so packing parallelizes across
+  the cluster and no global sort exists anywhere. A document straddling
+  a boundary joins the earlier bin (standard streaming-fill packing;
+  bins may overflow by at most one document, never underfill), and a
+  document longer than the budget gets a bin of its own.
+
+At 100 TB: both are embarrassingly parallel. Packing's only shuffle is
+the hash partition on `shard`; n_shards controls parallelism and bin
+locality (a trainer reading shard s gets its bins contiguously).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TRAIN_PCT = 80
+VAL_PCT = 10  # test = the remainder
+
+
+def split_bucket(id_col: Column, *, salt: str = "") -> Column:
+    """Deterministic 0-99 bucket from md5 of the id (+ optional salt)."""
+    digest = F.md5(F.concat(id_col.cast("string"), F.lit(salt)))
+    return F.pmod(
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint"), F.lit(100)
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+    train_pct: int = TRAIN_PCT,
+    val_pct: int = VAL_PCT,
+) -> DataFrame:
+    """Attach (bucket, split) columns: train/val/test by hash bucket."""
+    bucket = split_bucket(F.col(id_col), salt=salt)
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign each document a (shard, bin_id, seq_pos) packing slot.
+
+    Within a shard documents are taken in id order and poured into
+    bins of `budget` tokens (streaming fill — see module docstring for
+    the boundary rule). Output keeps the input columns and adds
+    shard / bin_id / seq_pos.
+    """
+    shard = F.pmod(F.col(id_col), F.lit(n_shards))
+    out = df.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum_before = F.coalesce(
+        F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    out = out.withColumn(
+        "bin_id", F.floor(cum_before / F.lit(budget)).cast("bigint")
+    )
+    pos_w = Window.partitionBy("shard", "bin_id").orderBy(id_col)
+    return out.withColumn(
+        "seq_pos", F.row_number().over(pos_w).cast("bigint")
+    )

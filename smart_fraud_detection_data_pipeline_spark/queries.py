@@ -506,6 +506,7 @@ from smart_fraud_detection_data_pipeline_spark.operators import textdedup as TD 
 from smart_fraud_detection_data_pipeline_spark.operators import textstats as TS  # noqa: E402
 from smart_fraud_detection_data_pipeline_spark.operators import similarity as SIM  # noqa: E402
 from smart_fraud_detection_data_pipeline_spark.operators import multimodal as MM  # noqa: E402
+from smart_fraud_detection_data_pipeline_spark.operators import datasets as DS  # noqa: E402
 
 # The documents table has no exact duplicates, so the exact-dedup query
 # re-emits every 5th document under a shifted id — modeling a re-crawled
@@ -767,6 +768,75 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         TS.lang_id(t).alias("lang_pred"),
         TS.fingerprint(t).alias("fingerprint"),
     )
+
+
+@_register(
+    "doc_split_assign",
+    """
+SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(1, 8),
+              i -> (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                   * power(16.0e0, 8 - i))) AS BIGINT) % 100 AS bucket,
+       CASE WHEN CAST(list_sum(list_transform(generate_series(1, 8),
+                     i -> (strpos('0123456789abcdef',
+                                  substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                          * power(16.0e0, 8 - i))) AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST(list_sum(list_transform(generate_series(1, 8),
+                     i -> (strpos('0123456789abcdef',
+                                  substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                          * power(16.0e0, 8 - i))) AS BIGINT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: hash-bucket split (no
+    RNG) so a re-run on a grown corpus never moves an old document
+    between splits. Map-only — zero shuffles at any scale. The oracle
+    folds the same md5 prefix digit-by-digit (the hex fold replaces
+    Spark's conv(), which DuckDB lacks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DS.split_assign(docs).select("doc_id", "bucket", "split")
+
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+
+
+@_register(
+    "doc_pack_sequences",
+    f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(cum_before / {_PACK_BUDGET}.0e0) AS BIGINT) AS bin_id,
+       CAST(row_number() OVER (
+              PARTITION BY shard, CAST(floor(cum_before / {_PACK_BUDGET}.0e0) AS BIGINT)
+              ORDER BY doc_id) AS BIGINT) AS seq_pos
+FROM c
+""",
+)
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for the trainer: documents poured shard-by-shard
+    into {budget}-token bins (streaming fill; a straddling document
+    joins the earlier bin). The only shuffle is the hash partition on
+    `shard` — packing parallelizes across shards, no global sort
+    anywhere, so the plan survives any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", TS.token_count(F.col("text")).cast("bigint")
+    )
+    return DS.pack_sequences(
+        docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    ).select("doc_id", "shard", "n_tokens", "bin_id", "seq_pos")
 
 
 # ---------------------------------------------------------------------------

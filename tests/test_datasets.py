@@ -1,0 +1,93 @@
+"""Training-dataset assembly: deterministic splits + sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smart_fraud_detection_data_pipeline_spark.operators import datasets as DS
+from smart_fraud_detection_data_pipeline_spark.plans import explain as X
+from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+
+def test_split_assign_stable_under_corpus_growth(spark):
+    """The whole point of hash splits: growing the corpus must never
+    move an existing document between splits."""
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s_small = {r.doc_id: r.split for r in DS.split_assign(small).collect()}
+    s_big = {r.doc_id: r.split for r in DS.split_assign(big).collect()}
+    assert all(s_big[d] == s for d, s in s_small.items())
+
+
+def test_split_assign_proportions_and_salt(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    counts = {
+        r.split: r["count"]
+        for r in DS.split_assign(df).groupBy("split").count().collect()
+    }
+    n = sum(counts.values())
+    assert n == 2000
+    assert abs(counts["train"] / n - 0.8) < 0.05
+    assert abs(counts["val"] / n - 0.1) < 0.03
+    assert abs(counts["test"] / n - 0.1) < 0.03
+    # a different salt reshuffles assignments
+    resalted = {r.doc_id: r.split for r in DS.split_assign(df, salt="v2").collect()}
+    base = {r.doc_id: r.split for r in DS.split_assign(df).collect()}
+    assert any(resalted[d] != base[d] for d in base)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    budget = 512
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens")
+    )
+    packed = DS.pack_sequences(docs, budget=budget, n_shards=4).collect()
+
+    bins: dict[tuple, list] = {}
+    for r in packed:
+        bins.setdefault((r.shard, r.bin_id), []).append(r)
+    for (shard, bin_id), rows in bins.items():
+        rows.sort(key=lambda r: r.seq_pos)
+        # seq_pos contiguous from 1
+        assert [r.seq_pos for r in rows] == list(range(1, len(rows) + 1))
+        # streaming fill: bin k closes exactly when the shard's running
+        # total crosses budget*(k+1), so cumulatively bins 0..k hold at
+        # least that many tokens (a straddler's overflow eats into the
+        # NEXT bin's budget, never creates a gap) — and dropping bin k's
+        # last document dips back under the boundary (nothing skipped).
+        cum_through = sum(
+            r.n_tokens
+            for (s, b), rs in bins.items()
+            if s == shard and b <= bin_id
+            for r in rs
+        )
+        last_bin = max(b for s, b in bins if s == shard)
+        if bin_id != last_bin:
+            assert cum_through >= budget * (bin_id + 1)
+        assert cum_through - rows[-1].n_tokens < budget * (bin_id + 1)
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    rows = [(0, 10), (1, 5000), (2, 10), (3, 20)]  # doc 1 >> budget
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    packed = {
+        r.doc_id: (r.bin_id, r.seq_pos)
+        for r in DS.pack_sequences(df, budget=100, n_shards=1).collect()
+    }
+    assert packed[0] == (0, 1)
+    assert packed[1] == (0, 2)  # joins the bin it straddles...
+    assert packed[2][0] == 50  # ...and everything after starts far beyond
+    assert packed[3][0] == 50
+
+
+def test_split_is_map_only_and_packing_single_shuffle(spark, sf_dir):
+    from smart_fraud_detection_data_pipeline_spark.queries import registry
+
+    Q = {s.name: s.spark_fn for s in registry()}
+    split = X.plan_counts(Q["doc_split_assign"](spark, sf_dir))
+    assert split["exchange"] == 0  # pure projection at any scale
+
+    pack = X.plan_counts(Q["doc_pack_sequences"](spark, sf_dir))
+    # one hash partition on shard; the (shard, bin_id) window reuses it
+    assert pack["exchange"] == 1
+    assert pack["sort_merge_join"] == 0
