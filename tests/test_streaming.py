@@ -282,3 +282,47 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == 600  # no duplicates from re-processing
     assert result.select("transaction_id").distinct().count() == result.count()
+
+
+def test_drop_duplicates_within_watermark_across_batches(spark, tmp_path):
+    """At-least-once replay: rows re-delivered in a LATER micro-batch
+    must be emitted exactly once. Covers both absorption paths — keyed
+    state (replay within the watermark horizon) and late-drop (replay
+    behind it)."""
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+
+    d = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00") for i in range(50)
+    ]  # 50 min of event time — well past the 15-min watermark
+    ev = spark.createDataFrame(rows, "event_id bigint, ts_str string").select(
+        "event_id", F.col("ts_str").cast("timestamp_ntz").alias("ts")
+    )
+    ev.coalesce(1).write.mode("append").parquet(d)
+    # replay: the freshest rows (within watermark) AND the oldest (behind it)
+    ev.where((F.col("event_id") >= 45) | (F.col("event_id") < 5)).coalesce(
+        1
+    ).write.mode("append").parquet(d)
+
+    deduped = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+        .withWatermark("event_time", "15 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts")
+    )
+    q = SK.start_foreach_batch(
+        deduped,
+        SK.parquet_batch_sink(os.path.join(out, "data"), partitions=None),
+        os.path.join(out, "ckpt"),
+        output_mode="append",
+        available_now=True,
+        query_name="dedup_within_watermark_test",
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(out, "data"))
+    assert got.count() == 50  # every row exactly once
+    assert got.select("event_id").distinct().count() == 50
