@@ -75,3 +75,71 @@ def user_running_totals(transactions: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def have_tws_runtime() -> bool:
+    """transformWithState's Python worker speaks protobuf to the JVM
+    state server; without the `protobuf` package the query plan BUILDS
+    fine but execution crashes the driver worker. Gate execution (and
+    the parity test) on this, like the codec gate in multimodal."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_running_totals_tws(transactions: DataFrame) -> DataFrame:
+    """The same running totals through ``transformWithStateInPandas`` —
+    Spark 4's successor to applyInPandasWithState (SPARK-49564): typed
+    state handles (value/list/map states, timers, TTL) on a
+    StatefulProcessor object instead of one opaque state tuple. Both
+    implementations are kept: applyInPandasWithState is the 3.x-era API
+    users migrate FROM, this is the one they migrate TO, and the parity
+    test pins that the semantics transfer exactly (skipped — with the
+    plan shape still asserted — where the protobuf runtime is absent;
+    see `have_tws_runtime`).
+
+    Everything (class included) is defined inside the function so
+    cloudpickle serializes it by value — same closure contract as
+    `user_running_totals`.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            total_cents, n = (
+                self._totals.get() if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                # integer-cents per row, same exactness contract as the
+                # applyInPandasWithState twin above
+                total_cents += int(
+                    pdf["amount"].mul(100).round().astype("int64").sum()
+                )
+                n += len(pdf)
+            self._totals.update((total_cents, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "total_cents": [total_cents], "n_events": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        transactions.select("user_id", "amount")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
