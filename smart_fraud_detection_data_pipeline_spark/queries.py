@@ -2366,6 +2366,77 @@ FROM chars
         break
 
 
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2000-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@_register("late_shipment_orders", _Q4_SQL)
+def q_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — orders in a half-year window
+    with at least one line item shipped >60 days after the order date.
+    Runs the SAME dialect-portable SQL text as the oracle through
+    spark.sql: Catalyst decorrelates the subquery into a left-semi hash
+    join on l_orderkey (pinned in tests/test_plans.py), the plan a
+    hand-written semi-join would produce — correlated subqueries are
+    free abstraction, not a scale hazard."""
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir, names=("orders", "lineitem"))
+    return spark.sql(_Q4_SQL)
+
+
+@_register(
+    "small_quantity_revenue",
+    """
+WITH t AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0e0 AS avg_yearly
+FROM lineitem li
+JOIN part ON p_partkey = li.l_partkey
+JOIN t ON t.l_partkey = li.l_partkey
+WHERE p_brand = 'Brand#1' AND li.l_quantity < 0.5e0 * avg_qty
+""",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity), hand-decorrelated the way Catalyst would — and with the
+    scale refinement Catalyst can't infer: the per-part average is
+    computed only over partkeys that survive the brand filter (a
+    broadcast semi-join BEFORE the aggregation), so the heavy groupBy
+    shrinks with the predicate instead of covering every part. The
+    exact-decimal average makes the float threshold comparison
+    bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#1"
+    )
+    li_brand = li.join(
+        F.broadcast(brand_parts.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    avg_qty = li_brand.groupBy("l_partkey").agg(
+        (exact_sum_double("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li_brand.join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (exact_sum_double("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
 @_register(
     "orders_cube",
     """

@@ -73,6 +73,28 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     assert c["hash_aggregate"] >= 2
 
 
+def test_correlated_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS (TPC-H Q4 shape) must decorrelate into a
+    hash semi-join, never a per-row nested-loop re-scan of lineitem."""
+    plan = X.executed_plan(Q["late_shipment_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    c = X.plan_counts(Q["late_shipment_orders"](spark, sf_dir))
+    assert c["nested_loop_join"] == 0
+
+
+def test_scalar_subquery_avg_prefilters_before_agg(spark, sf_dir):
+    """Q17 shape: the per-part average must aggregate only brand-
+    surviving partkeys (broadcast semi-join upstream of the groupBy) —
+    at 100 TB the difference between aggregating 1% and 100% of
+    lineitem."""
+    df = Q["small_quantity_revenue"](spark, sf_dir)
+    plan = X.executed_plan(df)
+    assert plan.count("LeftSemi") >= 1
+    c = X.plan_counts(df)
+    assert c["broadcast_hash_join"] >= 2  # semi filter + avg join
+    assert c["nested_loop_join"] == 0
+
+
 def test_incremental_merge_prunes_partitions(spark, sf_dir, tmp_path):
     """merge_upsert_partitioned against a Hive-partitioned parquet target
     must push its partition-scope filters into the scan as
