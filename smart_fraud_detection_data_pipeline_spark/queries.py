@@ -839,6 +839,90 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shard", "n_tokens", "bin_id", "seq_pos")
 
 
+_VOCAB_TOP_K = 100
+
+
+@_register(
+    "vocab_top_ngrams",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(t) - 1, 1)),
+           i -> array_to_string(t[i:i+1], ' '))) AS ngram
+  FROM toks
+),
+counted AS (
+  SELECT ngram, COUNT(*) AS n_occurrences FROM grams GROUP BY ngram
+)
+SELECT ngram, n_occurrences FROM counted
+ORDER BY n_occurrences DESC, ngram
+LIMIT {_VOCAB_TOP_K}
+""",
+)
+def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building: top-k word bigrams by occurrence
+    (every occurrence counts — unlike dedup shingling, which is
+    per-document distinct). Partial aggregation absorbs the Zipf head
+    map-side, ONE shuffle on the ngram, and the top-k compiles to
+    TakeOrderedAndProject — per-partition heaps, never a global sort.
+    Ties broken by the ngram itself so the cut is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    )
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(_VOCAB_TOP_K)
+    )
+
+
+@_register(
+    "value_winsorized",
+    """
+WITH p AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       least(greatest(value, p05), p95) AS value_winsorized
+FROM events e JOIN p ON e.event_type = p.event_type
+""",
+)
+def q_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clamping for training features: winsorize `value` at the
+    per-type exact p05/p95. The percentile pass is one shuffle on the
+    (tiny-cardinality) type key; the clamp itself joins the 5-row
+    threshold table back BROADCAST — the fact stream never reshuffles.
+    Exact-percentile interpolation is bit-identical across engines
+    (proven by value_quantiles), so no rounding is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    pcts = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    return (
+        ev.join(F.broadcast(pcts), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+                "value_winsorized"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension: embedding similarity search
 # ---------------------------------------------------------------------------

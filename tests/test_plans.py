@@ -136,6 +136,24 @@ def test_incremental_merge_prunes_partitions(spark, sf_dir, tmp_path):
     assert restated.select("order_month").distinct().collect()[0][0] == "2001-07"
 
 
+def test_vocab_topk_no_global_sort(spark, sf_dir):
+    """Vocabulary building: one shuffle for the ngram counts, then
+    TakeOrderedAndProject for the cut — a global sort of the full vocab
+    would be the scale bug."""
+    df = Q["vocab_top_ngrams"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in X.executed_plan(df)
+    assert X.plan_counts(df)["exchange"] == 1
+
+
+def test_winsorize_broadcasts_thresholds(spark, sf_dir):
+    """The clamp join must broadcast the 5-row threshold table — the
+    fact stream is never reshuffled for it (its only exchange is the
+    percentile aggregation itself)."""
+    c = X.plan_counts(Q["value_winsorized"](spark, sf_dir))
+    assert c["broadcast_hash_join"] == 1
+    assert c["sort_merge_join"] == 0
+
+
 def test_text_profile_is_map_only(spark, sf_dir):
     """The whole text-analysis profile must be a narrow projection —
     zero shuffles at any scale."""
