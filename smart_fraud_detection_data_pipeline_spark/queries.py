@@ -1982,13 +1982,17 @@ _SESSION_SRC: dict[str, str] = {}
 
 
 def _staged_session_source(spark: SparkSession, sf_dir: str) -> str:
-    """Stage events as two time-ordered parquet file groups (so sessions
-    straddle the micro-batch boundary), once per sf_dir. Fixture
-    harness, not operator work — bench.py runs this via QuerySpec.prepare
-    before the clock starts; standalone calls (the driver) hit the same
-    memo so repeated invocations stage once."""
+    """Stage the full events table as two time-ordered parquet file
+    groups (so sessions/join windows straddle the micro-batch boundary),
+    once per sf_dir. Fixture harness, not operator work — bench.py runs
+    this via QuerySpec.prepare before the clock starts; standalone calls
+    (the driver) hit the same memo so repeated invocations stage once.
+    Shared by every streaming query that needs ordered multi-batch
+    arrival (session windows, stream-stream join)."""
     if sf_dir not in _SESSION_SRC:
-        ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value", "event_type"
+        )
         src = _scratch("session_stream_src_")
         cut = ev.select(
             F.expr(f"percentile_approx(ts, 0.5, {2**16})").alias("cut")
@@ -1997,6 +2001,84 @@ def _staged_session_source(spark: SparkSession, sf_dir: str) -> str:
         ev.where(F.col("ts") >= F.lit(cut)).coalesce(1).write.mode("append").parquet(src)
         _SESSION_SRC[sf_dir] = src
     return _SESSION_SRC[sf_dir]
+
+
+@_register(
+    "stream_stream_join",
+    """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+)
+SELECT a.event_id AS err_id, b.event_id AS follow_id
+FROM (SELECT * FROM e WHERE event_type = 'error') a
+JOIN e b
+  ON b.user_id = a.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+""",
+    prepare=lambda spark, sf_dir: _staged_session_source(spark, sf_dir),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER interval join: errors on one stream, the same
+    user's follow-up events (next 10 min) on another, both watermarked.
+    Inner join emits each pair the moment both sides have arrived —
+    pairs straddling the micro-batch boundary match against buffered
+    state — so the appended output equals the batch interval join
+    exactly. The watermark + time-range condition is what BOUNDS that
+    state: each side retains only rows newer than (watermark − join
+    window), the contract that keeps a 100 TB/day dual-stream join
+    running instead of accumulating forever."""
+    import os
+
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = _staged_session_source(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    errors = (
+        reader()
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("err_time"),
+        )
+        .withWatermark("err_time", "15 minutes")
+    )
+    follows = (
+        reader()
+        .select(
+            F.col("event_id").alias("follow_id"),
+            F.col("user_id").alias("f_user"),
+            F.col("ts").cast("timestamp").alias("f_time"),
+        )
+        .withWatermark("f_time", "15 minutes")
+    )
+    pairs = errors.join(
+        follows,
+        (F.col("user_id") == F.col("f_user"))
+        & (F.col("f_time") > F.col("err_time"))
+        & (F.col("f_time") <= F.col("err_time") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("err_id", "follow_id")
+    tmp = _scratch("ss_join_out_")
+    q = SK.start_foreach_batch(
+        pairs,
+        SK.parquet_batch_sink(os.path.join(tmp, "out"), partitions=None),
+        os.path.join(tmp, "ckpt"),
+        output_mode="append",
+        available_now=True,
+        query_name="stream_stream_join",
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(tmp, "out"))
 
 
 @_register(

@@ -390,3 +390,64 @@ def test_transform_with_state_matches_legacy_and_batch(
         | (F.col("n_events") != F.col("want_n"))
     ).count()
     assert bad == 0
+
+
+def test_stream_stream_join_pairs_across_batches(spark, tmp_path):
+    """A join pair whose two sides arrive in DIFFERENT micro-batches must
+    still match — the left row waits in watermark-bounded state."""
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+
+    d = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    f1 = [(1, 100, "2024-01-01 00:00:00", "error"),
+          (2, 100, "2024-01-01 00:02:00", "click"),
+          (3, 200, "2024-01-01 00:20:00", "error")]
+    # batch 2: follow-ups for BOTH errors — one whose error came a batch earlier
+    f2 = [(4, 100, "2024-01-01 00:04:00", "view"),
+          (5, 200, "2024-01-01 00:22:00", "view"),
+          (6, 200, "2024-01-01 00:59:00", "view")]  # outside the 10-min window
+    schema = "event_id bigint, user_id bigint, ts_str string, event_type string"
+    for batch in (f1, f2):
+        spark.createDataFrame(batch, schema).select(
+            "event_id", "user_id",
+            F.col("ts_str").cast("timestamp_ntz").alias("ts"), "event_type",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    def reader():
+        return (
+            spark.readStream.schema(spark.read.parquet(d).schema)
+            .option("maxFilesPerTrigger", "1").parquet(d)
+        )
+
+    errors = (
+        reader().where(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("err_id"), "user_id",
+                F.col("ts").cast("timestamp").alias("err_time"))
+        .withWatermark("err_time", "15 minutes")
+    )
+    follows = (
+        reader()
+        .select(F.col("event_id").alias("follow_id"),
+                F.col("user_id").alias("f_user"),
+                F.col("ts").cast("timestamp").alias("f_time"))
+        .withWatermark("f_time", "15 minutes")
+    )
+    pairs = errors.join(
+        follows,
+        (F.col("user_id") == F.col("f_user"))
+        & (F.col("f_time") > F.col("err_time"))
+        & (F.col("f_time") <= F.col("err_time") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("err_id", "follow_id")
+    q = SK.start_foreach_batch(
+        pairs,
+        SK.parquet_batch_sink(os.path.join(out, "data"), partitions=None),
+        os.path.join(out, "ckpt"),
+        output_mode="append", available_now=True,
+        query_name="ss_join_test",
+    )
+    q.awaitTermination(120)
+    got = {(r.err_id, r.follow_id)
+           for r in spark.read.parquet(os.path.join(out, "data")).collect()}
+    # (1,2) same batch; (1,4) and (3,5) cross the batch boundary; (3,6) out of window
+    assert got == {(1, 2), (1, 4), (3, 5)}
