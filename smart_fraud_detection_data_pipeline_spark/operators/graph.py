@@ -59,6 +59,10 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("n_comp"))
         )
+        # Carry the previous label INSIDE the checkpointed frame: the
+        # convergence probe then scans the already-materialized rows
+        # instead of re-joining new labels against old (one fewer join
+        # job per round — measured on the catalog query).
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
@@ -66,17 +70,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
                 ).alias("component"),
+                F.col("component").alias("__prev"),
             )
             .localCheckpoint()  # truncate lineage — see module docstring
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("component") != F.col("__prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.drop("__prev")
         if changed == 0:
             break
     else:
