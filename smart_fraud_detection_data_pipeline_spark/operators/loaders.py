@@ -83,3 +83,24 @@ def warehouse_load(
     if target is None:
         return df
     return merge_upsert(target, df, keys)
+
+
+def write_time_layout(
+    df: DataFrame, path: str, *, ts_col: str, n_ranges: int = 32
+) -> None:
+    """Time-clustered file layout: range-repartition on the event-time
+    column before writing, so each output file covers a narrow, disjoint
+    ts interval. Parquet footers then carry tight min/max stats for the
+    column and any later time-window scan skips whole files — the poor
+    man's time index, no table format required. (Hash repartition would
+    smear every hour across every file; each file's [min, max] spans the
+    whole dataset and no row group is ever skippable.)
+
+    n_ranges sizes the files: at 100 TB/day pick it so each range is a
+    few hundred MB. Range exchange samples the column to build balanced
+    boundaries — skew in event time becomes file-size skew, not a
+    failure.
+    """
+    df.repartitionByRange(n_ranges, F.col(ts_col)).write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -839,6 +839,73 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shard", "n_tokens", "bin_id", "seq_pos")
 
 
+_TREND_EPOCH_US = 1704067200000000  # 2024-01-01 00:00:00 UTC in micros
+
+
+@_register(
+    "user_value_trend",
+    f"""
+WITH terms AS (
+  SELECT user_id,
+         CAST((epoch_us(CAST(ts AS TIMESTAMP)) - {_TREND_EPOCH_US}) // 1000000 AS DECIMAL(20,0)) AS x,
+         CAST(value AS DECIMAL(18,2)) AS y
+  FROM events
+), sums AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM terms GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CASE WHEN n_events * sxx - sx * sx = 0.0e0 THEN NULL
+            ELSE (n_events * sxy - sx * sy) / (n_events * sxx - sx * sx)
+                 * 86400.0e0 END AS slope_per_day
+FROM sums
+""",
+)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: per-user OLS slope of value over
+    time (is this user's spend trending up?). regr_slope exists in both
+    engines but accumulates float moments in partition order — not
+    reproducible under re-partitioning. Instead the four moment sums
+    run EXACT (whole-second integer x, 2-dp decimal y — every sum stays
+    under 2^53, so even the decimal-to-double conversion is exact), and
+    only the final closed-form arithmetic — written token-identically on
+    both sides — happens in double: bit-identical
+    slopes at any parallelism, the same trick as the engine's money
+    sums. One shuffle, map-side partial aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(_TREND_EPOCH_US))
+        / F.lit(1000000)
+    ).cast("long").cast("decimal(20,0)")
+    y = F.col("value").cast("decimal(18,2)")
+    sums = (
+        ev.select("user_id", x.alias("x"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        )
+    )
+    denom = F.col("n_events") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        (F.col("n_events") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / denom
+        * F.lit(86400.0)
+    )
+    return sums.select(
+        "user_id",
+        "n_events",
+        F.when(denom == 0.0, F.lit(None).cast("double"))
+        .otherwise(slope)
+        .alias("slope_per_day"),
+    )
+
+
 _VOCAB_TOP_K = 100
 
 

@@ -77,3 +77,43 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     df = L.read_partitioned_prefix(spark, p).where(F.col("part") == 2)
     plan = formatted_plan(df)
     assert "PartitionFilters" in plan and "part" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_time_layout_files_have_disjoint_ts_ranges(spark, sf_dir, tmp_path):
+    """write_time_layout: the range exchange must land in the plan, and
+    the written files' parquet footer min/max for ts must be pairwise
+    disjoint — the property that lets a time-window scan skip files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from smart_fraud_detection_data_pipeline_spark.operators.loaders import (
+        write_time_layout,
+    )
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    plan = (
+        ev.repartitionByRange(8, F.col("ts"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+
+    path = str(tmp_path / "bytime")
+    write_time_layout(ev, path, ts_col="ts", n_ranges=8)
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("ts")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) >= 4  # multiple real files came out
+    for (a_min, a_max), (b_min, b_max) in zip(spans, spans[1:]):
+        assert a_max <= b_min  # disjoint (boundary equality allowed)
