@@ -94,3 +94,35 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def observed_constraints(
+    df: DataFrame, rules: Mapping[str, Column], *, name: str = "quality"
+):
+    """Piggyback constraint counters on a query via ``Dataset.observe``:
+    zero extra scans, zero extra jobs — the metrics ride the rows the
+    query was already going to process. The right quality mechanism for
+    STREAMING sinks, where a second `constraint_report` pass per
+    micro-batch would double the source read.
+
+    Returns ``(observed_df, handle)``. Batch: run any action on
+    observed_df, then ``handle.get`` yields {n_rows,
+    <rule>_violations, ...} (pyspark.sql.Observation wires the
+    QueryExecutionListener). Streaming: pass ``name`` (a string) —
+    Observation objects don't attach to streams — and read the same
+    dict from each progress event's ``observedMetrics[name]``
+    (`handle` is then the name itself).
+
+    Violation convention matches `constraint_report`: a NULL predicate
+    counts as a violation (unknown != satisfied).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for rule_name, pred in rules.items():
+        sat = F.when(pred, F.lit(1)).otherwise(F.lit(0))
+        aggs.append(F.sum(F.lit(1) - sat).alias(f"{rule_name}_violations"))
+    if df.isStreaming:
+        return df.observe(name, *aggs), name
+    from pyspark.sql import Observation
+
+    handle = Observation(name)
+    return df.observe(handle, *aggs), handle
