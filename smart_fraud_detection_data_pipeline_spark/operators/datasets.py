@@ -16,10 +16,12 @@ Both are pure Catalyst expressions:
   and cut bins where the running token count crosses the budget:
   bin_id = floor(cumulative_tokens_before / budget). One window scan
   per shard — shards are independent, so packing parallelizes across
-  the cluster and no global sort exists anywhere. A document straddling
-  a boundary joins the earlier bin (standard streaming-fill packing;
-  bins may overflow by at most one document, never underfill), and a
-  document longer than the budget gets a bin of its own.
+  the cluster and no global sort exists anywhere. Streaming-fill rule:
+  a document straddling a boundary joins the bin it STARTED in (so a
+  bin may overflow, never underfill — cumulatively, bins 0..k always
+  hold >= budget*(k+1) tokens). Bin ids are token-offset buckets, not
+  dense ranks: a document far longer than the budget overflows its
+  current bin and the ids it spans are simply skipped.
 
 At 100 TB: both are embarrassingly parallel. Packing's only shuffle is
 the hash partition on `shard`; n_shards controls parallelism and bin
@@ -73,8 +75,8 @@ def pack_sequences(
 
     Within a shard documents are taken in id order and poured into
     bins of `budget` tokens (streaming fill — see module docstring for
-    the boundary rule). Output keeps the input columns and adds
-    shard / bin_id / seq_pos.
+    the boundary/overflow rules; bin ids may be sparse). Output keeps
+    the input columns and adds shard / bin_id / seq_pos.
     """
     shard = F.pmod(F.col(id_col), F.lit(n_shards))
     out = df.withColumn("shard", shard)

@@ -50,6 +50,11 @@ def merge_upsert(
     if order_by:
         source = dedup_keep_last(source, keys, order_by)
     cols = target.columns
+    if "__src" in cols:
+        raise ValueError(
+            "merge_upsert reserves the column name '__src' for match "
+            "detection; rename the input column"
+        )
     non_keys = [c for c in cols if c not in keys]
     t = target.alias("t")
     # The join condition is eqNullSafe, which deliberately admits NULL
@@ -83,9 +88,27 @@ def merge_upsert_partitioned(
     through unchanged (union). With a partitioned parquet/lakehouse
     target the semi-join filter becomes partition pruning → the merge
     cost scales with the source, not the target.
+
+    Membership is NULL-safe: a NULL partition value in either frame is
+    routed like any other value (plain isin would return NULL for NULL
+    rows and silently drop them from BOTH branches — the same
+    three-valued-logic data-loss class as the merge_upsert __src fix).
+    The source is persisted because it is consumed twice (partition
+    discovery + the merge join) and Catalyst does not CSE across
+    actions; it stays cached for the caller's action.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    source = source.persist(StorageLevel.MEMORY_AND_DISK)
     parts = [r[0] for r in source.select(partition_col).distinct().collect()]
-    touched = target.where(F.col(partition_col).isin(parts))
-    untouched = target.where(~F.col(partition_col).isin(parts))
+    non_null = [p for p in parts if p is not None]
+    in_parts = (
+        F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    )
+    if any(p is None for p in parts):
+        in_parts = in_parts | F.col(partition_col).isNull()
+    in_parts = F.coalesce(in_parts, F.lit(False))
+    touched = target.where(in_parts)
+    untouched = target.where(~in_parts)
     merged = merge_upsert(touched, source, keys, order_by=order_by)
     return untouched.unionByName(merged)

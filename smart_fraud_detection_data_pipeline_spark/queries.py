@@ -24,6 +24,7 @@ engines.
 from __future__ import annotations
 
 from collections.abc import Callable
+import dataclasses
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -839,6 +840,71 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shard", "n_tokens", "bin_id", "seq_pos")
 
 
+@_register(
+    "time_layout_scan",
+    """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+""",
+)
+def q_time_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout round-trip: events rewritten via
+    write_time_layout (repartitionByRange on ts → each file a disjoint
+    ts interval), then a one-day window scanned back. Values must
+    survive the rewrite exactly; the layout's point is that this scan's
+    parquet min/max stats skip every out-of-window file (file-level
+    disjointness pinned in tests/test_loaders.py)."""
+    import os
+
+    from smart_fraud_detection_data_pipeline_spark.operators.loaders import (
+        write_time_layout,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    path = os.path.join(_scratch("time_layout_"), "events_bytime")
+    write_time_layout(ev, path, ts_col="ts", n_ranges=16)
+    lo = F.lit("2024-01-10").cast("timestamp_ntz")
+    hi = F.lit("2024-01-11").cast("timestamp_ntz")
+    return spark.read.parquet(path).where((F.col("ts") >= lo) & (F.col("ts") < hi))
+
+
+@_register(
+    "observed_quality",
+    """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN value IS NOT NULL AND value >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+         AS value_nonneg_violations,
+       CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS user_present_violations
+FROM events
+""",
+)
+def q_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """observe()-based quality counters: the metrics ride a noop write of
+    the events scan (no second pass), then surface as a 1-row frame.
+    The same observed_constraints call attaches to streaming frames,
+    where each micro-batch's progress event carries the counters
+    (tests/test_quality.py)."""
+    from smart_fraud_detection_data_pipeline_spark.operators.quality import (
+        observed_constraints,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    observed, handle = observed_constraints(
+        ev,
+        {
+            "value_nonneg": F.col("value").isNotNull() & (F.col("value") >= 0),
+            "user_present": F.col("user_id").isNotNull(),
+        },
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = handle.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["value_nonneg_violations"], m["user_present_violations"])],
+        "n_rows long, value_nonneg_violations long, user_present_violations long",
+    )
+
+
 _TREND_EPOCH_US = 1704067200000000  # 2024-01-01 00:00:00 UTC in micros
 
 
@@ -1132,10 +1198,8 @@ def q_fraud_enrich_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # stream output == batch output, so the oracle SQL is shared verbatim
-_REGISTRY[-1] = QuerySpec(
-    "fraud_enrich_streaming",
-    q_fraud_enrich_streaming,
-    _spec("fraud_enrich").oracle,
+_REGISTRY[-1] = dataclasses.replace(
+    _REGISTRY[-1], oracle=_spec("fraud_enrich").oracle
 )
 
 
@@ -1265,8 +1329,8 @@ def q_warehouse_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loaded
 
 
-_REGISTRY[-1] = QuerySpec(
-    "warehouse_load", q_warehouse_load, _spec("fraud_enrich").oracle
+_REGISTRY[-1] = dataclasses.replace(
+    _REGISTRY[-1], oracle=_spec("fraud_enrich").oracle
 )
 
 
@@ -1724,10 +1788,9 @@ def q_user_spend_trends_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
     ).drop("batch_id")
 
 
-_REGISTRY[-1] = QuerySpec(
-    "user_spend_trends_streaming",
-    q_user_spend_trends_streaming,
-    """
+_REGISTRY[-1] = dataclasses.replace(
+    _REGISTRY[-1],
+    oracle="""
 SELECT user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
        COUNT(*) AS n_events,
@@ -2206,10 +2269,9 @@ def q_session_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emissions.where(F.col("batch_id") == last).drop("batch_id")
 
 
-_REGISTRY[-1] = QuerySpec(
-    "session_windows_streaming",
-    q_session_windows_streaming,
-    """
+_REGISTRY[-1] = dataclasses.replace(
+    _REGISTRY[-1],
+    oracle="""
 WITH o AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

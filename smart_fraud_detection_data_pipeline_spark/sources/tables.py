@@ -123,8 +123,10 @@ def stream_csv_table(
     Reads the year=/month=/day= layout `csv_ingest_sink` produces when
     `schema` includes the partition columns; point it at a leaf
     directory otherwise. Timestamps are cast to NTZ as in the batch
-    path.
+    path — including the same UTC session-tz self-set, so TimestampType
+    schemas parse identically under a vanilla (non-UTC) driver session.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = spark.readStream.format("csv").schema(schema)
     for k, v in _csv_options(header).items():
         reader = reader.option(k, v)

@@ -88,3 +88,50 @@ def test_merge_upsert_dedups_source_keep_last(spark):
     )
     out = merge_upsert(target, source, ["k"], order_by=["b"]).collect()
     assert len(out) == 1 and out[0].v == 7.0 and out[0].b == 2
+
+
+def test_merge_upsert_partitioned_null_partition_rows_survive(spark):
+    """NULL partition values must be routed like any other value — plain
+    isin() three-valued logic would silently drop them from BOTH the
+    touched and untouched branches (review r2)."""
+    from smart_fraud_detection_data_pipeline_spark.operators.merge import (
+        merge_upsert_partitioned,
+    )
+
+    target = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 20.0), (None, 3, 30.0), (None, 4, 40.0)],
+        "part string, k long, v double",
+    )
+    # source touches partition 'a' only: NULL-partition target rows pass through
+    source = spark.createDataFrame([("a", 1, 11.0)], "part string, k long, v double")
+    got = {
+        (r.part, r.k): r.v
+        for r in merge_upsert_partitioned(target, source, ["part", "k"], "part").collect()
+    }
+    assert got == {("a", 1): 11.0, ("b", 2): 20.0, (None, 3): 30.0, (None, 4): 40.0}
+
+    # source with a NULL partition: the NULL partition is "touched" and merges
+    source2 = spark.createDataFrame(
+        [(None, 3, 33.0), (None, 5, 50.0)], "part string, k long, v double"
+    )
+    got2 = {
+        (r.part, r.k): r.v
+        for r in merge_upsert_partitioned(target, source2, ["part", "k"], "part").collect()
+    }
+    assert got2 == {
+        ("a", 1): 10.0,
+        ("b", 2): 20.0,
+        (None, 3): 33.0,  # updated
+        (None, 4): 40.0,  # kept
+        (None, 5): 50.0,  # inserted
+    }
+
+
+def test_merge_upsert_rejects_reserved_marker_column(spark):
+    import pytest
+
+    from smart_fraud_detection_data_pipeline_spark.operators.merge import merge_upsert
+
+    df = spark.createDataFrame([(1, 1)], "k long, __src long")
+    with pytest.raises(ValueError, match="__src"):
+        merge_upsert(df, df, ["k"])
