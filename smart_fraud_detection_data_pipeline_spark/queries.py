@@ -972,6 +972,41 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "user_value_ewma",
+    """
+SELECT user_id,
+       list_reduce(list(value ORDER BY ts, event_id),
+                   (acc, x) -> 0.3e0 * x + 0.7e0 * acc) AS ewma
+FROM events GROUP BY user_id
+""",
+)
+def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential recurrence as a higher-order fold: per-user
+    exponentially weighted moving average of value in event order.
+    EWMA's s_i = alpha*v_i + (1-alpha)*s_{i-1} cannot be expressed with
+    frame-based window aggregates, and reaching for a Python UDF would
+    leave the JVM — instead collect_list + array_sort(struct) +
+    F.aggregate runs the fold inside Catalyst. Both engines fold the
+    identically-ordered list left-to-right with first-element init, so
+    the doubles are bit-identical (the cosine-fold precedent). Per-key
+    state is the user's event list — bounded by events-per-user, the
+    same bound any sequential per-key model pays."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("evs")
+    )
+    vals = F.transform(F.col("evs"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return agg.select("user_id", ewma.alias("ewma"))
+
+
 _VOCAB_TOP_K = 100
 
 
