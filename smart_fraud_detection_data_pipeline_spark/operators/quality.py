@@ -120,9 +120,32 @@ def observed_constraints(
     for rule_name, pred in rules.items():
         sat = F.when(pred, F.lit(1)).otherwise(F.lit(0))
         aggs.append(F.sum(F.lit(1) - sat).alias(f"{rule_name}_violations"))
-    if df.isStreaming:
-        return df.observe(name, *aggs), name
-    from pyspark.sql import Observation
+    # Deliberately NOT pyspark.sql.Observation: it registers a JVM
+    # ObservationManager on the (long-lived, shared) session that later
+    # breaks closure serialization for MLlib's RDD-based fits ("Task not
+    # serializable: ObservationManager") — found when fraud_ml_score
+    # died after observed_quality in the same gate run. The string-form
+    # observation attaches only to this plan; batch callers read it back
+    # with `collect_observed`, streaming callers from each progress
+    # event's observedMetrics[name].
+    return df.observe(name, *aggs), name
 
-    handle = Observation(name)
-    return df.observe(handle, *aggs), handle
+
+def collect_observed(observed: DataFrame, name: str) -> dict:
+    """Execute a batch observed frame (collapsed to one count row — data
+    rows never reach the driver) and return observation `name` as a
+    plain dict. The metrics are read from the SAME QueryExecution the
+    action ran, which is why this wraps the action itself: a separate
+    `.write`/`.count()` would execute a different plan instance whose
+    metrics map stays empty."""
+    summary = observed.agg(F.count(F.lit(1)).alias("__n"))
+    summary.collect()
+    jmap = summary._jdf.queryExecution().observedMetrics()
+    it = jmap.iterator()
+    out: dict = {}
+    while it.hasNext():
+        entry = it.next()
+        row = entry._2()
+        fields = row.schema().fieldNames()
+        out[entry._1()] = {fields[i]: row.get(i) for i in range(len(fields))}
+    return out[name]

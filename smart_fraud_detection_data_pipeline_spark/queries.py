@@ -880,25 +880,25 @@ FROM events
 """,
 )
 def q_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """observe()-based quality counters: the metrics ride a noop write of
-    the events scan (no second pass), then surface as a 1-row frame.
+    """observe()-based quality counters: the metrics ride the events
+    scan (no second pass), then surface as a 1-row frame.
     The same observed_constraints call attaches to streaming frames,
     where each micro-batch's progress event carries the counters
     (tests/test_quality.py)."""
     from smart_fraud_detection_data_pipeline_spark.operators.quality import (
+        collect_observed,
         observed_constraints,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    observed, handle = observed_constraints(
+    observed, name = observed_constraints(
         ev,
         {
             "value_nonneg": F.col("value").isNotNull() & (F.col("value") >= 0),
             "user_present": F.col("user_id").isNotNull(),
         },
     )
-    observed.write.format("noop").mode("overwrite").save()
-    m = handle.get
+    m = collect_observed(observed, name)
     return spark.createDataFrame(
         [(m["n_rows"], m["value_nonneg_violations"], m["user_present_violations"])],
         "n_rows long, value_nonneg_violations long, user_present_violations long",

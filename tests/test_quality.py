@@ -90,14 +90,17 @@ def test_observed_constraints_batch(spark):
         observed_constraints,
     )
 
+    from smart_fraud_detection_data_pipeline_spark.operators.quality import (
+        collect_observed,
+    )
+
     df = spark.createDataFrame(
         [(1, 10.0), (2, -1.0), (3, None), (4, 7.0)], "id long, v double"
     )
-    observed, handle = observed_constraints(
+    observed, name = observed_constraints(
         df, {"v_nonneg": F.col("v") >= 0, "id_pos": F.col("id") > 0}
     )
-    observed.write.format("noop").mode("overwrite").save()
-    got = handle.get
+    got = collect_observed(observed, name)
     assert got["n_rows"] == 4
     assert got["v_nonneg_violations"] == 2  # -1.0 and the NULL
     assert got["id_pos_violations"] == 0
