@@ -7,14 +7,20 @@ the engine: min-label propagation over DataFrame joins, driven to a
 fixpoint by the driver loop (the standard Spark pattern for bounded
 iterative graph algorithms without GraphX).
 
-Convergence: each vertex's label is the min vertex id it has seen; a
-round propagates labels one hop, so rounds ≤ graph diameter (near-dup
-components are tiny — diameter 2-3; `max_iter` bounds pathological
-chains). Each round is one shuffle (join) + one aggregation; labels are
-localCheckpoint-ed each round — persist alone caches DATA but the plan
-tree still doubles per iteration until plan stringification itself
-OOMs (observed at diameter 9). Truncating lineage per round is the
-non-negotiable discipline of iterative DataFrame algorithms.
+Convergence: each vertex's label is the min vertex id it has seen. A
+round is (a) one hop of neighbor-min propagation plus (b) a pointer
+jump — every vertex adopts its LABEL's label (label ids are vertex
+ids, so "label of label" is well-defined). The jump is the classic
+shortcutting step: label chains halve every round, so rounds grow as
+O(log diameter) instead of O(diameter) — on a 1000-long chain ~11
+rounds, not 999; that is the difference between feasible and not at
+graph scale (cf. the large-star/small-star construction of
+Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14). Each round is two shuffled joins + one aggregation; labels
+are localCheckpoint-ed each round — persist alone caches DATA but the
+plan tree still doubles per iteration until plan stringification
+itself OOMs (observed at diameter 9). Truncating lineage per round is
+the non-negotiable discipline of iterative DataFrame algorithms.
 
 The oracle (queries.py) expresses the same fixpoint as a recursive CTE
 (transitive closure + min over the reachable set) — iterative Spark vs
@@ -59,18 +65,28 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("n_comp"))
         )
+        hop = labels.join(neighbor_min, labels.id == neighbor_min.a, "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+            ).alias("component"),
+            F.col("component").alias("__prev"),
+        )
+        # Pointer jump (shortcutting): adopt the label's own label, so
+        # chains collapse geometrically — O(log diameter) rounds.
+        ptr = hop.select(F.col("id").alias("__pid"), F.col("component").alias("__pcomp"))
         # Carry the previous label INSIDE the checkpointed frame: the
         # convergence probe then scans the already-materialized rows
-        # instead of re-joining new labels against old (one fewer join
-        # job per round — measured on the catalog query).
+        # instead of re-joining new labels against old.
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            hop.join(ptr, hop.component == ptr.__pid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("__pcomp"), F.col("component")),
                 ).alias("component"),
-                F.col("component").alias("__prev"),
+                "__prev",
             )
             .localCheckpoint()  # truncate lineage — see module docstring
         )
