@@ -2767,6 +2767,91 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATERAL_SQL = """
+SELECT n.n_nationkey, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+"""
+
+
+@_register("nation_top_customers_lateral", _LATERAL_SQL)
+def q_nation_top_customers_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-nation top-2 customers by
+    balance), same dialect-portable text on both engines. Catalyst
+    decorrelates it into row_number + WindowGroupLimit — the partial
+    per-partition top-k runs BELOW the shuffle — plus a broadcast join
+    back to nation (pinned in tests/test_plans.py): the lateral form is
+    free abstraction over the hand-written grouped top-k, never a
+    per-row re-scan. Ties broken by c_custkey for a deterministic cut."""
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir, names=("nation", "customer"))
+    return spark.sql(_LATERAL_SQL)
+
+
+@_register(
+    "part_hierarchy_walk",
+    """
+WITH RECURSIVE walk(part, cur, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part
+  UNION ALL
+  SELECT part, cur // 2, depth + 1 FROM walk WHERE cur > 1
+)
+SELECT part, CAST(MAX(depth) AS BIGINT) AS depth,
+       CAST(SUM(cur) AS BIGINT) AS path_sum
+FROM walk GROUP BY part
+""",
+)
+def q_part_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): walk every part up the implicit binary
+    hierarchy parent(k) = k div 2, emitting depth and the sum of ids on
+    the path — a naturally terminating DAG recursion (depth grows as
+    log2(key)). Spark's recursive CTEs are UNION ALL-only, so cyclic
+    transitive closure stays with the iterative operator
+    (operators/graph.py) — this entry covers the hierarchical-recursion
+    shape warehouses use for bill-of-materials walks. Only the `//` vs
+    `DIV` integer-division spelling differs between engines."""
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir, names=("part",))
+    return spark.sql(
+        """
+WITH RECURSIVE walk(part, cur, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part
+  UNION ALL
+  SELECT part, cur DIV 2, depth + 1 FROM walk WHERE cur > 1
+)
+SELECT part, CAST(MAX(depth) AS BIGINT) AS depth,
+       CAST(SUM(cur) AS BIGINT) AS path_sum
+FROM walk GROUP BY part
+"""
+    )
+
+
+@_register(
+    "events_variant_props",
+    """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+)
+def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): props parsed once into an
+    open VARIANT value, fields extracted with typed variant_get — the
+    schema-on-read door for payloads whose shape drifts, next to the
+    schema-declared from_json door (events_json_props). VARIANT's
+    binary encoding makes repeated path extraction cheaper than
+    re-parsing JSON text per field at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+
+
 @_register(
     "orders_cube",
     """

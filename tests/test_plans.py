@@ -95,6 +95,17 @@ def test_scalar_subquery_avg_prefilters_before_agg(spark, sf_dir):
     assert c["nested_loop_join"] == 0
 
 
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL (per-nation top-2) must decorrelate into
+    WindowGroupLimit + broadcast join — per-partition partial top-k
+    below the shuffle, never a per-outer-row re-scan."""
+    plan = X.executed_plan(Q["nation_top_customers_lateral"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    c = X.plan_counts(Q["nation_top_customers_lateral"](spark, sf_dir))
+    assert c["nested_loop_join"] == 0
+    assert c["broadcast_hash_join"] >= 1
+
+
 def test_incremental_merge_prunes_partitions(spark, sf_dir, tmp_path):
     """merge_upsert_partitioned against a Hive-partitioned parquet target
     must push its partition-scope filters into the scan as
