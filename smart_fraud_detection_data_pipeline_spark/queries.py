@@ -65,6 +65,27 @@ def _register(name: str, oracle: str | None, prepare=None):
     return deco
 
 
+class _shuffle_partitions:
+    """Temporarily size spark.sql.shuffle.partitions for a stateful
+    streaming query. Each state-store partition is a store instance
+    loaded+committed EVERY micro-batch, so state partition count is a
+    first-class sizing knob: match it to expected state volume per
+    core, not the batch default (measured on stream_stream_join at
+    sf0.1: 32→8 partitions is 11 s → 3 s; on a real cluster you'd size
+    UP with the keyspace instead). Restores the previous value on exit
+    so batch queries keep the session default."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self._spark, self._n = spark, n
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+
+
 _SCRATCH_ROOT: str | None = None
 
 
@@ -1293,15 +1314,16 @@ def q_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "value")
     )
     tmp = _scratch("dedup_stream_out_")
-    q = SK.start_foreach_batch(
-        deduped,
-        SK.parquet_batch_sink(os.path.join(tmp, "out"), partitions=None),
-        os.path.join(tmp, "ckpt"),
-        output_mode="append",
-        available_now=True,
-        query_name="dedup_streaming",
-    )
-    q.awaitTermination(300)
+    with _shuffle_partitions(spark, 8):
+        q = SK.start_foreach_batch(
+            deduped,
+            SK.parquet_batch_sink(os.path.join(tmp, "out"), partitions=None),
+            os.path.join(tmp, "ckpt"),
+            output_mode="append",
+            available_now=True,
+            query_name="dedup_streaming",
+        )
+        q.awaitTermination(300)
     return spark.read.parquet(os.path.join(tmp, "out"))
 
 
@@ -1808,15 +1830,16 @@ def q_user_spend_trends_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id", "total_spent", "n_events", "window_start", "window_end"
     )
     tmp = _scratch("trend_stream_")
-    q = SK.start_foreach_batch(
-        out,
-        SK.reemit_parquet_sink(os.path.join(tmp, "out")),
-        os.path.join(tmp, "ckpt"),
-        output_mode="complete",
-        available_now=True,
-        query_name="user_spend_trends_streaming",
-    )
-    q.awaitTermination(300)
+    with _shuffle_partitions(spark, 8):
+        q = SK.start_foreach_batch(
+            out,
+            SK.reemit_parquet_sink(os.path.join(tmp, "out")),
+            os.path.join(tmp, "ckpt"),
+            output_mode="complete",
+            available_now=True,
+            query_name="user_spend_trends_streaming",
+        )
+        q.awaitTermination(300)
     raw_out = spark.read.parquet(os.path.join(tmp, "out"))
     return dedup_keep_last(
         raw_out, ["user_id", "window_start"], ["batch_id"]
@@ -1967,15 +1990,16 @@ def q_user_running_totals_streaming(spark: SparkSession, sf_dir: str) -> DataFra
     raw = stream_table(spark, sf_dir, "events")
     tx = raw.select("user_id", F.col("value").alias("amount"))
     tmp = _scratch("running_totals_")
-    q = SK.start_foreach_batch(
-        user_running_totals(tx),
-        SK.reemit_parquet_sink(os.path.join(tmp, "out")),
-        os.path.join(tmp, "ckpt"),
-        output_mode="update",
-        available_now=True,
-        query_name="user_running_totals_streaming",
-    )
-    q.awaitTermination(300)
+    with _shuffle_partitions(spark, 8):
+        q = SK.start_foreach_batch(
+            user_running_totals(tx),
+            SK.reemit_parquet_sink(os.path.join(tmp, "out")),
+            os.path.join(tmp, "ckpt"),
+            output_mode="update",
+            available_now=True,
+            query_name="user_running_totals_streaming",
+        )
+        q.awaitTermination(300)
     emissions = spark.read.parquet(os.path.join(tmp, "out"))
     return dedup_keep_last(emissions, ["user_id"], ["n_events", "batch_id"]).drop(
         "batch_id"
@@ -2234,15 +2258,16 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("err_id", "follow_id")
     tmp = _scratch("ss_join_out_")
-    q = SK.start_foreach_batch(
-        pairs,
-        SK.parquet_batch_sink(os.path.join(tmp, "out"), partitions=None),
-        os.path.join(tmp, "ckpt"),
-        output_mode="append",
-        available_now=True,
-        query_name="stream_stream_join",
-    )
-    q.awaitTermination(300)
+    with _shuffle_partitions(spark, 8):
+        q = SK.start_foreach_batch(
+            pairs,
+            SK.parquet_batch_sink(os.path.join(tmp, "out"), partitions=None),
+            os.path.join(tmp, "ckpt"),
+            output_mode="append",
+            available_now=True,
+            query_name="stream_stream_join",
+        )
+        q.awaitTermination(300)
     return spark.read.parquet(os.path.join(tmp, "out"))
 
 
@@ -2288,15 +2313,16 @@ def q_session_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
     )
     tmp = _scratch("session_stream_out_")
-    q = SK.start_foreach_batch(
-        out,
-        SK.reemit_parquet_sink(os.path.join(tmp, "out")),
-        os.path.join(tmp, "ckpt"),
-        output_mode="complete",
-        available_now=True,
-        query_name="session_windows_streaming",
-    )
-    q.awaitTermination(300)
+    with _shuffle_partitions(spark, 8):
+        q = SK.start_foreach_batch(
+            out,
+            SK.reemit_parquet_sink(os.path.join(tmp, "out")),
+            os.path.join(tmp, "ckpt"),
+            output_mode="complete",
+            available_now=True,
+            query_name="session_windows_streaming",
+        )
+        q.awaitTermination(300)
     emissions = spark.read.parquet(os.path.join(tmp, "out"))
     # merging windows: only the LAST complete emission is the truth
     # (keep-last per key would resurrect sessions that later merged away)
