@@ -2793,6 +2793,28 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIN_COST_SQL = """
+SELECT l_partkey, l_suppkey, l_extendedprice
+FROM lineitem l1
+WHERE l_extendedprice = (SELECT MIN(l_extendedprice) FROM lineitem l2
+                         WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+@_register("min_cost_suppliers", _MIN_COST_SQL)
+def q_min_cost_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar MIN in the WHERE clause — the
+    suppliers achieving the minimum price for their part (ties all
+    kept). Same dialect-portable text on both engines; Catalyst
+    decorrelates into a per-part aggregate joined back, never a per-row
+    re-scan (plan-pinned). Equality on the raw stored double is safe:
+    both sides compare the same parquet value against the same MIN."""
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir, names=("lineitem",))
+    return spark.sql(_MIN_COST_SQL)
+
+
 _LATERAL_SQL = """
 SELECT n.n_nationkey, t.c_custkey, t.c_acctbal
 FROM nation n,

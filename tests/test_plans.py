@@ -95,6 +95,15 @@ def test_scalar_subquery_avg_prefilters_before_agg(spark, sf_dir):
     assert c["nested_loop_join"] == 0
 
 
+def test_correlated_min_where_decorrelates(spark, sf_dir):
+    """Q2 shape: correlated scalar MIN in WHERE must become one per-key
+    aggregate (partial+final) joined back — 1 exchange, no nested loop."""
+    c = X.plan_counts(Q["min_cost_suppliers"](spark, sf_dir))
+    assert c["nested_loop_join"] == 0
+    assert c["exchange"] == 1
+    assert c["hash_aggregate"] == 2
+
+
 def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
     """The correlated LATERAL (per-nation top-2) must decorrelate into
     WindowGroupLimit + broadcast join — per-partition partial top-k
