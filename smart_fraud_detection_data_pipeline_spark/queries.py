@@ -2793,6 +2793,72 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "event_type_trimmed_mean",
+    """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0e0 / COUNT(*)
+         AS trimmed_mean
+FROM ranked
+WHERE rn > n // 10 AND rn <= n - n // 10
+GROUP BY event_type
+""",
+)
+def q_event_type_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom reduction via a GROUPED_AGG pandas UDF (Arrow-batched):
+    10%-trimmed mean of value per event type — no Catalyst builtin
+    computes this. The trim is a RANK cut under a total (value,
+    event_id) order, so the dropped set is identical in the UDF and the
+    oracle's window formulation, and the mean itself runs in exact
+    integer cents — a Python aggregate held to the same hash gate as
+    the JVM operators."""
+    from smart_fraud_detection_data_pipeline_spark.functions.pandas_aggs import (
+        make_trimmed_mean,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        make_trimmed_mean(0.1)(F.col("value"), F.col("event_id")).alias(
+            "trimmed_mean"
+        )
+    )
+
+
+_NOT_IN_SQL = """
+SELECT 'naive' AS variant, COUNT(*) AS n FROM customer
+WHERE c_custkey NOT IN
+  (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END FROM orders)
+UNION ALL
+SELECT 'guarded' AS variant, COUNT(*) AS n FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM
+    (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END AS o_custkey
+     FROM orders)
+   WHERE o_custkey IS NOT NULL)
+"""
+
+
+@_register("not_in_null_semantics", _NOT_IN_SQL)
+def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI three-valued logic pinned across engines: NOT IN against a
+    set CONTAINING NULL is never true (the 'naive' branch counts 0 —
+    x <> NULL is UNKNOWN for every x), while the IS NOT NULL-guarded
+    rewrite is the correct anti-join (real count). Same portable text
+    on both engines; Spark compiles the guarded branch to a hash
+    anti-join, and the naive branch's null-aware anti-join is exactly
+    why production code should write the guard explicitly."""
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir, names=("customer", "orders"))
+    return spark.sql(_NOT_IN_SQL)
+
+
 _MIN_COST_SQL = """
 SELECT l_partkey, l_suppkey, l_extendedprice
 FROM lineitem l1
