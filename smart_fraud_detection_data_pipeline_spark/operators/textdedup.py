@@ -124,6 +124,12 @@ def ngram_jaccard_pairs(
       prefixes enter the join; candidates verified on full sets via
       array_intersect. Wins on sparse corpora (large vocab, few
       candidates) — the common real-text regime.
+    - method="ppjoin": prefix filtering plus the size filter and the
+      PPJoin positional filter (Xiao et al., WWW'08) — candidate pairs
+      whose positional overlap UPPER BOUND cannot reach the required
+      overlap ⌈t/(1+t)·(|A|+|B|)⌉ are pruned before the verification
+      join ever fetches shingle arrays. Same output, strictly fewer
+      verified pairs; the sparse-corpus scale path.
 
     Hashed join keys never affect exactness: a cross-doc collision adds
     ~2^-64 per shingle pair (≈1e-11 corpus-wide) and candidate
@@ -132,6 +138,76 @@ def ngram_jaccard_pairs(
     sets = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     )
+    if method == "ppjoin":
+        # AllPairs prefix filtering + the PPJoin positional filter
+        # (Xiao et al., WWW'08): candidates still come from prefix
+        # matches, but each pair is pruned BEFORE the expensive
+        # verification join using a positional overlap bound. With m
+        # prefix matches whose largest matched shingle sits at sorted
+        # positions (ma, mb), every further common shingle is greater,
+        # so it lies in the remaining suffixes:
+        #   |A ∩ B| <= m + min(|A|-1-ma, |B|-1-mb)
+        # Jaccard >= t needs |A ∩ B| >= t/(1+t) * (|A|+|B|); pairs whose
+        # bound can't reach that never fetch their shingle arrays. The
+        # size (length) filter prunes grossly mismatched pairs first.
+        sorted_sh = F.array_sort(F.col("sh"))
+        plen = F.size("sh") - F.ceil(F.size("sh") * F.lit(threshold)) + F.lit(1)
+        probe = sets.select(
+            "id",
+            F.size("sh").alias("sz"),
+            F.posexplode(F.slice(sorted_sh, 1, plen)).alias("pos", "shingle"),
+        )
+        if max_df is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("shingle")
+            probe = (
+                probe.withColumn("__df", F.count(F.lit(1)).over(w))
+                .where(F.col("__df") <= max_df)
+                .drop("__df")
+            )
+        a = probe.select(
+            F.col("id").alias("id_a"), F.col("sz").alias("sz_a"),
+            F.col("pos").alias("pos_a"), "shingle",
+        )
+        b = probe.select(
+            F.col("id").alias("id_b"), F.col("sz").alias("sz_b"),
+            F.col("pos").alias("pos_b"), "shingle",
+        )
+        matched = a.join(b, "shingle").where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") >= F.ceil(F.col("sz_a") * F.lit(threshold)))
+            & (F.col("sz_a") >= F.ceil(F.col("sz_b") * F.lit(threshold)))
+        )
+        pairs = matched.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("__m"),
+            F.max("pos_a").alias("__ma"),
+            F.max("pos_b").alias("__mb"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
+        required = F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("sz_a") + F.col("sz_b"))
+        )
+        ubound = F.col("__m") + F.least(
+            F.col("sz_a") - 1 - F.col("__ma"), F.col("sz_b") - 1 - F.col("__mb")
+        )
+        candidates = pairs.where(ubound >= required).select("id_a", "id_b")
+        sa = sets.toDF("id_a", "sh_a")
+        sb = sets.toDF("id_b", "sh_b")
+        return (
+            candidates.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.col("__inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("__inter")),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     if method == "prefix":
         sorted_sh = F.array_sort(F.col("sh"))
         plen = F.size("sh") - F.ceil(F.size("sh") * F.lit(threshold)) + F.lit(1)

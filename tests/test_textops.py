@@ -142,3 +142,43 @@ def test_shingle_index_counts(spark):
     # max_df cut removes shingles shared by all near-dup docs
     cut = TD.shingle_index(df, max_df=1)
     assert cut.count() < idx.count()
+
+
+def test_ppjoin_matches_count_and_prefix_methods(spark, sf_dir):
+    """The PPJoin positional filter is a pure candidate PRUNE: results
+    must equal the exact count-based and prefix-filter methods
+    pair-for-pair on the real corpus."""
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def pairs(method):
+        return {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in TD.ngram_jaccard_pairs(
+                docs, threshold=0.5, method=method
+            ).collect()
+        }
+
+    count_pairs = pairs("count")
+    assert count_pairs  # corpus has planted near-dups
+    assert pairs("ppjoin") == count_pairs
+    assert pairs("prefix") == count_pairs
+
+
+def test_ppjoin_positional_bound_is_safe_on_edge_pairs(spark):
+    """Pairs exactly AT the threshold must survive the positional prune
+    (the bound is an upper bound, never an excluder of true matches)."""
+    rows = [
+        # docs sharing exactly half their 3-gram shingles (jaccard ~0.5 area)
+        Row(doc_id=1, text="a b c d e f g h"),
+        Row(doc_id=2, text="a b c d e x y z"),
+        Row(doc_id=3, text="p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows)
+    for method in ("count", "ppjoin"):
+        got = {
+            (r.id_a, r.id_b)
+            for r in TD.ngram_jaccard_pairs(df, threshold=0.3, method=method).collect()
+        }
+        assert got == {(1, 2)}
