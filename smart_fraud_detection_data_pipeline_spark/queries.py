@@ -862,6 +862,34 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "lang_id_confusion",
+    f"""
+WITH scored AS (
+  SELECT lang, {{lang_scores}},
+         CASE {{lang_cases}}
+         ELSE 'unknown' END AS lang_pred
+  FROM documents
+)
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM scored GROUP BY lang, lang_pred
+""".format(lang_scores=_LANG_SCORES, lang_cases=_LANG_CASES),
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-quality audit as a query: the language-ID heuristic's
+    confusion matrix against the corpus's ground-truth `lang` labels —
+    one map-only scoring pass plus a tiny two-key aggregate. The shape
+    every heuristic/model in a data pipeline should ship with: its
+    accuracy is a QUERY, re-checked on every corpus, not a one-off
+    notebook number."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TS.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_register(
     "time_layout_scan",
     """
 SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
