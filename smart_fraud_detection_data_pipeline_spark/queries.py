@@ -2995,6 +2995,92 @@ def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cohort_retention",
+    """
+WITH activity AS (
+  SELECT DISTINCT o_custkey,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month
+  FROM orders
+)
+SELECT cohort, month, COUNT(*) AS n_active
+FROM (SELECT o_custkey, month,
+             MIN(month) OVER (PARTITION BY o_custkey) AS cohort
+      FROM activity)
+GROUP BY cohort, month
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers bucketed by first-order month,
+    counted in every month they ordered again. The cohort label comes
+    from a window MIN over the already-deduplicated activity — no
+    second scan of orders and no join against a firsts table; at scale
+    the whole query is the one distinct-shuffle plus a window pass."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    activity = orders.select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey")
+    return (
+        activity.withColumn("cohort", F.min("month").over(w))
+        .groupBy("cohort", "month")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@_register(
+    "user_funnel",
+    """
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN t_signup < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+       CAST(SUM(CASE WHEN t_signup < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM stages
+""",
+)
+def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → click → purchase): one
+    conditional-MIN aggregate per stage, then ordering predicates — the
+    whole funnel is a single shuffle on user_id plus a scalar rollup,
+    the shape that replaces N self-joins in naive funnel SQL (and at
+    100 TB, N self-joins is the difference between minutes and hours).
+    NULL stage times fall out of the < comparisons unharmed (three-
+    valued logic: UNKNOWN counts as not-converted)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        stage("signup").alias("t_signup"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    conv = (F.col("t_signup") < F.col("t_click")) & (
+        F.col("t_click") < F.col("t_purchase")
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_signup"),
+        F.sum(F.when(F.col("t_signup") < F.col("t_click"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clicked_after"),
+        F.sum(F.when(conv, 1).otherwise(0)).cast("bigint").alias("n_converted"),
+    )
+
+
+@_register(
     "orders_cube",
     """
 SELECT o_orderstatus, o_orderpriority,
