@@ -3013,15 +3013,21 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: customers bucketed by first-order month,
     counted in every month they ordered again. The cohort label comes
     from a window MIN over the already-deduplicated activity — no
-    second scan of orders and no join against a firsts table; at scale
-    the whole query is the one distinct-shuffle plus a window pass."""
+    second scan of orders and no join against a firsts table. The
+    explicit repartition on o_custkey makes ONE exchange serve both the
+    (custkey, month) distinct (subset clustering) and the per-customer
+    window — 2 shuffles total instead of 3 (plan-pinned)."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
-    activity = orders.select(
-        "o_custkey",
-        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
-    ).distinct()
+    activity = (
+        orders.select(
+            "o_custkey",
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .repartition("o_custkey")
+        .distinct()
+    )
     w = Window.partitionBy("o_custkey")
     return (
         activity.withColumn("cohort", F.min("month").over(w))

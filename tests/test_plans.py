@@ -95,6 +95,17 @@ def test_scalar_subquery_avg_prefilters_before_agg(spark, sf_dir):
     assert c["nested_loop_join"] == 0
 
 
+def test_cohort_and_funnel_shuffle_budgets(spark, sf_dir):
+    """Cohort: the custkey repartition serves distinct AND window — 2
+    exchanges total. Funnel: per-user conditional MINs then a scalar
+    rollup — 2 exchanges, no self-joins at all."""
+    cohort = X.plan_counts(Q["cohort_retention"](spark, sf_dir))
+    assert cohort["exchange"] == 2
+    funnel = X.plan_counts(Q["user_funnel"](spark, sf_dir))
+    assert funnel["exchange"] == 2
+    assert funnel["sort_merge_join"] == funnel["broadcast_hash_join"] == 0
+
+
 def test_correlated_min_where_decorrelates(spark, sf_dir):
     """Q2 shape: correlated scalar MIN in WHERE must become one per-key
     aggregate (partial+final) joined back — 1 exchange, no nested loop."""
