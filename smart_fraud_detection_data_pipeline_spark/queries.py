@@ -2299,6 +2299,131 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(tmp, "out"))
 
 
+_OUTER_SRC: dict[str, str] = {}
+
+
+def _staged_outer_source(spark: SparkSession, sf_dir: str) -> str:
+    """The two time-ordered event files plus a far-future SENTINEL file
+    (one unmatchable row a day past the data): outer stream-stream
+    joins emit their NULL rows only when the watermark evicts the
+    unmatched left rows, so the fixture must advance event time past
+    every row's join horizon or the tail of the outer result never
+    appears. Memoized; staged off the bench clock via prepare."""
+    if sf_dir not in _OUTER_SRC:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value", "event_type"
+        )
+        src = _scratch("outer_stream_src_")
+        cut = ev.select(
+            F.expr(f"percentile_approx(ts, 0.5, {2**16})").alias("c")
+        ).collect()[0][0]
+        ev.where(F.col("ts") < F.lit(cut)).coalesce(1).write.mode("append").parquet(src)
+        ev.where(F.col("ts") >= F.lit(cut)).coalesce(1).write.mode("append").parquet(src)
+        # TWO sentinel files (the first advances the watermark past every
+        # join horizon; eviction runs in the batch AFTER a watermark
+        # update, which the second file guarantees), each carrying one
+        # row PER JOIN SIDE: Catalyst pushes deterministic filters below
+        # the EventTimeWatermark node, so a sentinel that a side's
+        # filter drops never reaches that side's event-time stats and
+        # the watermark silently stalls (observed: left watermark stuck
+        # at the last error). The 'error'-typed row (user -1) rides the
+        # left filter, the 'view' row (user -2) the right side; neither
+        # can match anything, and the query strips err_id < 0 from the
+        # read-back where no pushdown applies.
+        for days in (1, 2):
+            base = ev.agg((F.max("ts") + F.expr(f"INTERVAL {days} DAY")).alias("ts"))
+            sentinel = base.selectExpr(
+                "stack(2, -1L, -1L, ts, 0.0D, 'error', -2L, -2L, ts, 0.0D, 'view') "
+                "AS (event_id, user_id, ts, value, event_type)"
+            )
+            sentinel.coalesce(1).write.mode("append").parquet(src)
+        _OUTER_SRC[sf_dir] = src
+    return _OUTER_SRC[sf_dir]
+
+
+@_register(
+    "stream_stream_left_join",
+    """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+)
+SELECT a.event_id AS err_id, b.event_id AS follow_id
+FROM (SELECT * FROM e WHERE event_type = 'error') a
+LEFT JOIN e b
+  ON b.user_id = a.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+""",
+    prepare=lambda spark, sf_dir: _staged_outer_source(spark, sf_dir),
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: matched pairs emit on arrival like
+    the inner join, but an error with NO follow-up emits its NULL row
+    only when the watermark proves none can still arrive (state
+    eviction) — the semantics that make outer results correct under
+    late data instead of prematurely declaring non-matches. The staged
+    sentinel row advances the final watermark past every error's
+    horizon so the appended output equals the batch LEFT interval join
+    exactly. The sentinel matches nothing: its user_id is unmatchable
+    and, being no error, it contributes no left row."""
+    import os
+
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = _staged_outer_source(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    errors = (
+        reader()
+        .where(F.col("event_type") == "error")  # keeps the error sentinel
+        .select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("err_time"),
+        )
+        .withWatermark("err_time", "15 minutes")
+    )
+    follows = (
+        reader()
+        .select(
+            F.col("event_id").alias("follow_id"),
+            F.col("user_id").alias("f_user"),
+            F.col("ts").cast("timestamp").alias("f_time"),
+        )
+        .withWatermark("f_time", "15 minutes")
+    )
+    pairs = errors.join(
+        follows,
+        (F.col("user_id") == F.col("f_user"))
+        & (F.col("f_time") > F.col("err_time"))
+        & (F.col("f_time") <= F.col("err_time") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select("err_id", "follow_id")
+    tmp = _scratch("ss_left_join_out_")
+    with _shuffle_partitions(spark, 8):
+        q = SK.start_foreach_batch(
+            pairs,
+            SK.parquet_batch_sink(os.path.join(tmp, "out"), partitions=None),
+            os.path.join(tmp, "ckpt"),
+            output_mode="append",
+            available_now=True,
+            query_name="stream_stream_left_join",
+        )
+        q.awaitTermination(300)
+    # strip the left sentinels' own (unmatched) emissions — a batch-side
+    # filter, immune to the streaming pushdown that motivated them
+    return spark.read.parquet(os.path.join(tmp, "out")).where(
+        F.col("err_id") >= 0
+    )
+
+
 @_register(
     "session_windows_streaming",
     None,  # oracle attached below
