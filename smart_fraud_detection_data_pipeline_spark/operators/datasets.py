@@ -92,3 +92,30 @@ def pack_sequences(
     return out.withColumn(
         "seq_pos", F.row_number().over(pos_w).cast("bigint")
     )
+
+
+def stratified_sample_exact_k(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly k rows per stratum, chosen by md5 order — a deterministic
+    reservoir sample. Unlike sampleBy (Bernoulli per-row: approximate
+    counts, RNG-seeded, engine-specific), ranking by a keyed hash gives
+    EXACT per-stratum counts, reproducibility across runs and engines,
+    and stability under row order. One shuffle on the stratum key; the
+    per-partition WindowGroupLimit keeps only k rows per stratum below
+    the exchange, so skewed strata never materialize their full rank.
+    Ties are impossible (md5 of distinct ids is distinct), and the id
+    tiebreak pins the order anyway.
+    """
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -506,3 +506,53 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def cross_corpus_containment(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: for each eval document, the fraction
+    of its distinct word n-grams that appear ANYWHERE in the training
+    corpus (the asymmetric cousin of dedup — containment of eval in
+    train, not pairwise similarity).
+
+    Scale shape: the eval set is always tiny next to a 100 TB training
+    corpus, so the train side is NEVER shuffled. The distinct eval
+    n-gram set broadcasts into a map-side semi-join over the exploded
+    train corpus; the surviving ("contaminated") n-grams — at most
+    |eval grams|, small — aggregate and broadcast back onto the eval
+    grams. Two broadcast joins, zero train-side exchanges; the only
+    shuffles are over eval-sized frames.
+
+    Returns (id, n_grams, n_hit, hit_frac, contaminated); hit_frac is
+    rounded to 6 dp for cross-engine hash stability.
+    """
+    ev_grams = eval_df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    ev_gram_set = ev_grams.select("shingle").distinct()
+    hit_grams = (
+        train.select(F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .join(F.broadcast(ev_gram_set), "shingle", "left_semi")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    frac = F.round(
+        F.col("n_hit").cast("double") / F.col("n_grams").cast("double"), 6
+    )
+    return (
+        ev_grams.join(F.broadcast(hit_grams), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .withColumn("hit_frac", frac)
+        .withColumn("contaminated", F.col("hit_frac") >= threshold)
+    )

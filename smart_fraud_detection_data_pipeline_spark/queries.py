@@ -3313,3 +3313,308 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+@_register(
+    "nation_trade_volume",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+) v
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The nation filter is pushed into BOTH dimension arms
+    before they touch the facts — customer and supplier each shrink to
+    2/25 of their rows and broadcast; the only big-big join left is
+    lineitem ⋈ (orders ⋈ customer), a single shuffle on the order key,
+    and AQE collapses even that to a broadcast once the customer filter
+    has cut the orders side. The asymmetric pair predicate runs after
+    both nation tags are attached, exactly as written in the oracle."""
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_register(
+    "large_volume_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       big.total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers who placed orders above a total-
+    quantity threshold (GROUP BY + HAVING feeding a join). The heavy
+    aggregation is ONE shuffle over lineitem on the order key with
+    map-side partial sums; the HAVING cut shrinks its output ~5×
+    before it meets orders, and the surviving keys broadcast into the
+    orders scan so the fact table never shuffles. Top-100 compiles to
+    TakeOrderedAndProject — no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum_double("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@_register(
+    "late_sole_suppliers",
+    """
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY l.l_orderkey, l.l_suppkey
+),
+po AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+  FROM li GROUP BY l_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM li
+JOIN po ON po.l_orderkey = li.l_orderkey
+JOIN supplier s ON s.s_suppkey = li.l_suppkey
+WHERE li.late = 1 AND po.n_supp > 1 AND po.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+""",
+)
+def q_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: testdata lineitem has no commit/receipt
+    dates, so 'late' = shipped >60 days after the order date): suppliers
+    who were the ONLY late supplier on a multi-supplier order. The
+    textbook form is EXISTS + NOT EXISTS — two correlated self-joins of
+    the fact table. Here both are collapsed into one two-level
+    aggregation: per (order, supplier) late flags, then per-order
+    supplier/late counts, re-joined on the already-partitioned order
+    key. An explicit repartition(l_orderkey) pays the ONE fact shuffle
+    up front; both aggregation levels and the self-join then run
+    exchange-free on that partitioning (ClusteredDistribution on
+    (okey, skey) is satisfied by hash(okey)). Skipping map-side combine
+    is deliberate — lineitem carries ~1 row per (order, supplier), so
+    pre-aggregation would shrink nothing. The per-(order,supplier)
+    frame is persisted because it feeds both levels and Catalyst will
+    not CSE a reused subplan (CLAUDE.md invariant)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"), 1
+    ).otherwise(0)
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+        .persist()
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_os.where(F.col("late") == 1)
+        .join(per_o.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)), "l_orderkey")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+_IDLE_RICH_SQL = """
+WITH stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0.0e0
+)
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, stats
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * stats.n > stats.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_nationkey
+"""
+
+
+@_register("idle_rich_customers", _IDLE_RICH_SQL)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no RECENT order (the testdata's dense FK coverage makes the
+    literal no-order-ever predicate empty, so idleness is dated),
+    counted per nation. Same dialect-portable text on
+    both engines. The average threshold is written as an exact decimal
+    cross-multiply (bal * n > sum) instead of a floating AVG — Spark
+    and DuckDB round decimal division differently at the last bit, and
+    a customer sitting exactly on the boundary would flip; integers and
+    decimals compare exactly. Catalyst plans the 1-row stats CTE as a
+    broadcast nested-loop (a scalar, effectively free) and the NOT
+    EXISTS as a shuffled left anti join on the customer key — the only
+    shuffle that grows with data."""
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir, names=("customer", "orders"))
+    return spark.sql(_IDLE_RICH_SQL)
+
+
+_DECON_N = 8  # shingle width: long enough to be discriminative
+_DECON_THRESHOLD = 0.5
+
+
+@_register(
+    "doc_decontaminate",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {_DECON_N - 1}, 1)),
+           i -> array_to_string(t[i:i + {_DECON_N - 1}], ' '))) AS gs
+  FROM toks
+),
+ev AS (SELECT doc_id, unnest(gs) AS shingle FROM grams WHERE doc_id % 10 = 0),
+tr AS (SELECT DISTINCT unnest(gs) AS shingle FROM grams WHERE doc_id % 10 <> 0)
+SELECT ev.doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hit_frac,
+       round(CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) >= {_DECON_THRESHOLD}e0 AS contaminated
+FROM ev LEFT JOIN tr ON ev.shingle = tr.shingle
+GROUP BY ev.doc_id
+""",
+)
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 10th document plays the eval
+    set; for each, the fraction of its distinct 8-gram shingles found
+    anywhere in the remaining (training) corpus. The train side is
+    never shuffled — the eval gram set broadcasts into a map-side
+    semi-join over the exploded train corpus, and the surviving grams
+    broadcast back (operators/textdedup.cross_corpus_containment).
+    Mirrors the reference's enrich-against-static pattern
+    (src/spark/jobs/spark.py:131-141) turned asymmetric: containment
+    of a small corpus in a huge one."""
+    from smart_fraud_detection_data_pipeline_spark.operators.textdedup import (
+        cross_corpus_containment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    tr = docs.where(F.col("doc_id") % 10 != 0)
+    return cross_corpus_containment(
+        tr, ev, n=_DECON_N, threshold=_DECON_THRESHOLD
+    )
+
+
+_SAMPLE_K = 5
+
+
+@_register(
+    "doc_sample_stratified",
+    f"""
+SELECT doc_id, source, lang, n_chars
+FROM (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= {_SAMPLE_K}
+""",
+)
+def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly {k} documents per
+    source, chosen by md5 order (a keyed reservoir — reproducible
+    across runs, engines and row order, unlike Bernoulli sampleBy).
+    One shuffle on the stratum key; the rank<=k filter compiles to
+    WindowGroupLimit, so each map partition forwards at most k rows
+    per stratum into the exchange — skewed strata never materialize
+    (plan-pinned)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from smart_fraud_detection_data_pipeline_spark.operators.datasets import (
+        stratified_sample_exact_k,
+    )
+
+    return stratified_sample_exact_k(
+        docs, strata_col="source", k=_SAMPLE_K
+    ).select("doc_id", "source", "lang", "n_chars")

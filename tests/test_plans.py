@@ -191,3 +191,71 @@ def test_text_profile_is_map_only(spark, sf_dir):
     c = X.plan_counts(Q["doc_profile"](spark, sf_dir))
     assert c["exchange"] == 0
     assert c["sort_merge_join"] == 0
+
+
+def test_nation_trade_volume_dims_broadcast(spark, sf_dir):
+    """Q7 shape: both nation-filtered dimension arms (customer+nation,
+    supplier+nation) must broadcast — the only shuffle that grows with
+    data is the fact-side order-key join/agg."""
+    df = Q["nation_trade_volume"](spark, sf_dir)
+    c = X.plan_counts(df)
+    assert c["broadcast_hash_join"] >= 4
+    assert c["sort_merge_join"] == 0
+    assert c["nested_loop_join"] == 0
+
+
+def test_large_volume_customers_single_fact_shuffle(spark, sf_dir):
+    """Q18 shape: exactly one data-sized shuffle (the lineitem order-key
+    aggregation); the HAVING survivors broadcast into orders and the
+    top-100 compiles to TakeOrderedAndProject, not a global sort."""
+    df = Q["large_volume_customers"](spark, sf_dir)
+    c = X.plan_counts(df)
+    assert c["exchange"] == 1
+    assert c["broadcast_hash_join"] == 2
+    assert "TakeOrderedAndProject" in X.executed_plan(df)
+
+
+def test_late_sole_suppliers_shares_orderkey_partitioning(spark, sf_dir):
+    """Q21 shape: EXISTS + NOT EXISTS collapsed into a two-level
+    aggregation over ONE explicit order-key repartition; both levels
+    and the self-join reuse that partitioning (the cached frame), and
+    nothing falls back to a nested loop."""
+    df = Q["late_sole_suppliers"](spark, sf_dir)
+    plan = X.executed_plan(df)
+    assert "REPARTITION_BY_COL" in plan  # the single fact shuffle
+    assert "InMemoryTableScan" in plan  # both levels read the cached frame
+    assert X.plan_counts(df)["nested_loop_join"] == 0
+
+
+def test_idle_rich_customers_anti_join_and_scalar_stats(spark, sf_dir):
+    """Q22 shape: NOT EXISTS must decorrelate to a hash anti-join (never
+    a per-row re-scan of orders); the 1-row stats CTE joins as a
+    broadcast nested loop, which is scalar and free."""
+    df = Q["idle_rich_customers"](spark, sf_dir)
+    plan = X.executed_plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan.split("LeftAnti")[1]
+
+
+def test_decontaminate_never_shuffles_train_side(spark, sf_dir):
+    """Decontamination: the training corpus is the 100 TB side — it may
+    only be read map-side (broadcast semi-join of the eval gram set).
+    The exchanges in the plan are all eval-sized: eval-gram distinct,
+    hit-gram distinct, final per-doc agg."""
+    df = Q["doc_decontaminate"](spark, sf_dir)
+    c = X.plan_counts(df)
+    assert c["broadcast_hash_join"] == 2  # semi-join in, hit set back
+    assert c["sort_merge_join"] == 0
+    assert c["exchange"] == 3
+    assert "LeftSemi" in X.executed_plan(df)
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
+    """Exact-k stratified sampling must push the rank<=k cut below the
+    stratum shuffle (WindowGroupLimit): each map partition forwards at
+    most k rows per stratum, so a skewed stratum never materializes its
+    full rank."""
+    df = Q["doc_sample_stratified"](spark, sf_dir)
+    plan = X.executed_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert X.plan_counts(df)["exchange"] == 1
