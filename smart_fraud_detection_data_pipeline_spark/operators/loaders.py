@@ -104,3 +104,81 @@ def write_time_layout(
     df.repartitionByRange(n_ranges, F.col(ts_col)).write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def _interleave_bits(quantized: Sequence, bits: int):
+    """Morton (Z-order) code: round-robin interleave of the given
+    already-quantized non-negative int columns, column 0 in the most
+    significant lane. Pure shift/mask expressions — JVM-side, codegen."""
+    k = len(quantized)
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, q in enumerate(quantized):
+            bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
+            pos = i * k + (k - 1 - j)
+            z = z.bitwiseOR(F.shiftleft(bit, pos))
+    return z
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], *, bits: int = 12
+) -> tuple[DataFrame, "F.Column"]:
+    """Attach a Z-order key over `cols` (numeric/timestamp): each column
+    is min-max quantized to `bits` bits (one tiny scalar agg for the
+    bounds, broadcast back), then bit-interleaved into one bigint.
+
+    Sorting by this key clusters rows so that every contiguous key range
+    maps to a small axis-aligned region of the multi-column space —
+    parquet min/max footer stats become tight on EVERY participating
+    column at once, where a single-column sort gives tight stats on one
+    column and full-span stats on the rest. k*bits must fit a bigint
+    (k*bits <= 62).
+    """
+    if len(cols) * bits > 62:
+        raise ValueError("k*bits must fit in a signed 64-bit key")
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__min_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__max_{c}") for c in cols],
+    )
+    b = df.join(F.broadcast(bounds), F.lit(True))  # 1-row bounds broadcast in
+    top = (1 << bits) - 1
+    quantized = []
+    for c in cols:
+        lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        q = F.least(
+            F.floor((F.col(c).cast("double") - lo) / span * top).cast("bigint"),
+            F.lit(top).cast("bigint"),
+        )
+        quantized.append(q)
+    keyed = b.withColumn("__z", _interleave_bits(quantized, bits)).drop(
+        *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]
+    )
+    return keyed, F.col("__z")
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    *,
+    cols: Sequence[str],
+    bits: int = 12,
+    n_ranges: int = 32,
+) -> None:
+    """Z-order-clustered file layout: the multi-column generalization of
+    write_time_layout. Range-repartition + in-partition sort on the
+    Morton key gives every output file a narrow key range = a compact
+    region of the (col1, col2, ...) space, so a predicate on ANY subset
+    of the z-columns skips most files on parquet min/max stats alone —
+    the standard lakehouse OPTIMIZE ZORDER BY, done with two exchanges'
+    worth of plan (scalar bounds agg + range exchange) and no table
+    format. Skew in any column becomes file-size skew (range boundaries
+    are sampled), never a failure."""
+    keyed, z = zorder_key(df, cols, bits=bits)
+    (
+        keyed.repartitionByRange(n_ranges, z)
+        .sortWithinPartitions(z)
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -3618,3 +3618,33 @@ def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_exact_k(
         docs, strata_col="source", k=_SAMPLE_K
     ).select("doc_id", "source", "lang", "n_chars")
+
+
+@_register(
+    "zorder_layout_scan",
+    """
+SELECT event_id, user_id, value
+FROM events
+WHERE user_id BETWEEN 10 AND 19 AND value BETWEEN 50.0e0 AND 80.0e0
+""",
+)
+def q_zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered layout round-trip: events rewritten via
+    write_zorder_layout on (user_id, value) — the multi-column
+    generalization of the time layout; Morton-key range partitioning
+    gives every file a compact rectangle of the (user_id, value) plane,
+    so this two-column window scan skips most files on parquet min/max
+    stats alone (per-file bounding-box tightness pinned in
+    tests/test_loaders.py). Values must survive the rewrite exactly."""
+    import os
+
+    from smart_fraud_detection_data_pipeline_spark.operators.loaders import (
+        write_zorder_layout,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = os.path.join(_scratch("zorder_layout_"), "events_zorder")
+    write_zorder_layout(ev, path, cols=("user_id", "value"), n_ranges=16)
+    return spark.read.parquet(path).where(
+        F.col("user_id").between(10, 19) & F.col("value").between(50.0, 80.0)
+    )

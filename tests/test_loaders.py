@@ -117,3 +117,74 @@ def test_time_layout_files_have_disjoint_ts_ranges(spark, sf_dir, tmp_path):
     assert len(spans) >= 4  # multiple real files came out
     for (a_min, a_max), (b_min, b_max) in zip(spans, spans[1:]):
         assert a_max <= b_min  # disjoint (boundary equality allowed)
+
+
+def test_zorder_layout_files_have_tight_bounding_boxes(spark, sf_dir, tmp_path):
+    """write_zorder_layout: each file's (user_id, value) parquet-footer
+    bounding box must cover a small fraction of the full domain area —
+    the property that lets a predicate on EITHER column skip files. A
+    single-column sort would give ~full-span boxes on the other column
+    (area fraction ~1/n_files only on one axis); Morton clustering
+    bounds BOTH axes, so the mean area fraction stays well below the
+    1/n_files of a one-axis layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from smart_fraud_detection_data_pipeline_spark.operators.loaders import (
+        write_zorder_layout,
+    )
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    lo_u, hi_u, lo_v, hi_v = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    domain_area = (hi_u - lo_u) * (hi_v - lo_v)
+
+    path = str(tmp_path / "zorder")
+    write_zorder_layout(ev, path, cols=("user_id", "value"), n_ranges=16)
+
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) >= 8
+    fracs = []
+    for f in files:
+        md = pq.read_metadata(f)
+        iu = md.schema.names.index("user_id")
+        iv = md.schema.names.index("value")
+        us, vs = [], []
+        for rg in range(md.num_row_groups):
+            su = md.row_group(rg).column(iu).statistics
+            sv = md.row_group(rg).column(iv).statistics
+            us += [su.min, su.max]
+            vs += [sv.min, sv.max]
+        fracs.append((max(us) - min(us)) * (max(vs) - min(vs)) / domain_area)
+    mean_frac = sum(fracs) / len(fracs)
+    # 16 z-ranges over a 2-D domain -> boxes around 1/16 of the area;
+    # a one-axis sort floors at ~1/16 on one axis * 1.0 on the other.
+    assert mean_frac < 0.30, f"bounding boxes too loose: {mean_frac:.3f}"
+    # and values survive the rewrite exactly
+    assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_zorder_key_is_morton_code(spark):
+    """zorder_key bit-interleave sanity on a known grid: quantization is
+    identity on [0, 2^bits) ints, and the interleave of (x=3, y=5) with
+    col 0 in the high lane must be the textbook Morton code."""
+    from smart_fraud_detection_data_pipeline_spark.operators.loaders import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    )
+    keyed, z = zorder_key(df, ["x", "y"], bits=3)
+    got = {(r.x, r.y): r["__z"] for r in keyed.select("x", "y", "__z").collect()}
+
+    def morton(x, y, bits=3):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i + 1)
+            out |= ((y >> i) & 1) << (2 * i)
+        return out
+
+    assert got[(3, 5)] == morton(3, 5)
+    assert all(got[(x, y)] == morton(x, y) for x in range(8) for y in range(8))
