@@ -49,9 +49,24 @@ def connected_components(
     (src, dst). Isolated vertices keep their own id as component.
     Returns (id, component).
     """
+    # Symmetric closure via ONE in-row explode — a union of two selects
+    # over `edges` would embed the (possibly expensive — similarity
+    # join!) edge subplan twice in the plan, and Catalyst does not CSE
+    # reused subplans (measured: halves doc_dup_components edge cost).
     und = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -65,12 +80,20 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("n_comp"))
         )
-        hop = labels.join(neighbor_min, labels.id == neighbor_min.a, "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
-            ).alias("component"),
-            F.col("component").alias("__prev"),
+        hop = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+                F.col("component").alias("__prev"),
+            )
+            # hop feeds BOTH the jump probe and the jump join below;
+            # without materialization Catalyst re-computes the whole
+            # neighbor-min join once per consumer (no subplan CSE) —
+            # measured 2x the round cost.
+            .localCheckpoint()
         )
         # Pointer jump (shortcutting): adopt the label's own label, so
         # chains collapse geometrically — O(log diameter) rounds.
