@@ -259,3 +259,43 @@ def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
     plan = X.executed_plan(df)
     assert "WindowGroupLimit" in plan
     assert X.plan_counts(df)["exchange"] == 1
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """Runtime filter injection (the 100 TB lever when the dim side is
+    too big to broadcast): with broadcast off, a selective dimension
+    filter must still reach the fact side as a bloom-filter
+    might_contain predicate ABOVE the scan — rows drop before the
+    shuffle, turning a full-fact exchange into a filtered one. The two
+    size thresholds are lowered only because local testdata sits far
+    under the 10 GB production defaults."""
+    from pyspark.sql import functions as F
+
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = X.executed_plan(j)
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

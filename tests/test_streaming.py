@@ -451,3 +451,72 @@ def test_stream_stream_join_pairs_across_batches(spark, tmp_path):
            for r in spark.read.parquet(os.path.join(out, "data")).collect()}
     # (1,2) same batch; (1,4) and (3,5) cross the batch boundary; (3,6) out of window
     assert got == {(1, 2), (1, 4), (3, 5)}
+
+
+def test_rocksdb_state_store_provider_runs_stateful_agg(spark, tmp_path):
+    """The production state backend: HDFSBackedStateStoreProvider keeps
+    every key in executor heap — at 100 TB of keyed state that is an
+    OOM, and RocksDB (on-disk, incremental-checkpoint) is the provider
+    a real deployment runs. Pin that the engine's stateful operators
+    work unchanged under it: same windowed aggregate, same results as
+    the batch answer; only the session conf differs."""
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+
+    d = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    rows = [(i, f"2024-01-01 00:{i:02d}:00", float(i)) for i in range(40)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts_str string, value double"
+    ).select("event_id", F.col("ts_str").cast("timestamp_ntz").alias("ts"), "value")
+    ev.where(F.col("event_id") < 20).coalesce(1).write.mode("append").parquet(d)
+    ev.where(F.col("event_id") >= 20).coalesce(1).write.mode("append").parquet(d)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        agg = (
+            spark.readStream.schema(spark.read.parquet(d).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .withColumn("event_time", F.col("ts").cast("timestamp"))
+            .withWatermark("event_time", "15 minutes")
+            .groupBy(F.window("event_time", "10 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .select(F.col("window.start").alias("w_start"), "n", "total")
+        )
+        q = SK.start_foreach_batch(
+            agg,
+            SK.parquet_batch_sink(os.path.join(out, "data"), partitions=None),
+            os.path.join(out, "ckpt"),
+            output_mode="append",
+            available_now=True,
+            query_name="rocksdb_state_test",
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    got = {
+        r.w_start: (r.n, r.total)
+        for r in spark.read.parquet(os.path.join(out, "data")).collect()
+    }
+    batch = {
+        r.w_start: (r.n, r.total)
+        for r in (
+            spark.read.parquet(d)
+            .groupBy(F.window(F.col("ts").cast("timestamp"), "10 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .select(F.col("window.start").alias("w_start"), "n", "total")
+            # append emits only windows whose END <= the final watermark
+            # (max event 00:39 - 15 min = 00:24 -> the first two windows)
+            .where(F.col("w_start") < F.lit("2024-01-01 00:20:00").cast("timestamp"))
+        ).collect()
+    }
+    assert got == batch and len(got) == 2
