@@ -3648,3 +3648,92 @@ def q_zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).where(
         F.col("user_id").between(10, 19) & F.col("value").between(50.0, 80.0)
     )
+
+
+@_register(
+    "returnflag_priority_mix",
+    """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '2000-01-01'
+  AND l.l_shipdate < TIMESTAMP '2001-01-01'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+)
+def q_returnflag_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (testdata lineitem carries no shipmode, so the
+    group key is l_returnflag): order-priority mix per line class via
+    conditional sums — the CASE-pivot-after-join pattern. The year
+    filter pushes into the lineitem scan; orders joins on the order key
+    and the two counts fold in one aggregation (partial map-side). A
+    3-row ORDER BY is a no-op at any scale."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "promo_revenue_pct",
+    """
+SELECT 100.0e0 * (
+         CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       ) AS promo_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '2000-03-01'
+  AND l.l_shipdate < TIMESTAMP '2000-04-01'
+""",
+)
+def q_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO parts —
+    conditional ratio aggregate. Part broadcasts into the filtered
+    lineitem scan (month predicate pushed down); both sums accumulate
+    in exact decimal and the single final division runs on two exact
+    doubles, so the ratio is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("2000-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * (
+                    F.sum(promo_rev).cast("double")
+                    / F.sum(rev).cast("double")
+                )
+            ).alias("promo_revenue")
+        )
+    )
