@@ -528,17 +528,26 @@ def cross_corpus_containment(
     train corpus; the surviving ("contaminated") n-grams — at most
     |eval grams|, small — aggregate and broadcast back onto the eval
     grams. Two broadcast joins, zero train-side exchanges; the only
-    shuffles are over eval-sized frames.
+    shuffles are over eval-sized frames. Grams travel as xxhash64 keys,
+    never strings (8 bytes instead of tens; same ~2^-64-per-pair
+    collision budget the exact-Jaccard count path documents).
 
     Returns (id, n_grams, n_hit, hit_frac, contaminated); hit_frac is
     rounded to 6 dp for cross-engine hash stability.
     """
     ev_grams = eval_df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+        F.col(id_col),
+        F.explode(
+            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("shingle"),
     )
     ev_gram_set = ev_grams.select("shingle").distinct()
     hit_grams = (
-        train.select(F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        train.select(
+            F.explode(
+                F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+            ).alias("shingle")
+        )
         .join(F.broadcast(ev_gram_set), "shingle", "left_semi")
         .distinct()
         .withColumn("__hit", F.lit(1))

@@ -3737,3 +3737,43 @@ def q_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue")
         )
     )
+
+
+@_register(
+    "salted_user_join",
+    """
+SELECT e.event_id, e.user_id, c.c_name,
+       CAST(e.value AS DOUBLE) AS value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.event_type = 'purchase'
+""",
+)
+def q_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key equi-join via salting (operators/skew.salted_inner_join):
+    the fact side is salted on a deterministic row hash, the dimension
+    side replicated across all salt values, and the join runs on
+    (key, salt) — a hot user spreads over `buckets` tasks instead of
+    one straggler. The oracle is the PLAIN inner join: salting must be
+    invisible in the result. Use when the dim side is too big to
+    broadcast and AQE's skew split can't help (single hot KEY, not just
+    a hot partition)."""
+    from smart_fraud_detection_data_pipeline_spark.operators.skew import (
+        salted_inner_join,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_name")
+    )
+    joined = salted_inner_join(
+        ev,
+        cust.withColumnRenamed("c_custkey", "user_id"),
+        "user_id",
+        salt_from=F.col("event_id"),
+    )
+    return joined.select("event_id", "user_id", "c_name", "value")
