@@ -3777,3 +3777,57 @@ def q_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_from=F.col("event_id"),
     )
     return joined.select("event_id", "user_id", "c_name", "value")
+
+
+@_register(
+    "kafka_serde_roundtrip",
+    """
+SELECT 'T' || CAST(event_id + 1000000 AS VARCHAR) AS transaction_id,
+       CAST(user_id AS INTEGER) AS user_id,
+       CAST(event_id % 500 + 1 AS INTEGER) AS product_id,
+       'S' || CAST(event_id % 5 + 1 AS VARCHAR) AS store_id,
+       value AS amount,
+       event_type AS payment_method,
+       ['USA','UK','Germany','India'][CAST(user_id % 4 AS INTEGER) + 1] AS country,
+       ts AS "timestamp"
+FROM events
+""",
+)
+def q_kafka_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2→S3 serde, hash-checked: events mapped to the reference
+    transaction shape, pushed through the Kafka sink's keyed-JSON
+    encoder (to_json, microsecond timestamp format) and back through
+    the source's PERMISSIVE decoder (from_json on TRANSACTION_SCHEMA).
+    The oracle is the IDENTITY mapping — any byte the serde loses
+    (sub-second truncation, double re-rounding, null coercion) breaks
+    the hash. This is the whole Kafka data path minus the socket; the
+    connector wiring around it is option-pinned in tests/test_kafka.py.
+    Ref: transaction_producer.py:35-41, consumer.py:84."""
+    from smart_fraud_detection_data_pipeline_spark.sources.kafka import (
+        decode_transactions,
+        encode_transactions,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    countries = F.array(
+        F.lit("USA"), F.lit("UK"), F.lit("Germany"), F.lit("India")
+    )
+    tx = ev.select(
+        F.concat(F.lit("T"), (F.col("event_id") + 1000000).cast("string")).alias(
+            "transaction_id"
+        ),
+        F.col("user_id").cast("int").alias("user_id"),
+        (F.col("event_id") % 500 + 1).cast("int").alias("product_id"),
+        F.concat(F.lit("S"), (F.col("event_id") % 5 + 1).cast("string")).alias(
+            "store_id"
+        ),
+        F.col("value").alias("amount"),
+        F.col("event_type").alias("payment_method"),
+        F.element_at(countries, (F.col("user_id") % 4).cast("int") + 1).alias(
+            "country"
+        ),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+    )
+    wire = encode_transactions(tx)  # (key, value) keyed JSON — S2's payload
+    decoded = decode_transactions(wire)
+    return decoded.withColumn("timestamp", F.col("timestamp").cast("timestamp_ntz"))
