@@ -40,3 +40,31 @@ def make_trimmed_mean(trim: float = 0.1):
         return float(cents) / 100.0 / len(kept)
 
     return trimmed_mean
+
+
+def make_robust_zscore(schema: str):
+    """Build the GROUPED_MAP (applyInPandas) transform: per-group robust
+    z-score (value - median) / MAD, emitted row-per-row. The grouped-map
+    door, pinned to the hash gate the way the UDTF is pinned to its
+    builtin twin: this statistic is chosen exactly BECAUSE a window
+    formulation also exists (the oracle), so the Arrow path is held to
+    bit-parity — median interpolation and float64 division are the same
+    IEEE ops in pandas and the SQL engines. Rounding happens OUTSIDE
+    (F.round after the transform) so both engines round the same way.
+    A zero-MAD group (constant values) yields z = 0.0. Closure, as
+    every Python UDF in this engine must be (cloudpickle by-value)."""
+    import pandas as pd
+
+    def robust_z(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["value"].median()
+        mad = (pdf["value"] - med).abs().median()
+        z = (pdf["value"] - med) / mad if mad else pdf["value"] * 0.0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "robust_z": z,
+            }
+        )
+
+    return robust_z

@@ -3831,3 +3831,42 @@ def q_kafka_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire = encode_transactions(tx)  # (key, value) keyed JSON — S2's payload
     decoded = decode_transactions(wire)
     return decoded.withColumn("timestamp", F.col("timestamp").cast("timestamp_ntz"))
+
+
+@_register(
+    "user_robust_zscore",
+    """
+WITH med AS (
+  SELECT user_id, median(value) AS med FROM events GROUP BY user_id
+),
+mad AS (
+  SELECT e.user_id, median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m ON m.user_id = e.user_id
+  GROUP BY e.user_id
+)
+SELECT e.event_id, e.user_id,
+       round(CASE WHEN d.mad > 0 THEN (e.value - m.med) / d.mad
+                  ELSE 0.0e0 END, 6) AS robust_z
+FROM events e
+JOIN med m ON m.user_id = e.user_id
+JOIN mad d ON d.user_id = e.user_id
+""",
+)
+def q_user_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_MAP pandas UDF (batch applyInPandas): per-user robust
+    z-score (value − median)/MAD — the last Arrow door (map, grouped-
+    agg, stateful, UDTF are already hash-gated), held to the window/
+    join oracle formulation. One shuffle on the group key; each group
+    crosses Arrow once. Builtins remain the documented fast path for
+    anything a window can express — this pins that when a custom
+    grouped-map IS needed, its results hold to the same gate."""
+    from smart_fraud_detection_data_pipeline_spark.functions.pandas_aggs import (
+        make_robust_zscore,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out_schema = "event_id bigint, user_id bigint, robust_z double"
+    out = ev.groupBy("user_id").applyInPandas(
+        make_robust_zscore(out_schema), schema=out_schema
+    )
+    return out.withColumn("robust_z", F.round("robust_z", 6))
