@@ -135,3 +135,43 @@ def test_merge_upsert_rejects_reserved_marker_column(spark):
     df = spark.createDataFrame([(1, 1)], "k long, __src long")
     with pytest.raises(ValueError, match="__src"):
         merge_upsert(df, df, ["k"])
+
+
+def test_merge_into_sql_text_matches_loader_shape():
+    """The generated MERGE must carry the loaders' exact WHEN structure
+    and null-safe key equality (the emulation's eqNullSafe twin)."""
+    from smart_fraud_detection_data_pipeline_spark.operators.merge import merge_into_sql
+
+    sql = merge_into_sql(
+        "wh.fraud_records",
+        "stage",
+        ["transaction_id", "timestamp"],
+        ["transaction_id", "timestamp", "amount", "fraud_score"],
+    )
+    assert sql == (
+        "MERGE INTO wh.fraud_records t USING stage s "
+        "ON t.transaction_id <=> s.transaction_id AND t.timestamp <=> s.timestamp "
+        "WHEN MATCHED THEN UPDATE SET t.amount = s.amount, t.fraud_score = s.fraud_score "
+        "WHEN NOT MATCHED THEN INSERT (transaction_id, timestamp, amount, fraud_score) "
+        "VALUES (s.transaction_id, s.timestamp, s.amount, s.fraud_score)"
+    )
+
+
+def test_merge_upsert_v2_parses_and_fails_cleanly_without_v2_catalog(spark):
+    """Without a row-level-operation catalog the MERGE must fail at
+    ANALYSIS time (table resolution), not corrupt anything — and the
+    temp staging view must not leak."""
+    import pyspark.errors
+    import pytest
+
+    import pyspark.sql.functions as F
+    from smart_fraud_detection_data_pipeline_spark.operators.merge import merge_upsert_v2
+
+    src = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    with pytest.raises(pyspark.errors.AnalysisException):
+        merge_upsert_v2(spark, "no_such_catalog.db.t", src, ["k"])
+    assert not any(
+        t.name == "__merge_source" for t in spark.catalog.listTables()
+    )
