@@ -3870,3 +3870,54 @@ def q_user_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_robust_zscore(out_schema), schema=out_schema
     )
     return out.withColumn("robust_z", F.round("robust_z", 6))
+
+
+@_register(
+    "doc_repetition",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                        i -> array_to_string(t[i:i + 1], ' ')) AS g2,
+         list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                        i -> array_to_string(t[i:i + 2], ' ')) AS g3
+  FROM toks
+)
+SELECT doc_id,
+       round(1.0e0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+         AS dup_2gram_frac,
+       round(1.0e0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+         AS dup_3gram_frac
+FROM grams
+""",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher/C4 quality-rule family):
+    fraction of duplicated word 2-grams and 3-grams per document —
+    heavily repetitive documents are boilerplate/spam and get filtered
+    before training. Map-only (higher-order array functions inside one
+    projection, no explode, no shuffle at any scale); the rounded
+    fractions hold to the oracle's identical list formulation."""
+    docs = load_table(spark, sf_dir, "documents")
+    def dup_frac(n):
+        # shingles() dedups; repetition needs the raw gram multiset
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        grams = F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+            6,
+        )
+
+    return docs.select(
+        "doc_id",
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )

@@ -191,6 +191,10 @@ def test_text_profile_is_map_only(spark, sf_dir):
     c = X.plan_counts(Q["doc_profile"](spark, sf_dir))
     assert c["exchange"] == 0
     assert c["sort_merge_join"] == 0
+    # same contract for the repetition quality rule
+    r = X.plan_counts(Q["doc_repetition"](spark, sf_dir))
+    assert r["exchange"] == 0
+    assert r["sort_merge_join"] == 0
 
 
 def test_nation_trade_volume_dims_broadcast(spark, sf_dir):
