@@ -167,3 +167,57 @@ def merge_upsert_v2(
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+def merge_additive(
+    target: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    *,
+    sum_cols: Sequence[str] = (),
+    count_cols: Sequence[str] = (),
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Aggregate-combining merge — incremental view maintenance for
+    rollup tables. Where `merge_upsert` REPLACES matched rows (fact
+    upsert), rollup maintenance must COMBINE them: a window that spans
+    the base/delta boundary has partial aggregates on both sides.
+
+    - sum_cols: 2-dp money sums; combined in exact decimal so the
+      incremental result is bit-identical to a full recompute.
+    - count_cols: additive counts (caller must guarantee additivity —
+      e.g. COUNT DISTINCT of a globally-unique id is additive across a
+      disjoint base/delta split, but not across overlapping ones).
+    - carry_cols: identical-by-construction attributes (window_end for
+      a window_start key); coalesce(target, delta).
+
+    Scale: the delta rollup is a day against years of base — Spark
+    broadcasts it into the full-outer join, and on a partitioned rollup
+    table the touched-window predicate prunes the base scan exactly as
+    merge_upsert_partitioned does for facts.
+    """
+    t, s = target.alias("t"), delta.alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = c if cond is None else (cond & c)
+    dec = lambda side, c: F.coalesce(  # noqa: E731
+        F.col(f"{side}.{c}").cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)")
+    )
+    out_cols = [
+        F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in keys
+    ]
+    out_cols += [
+        (dec("t", c) + dec("s", c)).cast("double").alias(c) for c in sum_cols
+    ]
+    out_cols += [
+        (
+            F.coalesce(F.col(f"t.{c}"), F.lit(0))
+            + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+        ).alias(c)
+        for c in count_cols
+    ]
+    out_cols += [
+        F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c) for c in carry_cols
+    ]
+    return t.join(s, cond, "full_outer").select(*out_cols)

@@ -3921,3 +3921,37 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac(2).alias("dup_2gram_frac"),
         dup_frac(3).alias("dup_3gram_frac"),
     )
+
+
+@_register(
+    "user_spend_trends_incremental",
+    _SQL_TRENDS.format(
+        key_out="user_id", key_in="user_id", sum_alias="total_spent"
+    ),
+)
+def q_user_spend_trends_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for the A1 rollup: the trend table
+    is built from pre-split history, then a late day of transactions
+    arrives and only ITS windows are re-aggregated and additively
+    merged (operators/merge.merge_additive) — never a full recompute.
+    The oracle IS the full recompute (the user_spend_trends SQL), so
+    the incremental path must be bit-identical: money combines in
+    exact decimal, distinct transaction counts add because the
+    base/delta split is disjoint in event ids, and the boundary-
+    spanning window proves the combine (not replace) semantics. At
+    scale the delta rollup is a day against years — it broadcasts into
+    the merge, and a partitioned rollup prunes to touched windows."""
+    from smart_fraud_detection_data_pipeline_spark.operators.merge import merge_additive
+
+    tx = _transactions(spark, sf_dir)
+    split = F.lit("2024-01-10 12:00:30").cast("timestamp_ntz")  # mid-window
+    base = T.user_spend_trends(tx.where(F.col("timestamp") < split), exact=True)
+    delta = T.user_spend_trends(tx.where(F.col("timestamp") >= split), exact=True)
+    return merge_additive(
+        base,
+        delta,
+        ["user_id", "window_start"],
+        sum_cols=["total_spent"],
+        count_cols=["num_transactions"],
+        carry_cols=["window_end"],
+    ).select("user_id", "total_spent", "num_transactions", "window_start", "window_end")
