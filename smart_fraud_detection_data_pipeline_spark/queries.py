@@ -3955,3 +3955,33 @@ def q_user_spend_trends_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         count_cols=["num_transactions"],
         carry_cols=["window_end"],
     ).select("user_id", "total_spent", "num_transactions", "window_start", "window_end")
+
+
+@_register(
+    "multi_distinct_stats",
+    """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def q_multi_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact DISTINCT aggregates in one GROUP BY: Catalyst
+    plans an Expand — every input row is replicated once per distinct
+    clause (here 3×: user-distinct, day-distinct, plain) BEFORE the
+    shuffle, which is the hidden multiplier that makes multi-distinct
+    the classic accidental scale cliff (plan-pinned in
+    tests/test_plans.py). The engine's position: exact multi-distinct
+    is correct and available, and at 100 TB you reach for the HLL
+    sketch variant (user_spend_trends_approx) instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct(F.col("ts").cast("date")).alias("n_days"),
+        exact_sum_double("value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -303,3 +303,15 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_multi_distinct_pays_expand(spark, sf_dir):
+    """Two exact DISTINCT clauses + plain aggregates in one GROUP BY
+    must compile to an Expand (input replicated once per distinct
+    clause before the shuffle) — pinned so the cost model is explicit:
+    row volume into the exchange is 3x, which is exactly why the HLL
+    variant exists for the 100 TB path."""
+    df = Q["multi_distinct_stats"](spark, sf_dir)
+    plan = X.executed_plan(df)
+    assert "Expand" in plan
+    assert X.plan_counts(df)["exchange"] == 2  # expanded partial + final
