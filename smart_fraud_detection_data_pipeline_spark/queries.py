@@ -3985,3 +3985,38 @@ def q_multi_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum_double("value").alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@_register(
+    "user_value_lag_delta",
+    """
+SELECT event_id, user_id, value,
+       round(value - lag(value) OVER w, 6) AS delta_prev,
+       lead(event_id) OVER w AS next_event_id,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+            AS INTEGER) AS value_quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_user_value_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth: lag (previous-event value delta), lead
+    (next event id) and ntile quartiles per user — the offset/bucket
+    window functions the catalog's row_number/min/sum queries don't
+    touch. Both window specs share the user_id partitioning, so Spark
+    plans ONE exchange and sorts per spec within it. Frames are ordered
+    by (ts, event_id) / (value, event_id) — total orders, so offsets
+    are deterministic; the first-row delta is NULL in both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wq = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.ntile(4).over(wq).alias("value_quartile"),
+    )
