@@ -125,6 +125,41 @@ def fingerprint(text: Column, ngram: int = 8) -> Column:
     return F.array_min(grams)
 
 
+def kgram_hashes(text: Column, k: int = 24) -> Column:
+    """md5 hash of every character k-gram, in position order. The
+    winnowing input: O(len) md5 calls per doc, computed in-row (no
+    explode — the text never amplifies into per-gram rows). Documents
+    shorter than k hash as a single whole-text gram (substring clips
+    identically in Spark and DuckDB)."""
+    g = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), g),
+        lambda i: F.md5(F.substring(text, i, k).cast("binary")),
+    )
+
+
+def winnow(hashes: Column, w: int = 12) -> Column:
+    """MOSS winnowing selection (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+    slide a w-hash window over the k-gram hashes, keep each window's min,
+    distinct the selections. Guarantee: two documents sharing any
+    substring of length >= k + w - 1 share at least one fingerprint, and
+    no match shorter than k is ever detected — the local-window analogue
+    of `fingerprint` (window = whole doc) that enables PARTIAL-overlap
+    detection. Expected density 2/(w+1) fingerprints per gram.
+
+    Pass a materialized column (select kgram_hashes into its own
+    projection first): `hashes` is referenced twice here (size + slice)
+    and Catalyst does not CSE expensive expressions (CLAUDE.md).
+    """
+    n_win = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda j: F.array_min(F.slice(hashes, j, w)),
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """All text-analysis signals in one projection (one scan, no shuffle)."""
     t = F.col(text_col)

@@ -4020,3 +4020,74 @@ def q_user_value_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_id").over(w).alias("next_event_id"),
         F.ntile(4).over(wq).alias("value_quartile"),
     )
+
+
+_WINNOW_SQL_CTES = """h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 23, 1)),
+                        i -> md5(substr(text, i, 24))) AS hashes
+  FROM documents
+), sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(hashes) - 11, 1)),
+           j -> list_min(list_slice(hashes, j, j + 11)))) AS fps
+  FROM h
+)"""
+
+
+@_register(
+    "doc_winnow",
+    f"""
+WITH {_WINNOW_SQL_CTES}
+SELECT doc_id,
+       CAST(len(fps) AS INTEGER) AS n_fingerprints,
+       md5(array_to_string(list_sort(fps), '')) AS fp_digest
+FROM sel
+""",
+)
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints per document (k=24-char grams,
+    w=12 window): the rolling-hash document-fingerprint scheme of
+    Schleimer et al. (SIGMOD'03), selecting each window's min k-gram
+    hash so any >= k+w-1-char shared substring yields a shared
+    fingerprint. Map-only — both HOF folds run in-row, no explode and
+    no shuffle at any corpus size; the k-gram hash array materializes
+    in its own projection so the winnowing pass never recomputes the
+    md5s (Catalyst does not CSE). The cross-engine check compares the
+    fingerprint COUNT plus an order-insensitive digest (md5 of the
+    sorted concat) because Spark's array_distinct and DuckDB's
+    list_distinct order survivors differently."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", TS.kgram_hashes(F.col("text"), 24).alias("__h"))
+    sel = hashed.select("doc_id", TS.winnow(F.col("__h"), 12).alias("fps"))
+    return sel.select(
+        "doc_id",
+        F.size("fps").cast("int").alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort("fps"), "").cast("binary")).alias("fp_digest"),
+    )
+
+
+@_register(
+    "doc_winnow_pairs",
+    f"""
+WITH {_WINNOW_SQL_CTES},
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS INTEGER) AS shared_fps
+FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+""",
+)
+def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap detection via shared winnowing fingerprints
+    (textdedup.winnow_pairs): pairs sharing >= 3 fingerprints — at
+    k=24/w=12 this recovers exactly the corpus's 25 near-dup pairs
+    that MinHash-LSH and exact Jaccard find, from an index ~2/(w+1)
+    the shingle-set size. Inverted index on the fingerprint, each
+    co-occurring pair emitted once via in-row combinations (never a
+    self-join); the oracle's plain fp-equijoin is the semantics the
+    bucketed plan must reproduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TD.winnow_pairs(docs, k=24, w=12, min_shared=3)

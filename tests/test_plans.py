@@ -315,3 +315,15 @@ def test_multi_distinct_pays_expand(spark, sf_dir):
     plan = X.executed_plan(df)
     assert "Expand" in plan
     assert X.plan_counts(df)["exchange"] == 2  # expanded partial + final
+
+
+def test_winnow_fingerprints_map_only_and_pairs_shuffle_budget(spark, sf_dir):
+    """Winnowing selection must stay a narrow projection (both HOF folds
+    in-row — no explode before selection, no shuffle); the pairs query
+    pays exactly two shuffles: fingerprint inverted index + pair count."""
+    c = X.plan_counts(Q["doc_winnow"](spark, sf_dir))
+    assert c["exchange"] == 0
+    assert c["sort_merge_join"] == 0
+    p = X.plan_counts(Q["doc_winnow_pairs"](spark, sf_dir))
+    assert p["exchange"] == 2
+    assert p["sort_merge_join"] == 0

@@ -182,3 +182,39 @@ def test_ppjoin_positional_bound_is_safe_on_edge_pairs(spark):
             for r in TD.ngram_jaccard_pairs(df, threshold=0.3, method=method).collect()
         }
         assert got == {(1, 2)}
+
+
+def test_winnow_guarantee_and_pairs(spark):
+    """Winnowing contract (Schleimer et al. '03): two docs sharing a
+    substring of length >= k + w - 1 MUST share a fingerprint; docs with
+    no k-char common substring must not pair."""
+    from pyspark.sql import Row
+
+    shared = "0123456789abcdefghijklmnopqrstuvwxyzABCD"  # 40 chars >= k+w-1=35
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="left context totally unlike. " + shared),
+            Row(doc_id=2, text=shared + " trailing words that differ entirely."),
+            Row(doc_id=3, text="no overlap with the other documents at all, none."),
+        ]
+    )
+    out = TD.winnow_pairs(docs, k=24, w=12, min_shared=1).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_selection_properties(spark):
+    """Every selected fingerprint is a real k-gram hash; selection is
+    deterministic; count is bounded by the window count."""
+    docs = _docs(spark)
+    hashed = docs.select("doc_id", TS.kgram_hashes(F.col("text"), 8).alias("h"))
+    sel = hashed.select(
+        "doc_id", F.col("h"), TS.winnow(F.col("h"), 4).alias("fps")
+    ).collect()
+    for r in sel:
+        assert len(r.fps) == len(set(r.fps))  # distinct
+        assert set(r.fps) <= set(r.h)  # selections come from the gram hashes
+        assert 1 <= len(r.fps) <= max(len(r.h) - 3, 1)
+    again = hashed.select(TS.winnow(F.col("h"), 4).alias("fps")).collect()
+    assert [r.fps for r in again] == [r.fps for r in sel]
