@@ -4091,3 +4091,187 @@ def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed plan must reproduce."""
     docs = load_table(spark, sf_dir, "documents")
     return TD.winnow_pairs(docs, k=24, w=12, min_shared=3)
+
+
+@_register(
+    "nation_year_profit",
+    """
+SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       - CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+)
+def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-line profit by nation and year): a
+    three-dimension star join — part (filtered on name), supplier,
+    nation all broadcast into the lineitem scan, so the fact table
+    never shuffles before the final (nation, year) aggregation: one
+    exchange total. Profit = revenue − cost is computed as the
+    DIFFERENCE OF TWO EXACT-DECIMAL SUMS cast to double at the end —
+    summing the per-row difference would mix two decimal products in
+    one accumulator and overflow precision 38, where Spark and DuckDB
+    round differently (CLAUDE.md)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    cost = dec("p_retailprice") * dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            (F.sum(rev).cast("double") - F.sum(cost).cast("double")).alias("profit")
+        )
+    )
+
+
+@_register(
+    "customer_order_distribution",
+    """
+WITH oc AS (
+  SELECT o_custkey, count(*) AS cnt FROM orders
+  WHERE o_orderpriority NOT LIKE '1-%' GROUP BY o_custkey
+)
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT coalesce(oc.cnt, 0) AS c_count
+  FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+) GROUP BY c_count
+""",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (how many customers placed 0, 1, 2, … orders):
+    the left-join-then-double-aggregate histogram, with the textbook
+    scale rewrite — orders pre-aggregate to per-custkey counts BEFORE
+    the join, so the join input shrinks from |orders| to |custkeys|
+    and the outer join preserves zero-order customers via
+    coalesce(cnt, 0). The pre-agg's hash partitioning on o_custkey is
+    reused by the join (no second orders shuffle); at any scale the
+    plan moves each order row through exactly one exchange."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        ~F.col("o_orderpriority").like("1-%")
+    )
+    oc = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(oc, cust.c_custkey == oc.o_custkey, "left")
+        .select(F.coalesce("cnt", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@_register(
+    "brand_basket_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q_brand_basket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of per-brand (size, quantity)
+    baskets — the classic test of OR-of-ANDs predicate handling.
+    Catalyst distributes the disjunction per table: each disjunct
+    constrains l_quantity, so the derived
+    (qty∈[1,20] ∨ qty∈[10,30] ∨ qty∈[20,40]) range union pushes into
+    the lineitem parquet scan, and the (brand, size) disjunction into
+    the part scan — both scans skip row groups before the broadcast
+    join even sees a row (pinned in test_plans)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    basket = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 25) & qty.between(10, 30))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 35) & qty.between(20, 40))
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(basket)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "prolific_red_part_suppliers",
+    """
+SELECT s.s_name, n.n_name AS nation
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l.l_shipdate >= TIMESTAMP '2000-01-01'
+    AND l.l_shipdate < TIMESTAMP '2001-01-01'
+  GROUP BY l.l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 500
+)
+""",
+)
+def q_prolific_red_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved > 500 units of red parts in
+    one year — nested IN subqueries flattened into two semi-joins. The
+    red-part key set broadcasts as a LEFT SEMI into the date-pruned
+    lineitem scan (fact side never shuffles for the filter), the
+    HAVING threshold compares EXACT DECIMAL sums (a double sum's
+    order-dependent rounding could flip rows sitting on the
+    threshold), and the surviving supplier keys — at most |supplier| —
+    broadcast back as the outer semi-join. The supplier table is never
+    shuffled at any scale."""
+    red = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp_ntz"))
+    )
+    prolific = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .where(F.col("__q") > F.lit(500).cast("decimal(18,2)"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(F.broadcast(prolific), supp.s_suppkey == prolific.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+    )

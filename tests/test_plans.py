@@ -327,3 +327,42 @@ def test_winnow_fingerprints_map_only_and_pairs_shuffle_budget(spark, sf_dir):
     p = X.plan_counts(Q["doc_winnow_pairs"](spark, sf_dir))
     assert p["exchange"] == 2
     assert p["sort_merge_join"] == 0
+
+
+def test_profit_star_join_broadcasts_all_dims(spark, sf_dir):
+    """TPC-H Q9 shape: part/supplier/nation all broadcast — the fact
+    table reaches the (nation, year) aggregation without ever being
+    shuffled for a join; one exchange total."""
+    c = X.plan_counts(Q["nation_year_profit"](spark, sf_dir))
+    assert c["broadcast_hash_join"] == 3
+    assert c["sort_merge_join"] == 0
+    assert c["exchange"] == 1
+
+
+def test_order_distribution_preaggregates_before_join(spark, sf_dir):
+    """TPC-H Q13 shape: orders must pre-aggregate to per-custkey counts
+    BEFORE joining customer — the per-order rows cross exactly one
+    exchange, and the plan never sort-merge-joins raw orders."""
+    df = Q["customer_order_distribution"](spark, sf_dir)
+    plan = X.executed_plan(df)
+    # the orders-side aggregate sits below the join in the plan tree
+    assert plan.index("HashAggregate") < plan.index("Join")
+    c = X.plan_counts(df)
+    assert c["exchange"] <= 3
+
+
+def test_disjunctive_baskets_push_to_both_scans(spark, sf_dir):
+    """TPC-H Q19 shape: the OR-of-ANDs predicate must decompose per
+    table — quantity range union onto the lineitem scan, brand/size
+    disjunction onto the part scan."""
+    pushed = X.pushed_filters(Q["brand_basket_revenue"](spark, sf_dir))
+    assert "l_quantity" in pushed
+    assert "p_brand" in pushed
+
+
+def test_prolific_suppliers_all_semi_joins_broadcast(spark, sf_dir):
+    """TPC-H Q20 shape: both IN subqueries become broadcast LEFT SEMI
+    joins; neither lineitem nor supplier is shuffled for a join."""
+    plan = X.executed_plan(Q["prolific_red_part_suppliers"](spark, sf_dir))
+    assert plan.count("LeftSemi") == 2
+    assert "SortMergeJoin" not in plan
