@@ -91,3 +91,85 @@ def extract_byte_features(df: DataFrame) -> DataFrame:
         "doc_id", "payload", F.col("media_meta.format").alias("format")
     )
     return narrow.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_digest string"
+
+RESIZE_SCHEMA = "doc_id long, resized_mean double, resized_digest string"
+
+
+def sample_frames(df: DataFrame, frame_size: int = 64, every: int = 2) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: chunk the byte
+    stream into fixed-size frames, keep every `every`-th, emit one ROW
+    per kept frame — the 1→N fan-out shape a real ffmpeg frame sampler
+    has (one video row in, many frame rows out of the same Arrow batch).
+
+    The "decode" is deterministic byte chunking standing in for a codec
+    (same contract as extract_byte_features); a real implementation
+    swaps the chunk loop for keyframe extraction and keeps everything
+    else. Output carries per-frame size + md5 digest, never the frame
+    bytes — payloads must not outlive the map stage (module scale rule
+    #1). Map-only: no shuffle at any corpus size.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sizes, digests = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max((len(payload) + frame_size - 1) // frame_size, 1)
+                for i in range(0, n_frames, every):
+                    chunk = payload[i * frame_size : (i + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(chunk))
+                    digests.append(hashlib.md5(bytes(chunk)).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int32"),
+                    "frame_digest": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def resize_payload(df: DataFrame, width: int = 16) -> DataFrame:
+    """Resize plumbing: nearest-neighbor downsample of the payload byte
+    signal to a FIXED width — the 1-D analogue of an image resize, with
+    the same two properties a real one has: constant output size
+    regardless of input size (what makes downstream batches rectangular
+    for training) and a deterministic sampling grid
+    (position j ↦ byte ⌊j·(n−1)/(w−1)⌋). Emits the resized signal's
+    mean and digest, not the bytes. Map-only Arrow stage; swap the
+    strided gather for Pillow's `resize` when codecs exist.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            means, digests = [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                n = len(b)
+                if n == 0:
+                    sampled = b""
+                else:
+                    sampled = bytes(
+                        b[(j * (n - 1)) // (width - 1)] for j in range(width)
+                    )
+                means.append(
+                    float(sum(sampled)) / width if sampled else 0.0
+                )
+                digests.append(hashlib.md5(sampled).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized_mean": pd.Series(means, dtype="float64"),
+                    "resized_digest": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, schema=RESIZE_SCHEMA)

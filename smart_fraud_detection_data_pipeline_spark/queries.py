@@ -4275,3 +4275,63 @@ def q_prolific_red_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
         .select("s_name", F.col("n_name").alias("nation"))
     )
+
+
+@_register(
+    "multimodal_frame_sample",
+    """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(CAST(ceil(length(text) / 64.0e0)
+                                                 AS INTEGER), 1) - 1)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(length(substr(text, CAST(frame_idx AS INTEGER) * 64 + 1, 64))
+            AS INTEGER) AS frame_bytes,
+       md5(substr(text, CAST(frame_idx AS INTEGER) * 64 + 1, 64)) AS frame_digest
+FROM f
+WHERE frame_idx % 2 = 0
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like payloads (multimodal.sample_frames):
+    chunk each payload into 64-byte frames, keep every 2nd, one output
+    ROW per kept frame — the 1→N Arrow fan-out a real keyframe sampler
+    has, under the hash gate via the corpus's ASCII text↔byte
+    equivalence (same promotion argument as multimodal_byte_features;
+    asserted by test_documents_corpus_is_ascii). Map-only — payload
+    bytes never outlive the Arrow stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.sample_frames(MM.attach_binary_payload(docs), frame_size=64, every=2)
+
+
+@_register(
+    "multimodal_resize",
+    """
+WITH r AS (
+  SELECT doc_id, text,
+         list_transform(generate_series(0, 15),
+           j -> substr(text, CAST((j * (length(text) - 1)) // 15 AS INTEGER) + 1, 1)) AS cs
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(text) > 0
+            THEN CAST(list_sum(list_transform(cs, c -> unicode(c))) AS DOUBLE) / 16.0e0
+            ELSE 0.0e0 END AS resized_mean,
+       CASE WHEN length(text) > 0
+            THEN md5(array_to_string(cs, '')) ELSE md5('') END AS resized_digest
+FROM r
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize of the payload byte signal to a fixed
+    16-byte grid (multimodal.resize_payload) — constant output size
+    regardless of input length, the property that makes downstream
+    training batches rectangular. The empty-payload edge is guarded in
+    BOTH engines (UDF returns mean 0.0 / md5 of empty; oracle CASEs the
+    same) so the oracle doesn't silently depend on the corpus never
+    being empty (ADVICE r1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.resize_payload(MM.attach_binary_payload(docs), width=16)

@@ -129,3 +129,51 @@ def test_byte_features_empty_payload_conventions(spark):
     assert rows[1].byte_entropy_proxy == 0.0
     assert rows[2].n_bytes == 2
     assert rows[2].byte_mean == (97 + 98) / 2
+
+
+def test_frame_sample_fanout_and_edges(spark):
+    """Frame sampler: 1→N fan-out with ceil(n/size) frames before
+    sampling, every-2nd kept, short tail frame sized honestly, and an
+    EMPTY payload still emits one (empty) frame row rather than
+    vanishing."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=1, text="a" * 130),  # 3 frames of 64 → keep idx 0, 2
+        Row(doc_id=2, text="b" * 64),   # exactly one frame
+        Row(doc_id=3, text=""),         # empty payload
+    ]
+    df = MM.attach_binary_payload(spark.createDataFrame(rows))
+    out = {
+        (r.doc_id, r.frame_idx): r
+        for r in MM.sample_frames(df, frame_size=64, every=2).collect()
+    }
+    assert set(out) == {(1, 0), (1, 2), (2, 0), (3, 0)}
+    assert out[(1, 0)].frame_bytes == 64 and out[(1, 2)].frame_bytes == 2
+    assert out[(3, 0)].frame_bytes == 0
+    assert out[(1, 0)].frame_digest == hashlib.md5(b"a" * 64).hexdigest()
+    assert out[(3, 0)].frame_digest == hashlib.md5(b"").hexdigest()
+
+
+def test_resize_fixed_width_and_empty(spark):
+    """Resize: constant 16-sample grid for any input length; grid is
+    nearest-neighbor (first sample = first byte, last = last byte);
+    empty payload yields the documented (0.0, md5(b'')) row."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    text = "".join(chr(65 + (i % 26)) for i in range(100))
+    df = MM.attach_binary_payload(
+        spark.createDataFrame([Row(doc_id=1, text=text), Row(doc_id=2, text="")])
+    )
+    out = {r.doc_id: r for r in MM.resize_payload(df, width=16).collect()}
+    b = text.encode()
+    sampled = bytes(b[(j * (len(b) - 1)) // 15] for j in range(16))
+    assert sampled[0] == b[0] and sampled[-1] == b[-1]
+    assert out[1].resized_digest == hashlib.md5(sampled).hexdigest()
+    assert abs(out[1].resized_mean - sum(sampled) / 16.0) < 1e-12
+    assert out[2].resized_mean == 0.0
+    assert out[2].resized_digest == hashlib.md5(b"").hexdigest()
