@@ -162,7 +162,10 @@ def stream_table(
     from a batch read of the same path (footer only — no data scan).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
+    nano_cols = _nano_ts_columns(path) if os.path.isfile(path) else ()
     # The file stream source only accepts directories; testdata tables are
     # single files, so stage a symlink inside a temp directory.
     if os.path.isfile(path):
@@ -174,4 +177,13 @@ def stream_table(
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.load(path)
+    df = reader.load(path)
+    # Same timestamp normalization as load_table, so callers see identical
+    # types whether the table is stored as TIMESTAMP(NANOS) (legacy long
+    # read) or TIMESTAMP(MICROS): everything surfaces as TIMESTAMP_NTZ.
+    for c in nano_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
+    return df
