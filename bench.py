@@ -37,26 +37,33 @@ def main() -> None:
     ).save()
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for spec in specs:
-        if spec.prepare is not None:
-            # fixture staging is harness work, not operator work — keep
-            # it off the clock so streaming numbers measure streaming
-            spec.prepare(spark, sf_dir)
-        t0 = time.time()
-        spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[spec.name] = round(time.time() - t0, 3)
+        # Per-query fault isolation: one broken query must never zero the
+        # whole bench artifact (round-2 postmortem). Errors are recorded
+        # and the run continues.
+        try:
+            if spec.prepare is not None:
+                # fixture staging is harness work, not operator work — keep
+                # it off the clock so streaming numbers measure streaming
+                spec.prepare(spark, sf_dir)
+            t0 = time.time()
+            spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[spec.name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[spec.name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"[bench] ERROR {spec.name}: {errors[spec.name]}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_time",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_time",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -61,28 +61,36 @@ def decode_image(payload: bytes) -> object:
     )
 
 
-def extract_byte_features(df: DataFrame) -> DataFrame:
+def extract_byte_features(df: DataFrame, decoder=None) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    Deterministic fake decode: per payload, byte count, mean byte value,
-    and a distinct-byte entropy proxy. Shape-identical to a real decoder
-    (mapInPandas over payload → small numeric feature frame, payload
-    dropped on output so no downstream operator ever shuffles bytes).
+    `decoder(payload: bytes) -> (byte_mean, byte_entropy_proxy)` is
+    pluggable: the default is a deterministic byte decoder (mean byte
+    value + distinct-byte entropy proxy); production swaps in a real
+    codec-backed function WITHOUT touching the Spark plumbing — same
+    mapInPandas path, same FEATURE_SCHEMA out (the drop-in contract is
+    pinned by a test). Payload is dropped on output so no downstream
+    operator ever shuffles bytes. Decoders must be closures (or
+    otherwise cloudpickle-by-value) per the repo UDF rule.
     """
+    if decoder is None:
+
+        def decoder(payload: bytes):
+            n = len(payload)
+            mean = float(sum(payload)) / n if n else 0.0
+            return mean, float(len(set(payload))) / 256.0
+
+    decode = decoder
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf["payload"]
+            decoded = pdf["payload"].map(decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "byte_mean": payloads.map(
-                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
-                    ),
-                    "byte_entropy_proxy": payloads.map(
-                        lambda b: float(len(set(b))) / 256.0
-                    ),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "byte_mean": decoded.map(lambda t: t[0]),
+                    "byte_entropy_proxy": decoded.map(lambda t: t[1]),
                     "format": pdf["format"],
                 }
             )

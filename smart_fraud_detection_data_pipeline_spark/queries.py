@@ -1245,17 +1245,18 @@ def q_fraud_enrich_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from smart_fraud_detection_data_pipeline_spark.sources.tables import stream_table
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = stream_table(spark, sf_dir, "events")
     n_part = _table_count(spark, sf_dir, "part")
+    # stream_table already surfaces ts as TIMESTAMP_NTZ; the only cast is
+    # NTZ→TIMESTAMP at the watermark boundary (wall-clock-preserving under
+    # the UTC session tz), undone in out_cols below.
     tx = raw.select(
         F.col("event_id").alias("transaction_id"),
         F.col("user_id"),
         F.pmod(F.col("event_id"), F.lit(n_part)).alias("product_id"),
         F.col("value").alias("amount"),
         F.col("event_type").alias("payment_method"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
     ).withWatermark("timestamp", "15 minutes")
     enriched = E.enrich_transactions(
         tx, _users_dim(spark, sf_dir), _products_dim(spark, sf_dir), with_date_parts=True
@@ -1327,8 +1328,6 @@ def q_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = _staged_dup_source(spark, sf_dir)
     schema = spark.read.parquet(src).schema
     deduped = (
@@ -1842,13 +1841,14 @@ def q_user_spend_trends_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
     from smart_fraud_detection_data_pipeline_spark.functions.numeric import exact_sum_double
     from smart_fraud_detection_data_pipeline_spark.functions.timeutil import stringify_window
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = stream_table(spark, sf_dir, "events")
+    # stream_table already surfaces ts as TIMESTAMP_NTZ; NTZ→TIMESTAMP only
+    # at the watermark boundary (stringify_window renders the window bounds
+    # as strings under the UTC session tz, so no re-cast needed downstream).
     tx = raw.select(
         F.col("user_id"),
         F.col("value").alias("amount"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
     ).withWatermark("timestamp", "15 minutes")
     agg = tx.groupBy(F.window("timestamp", "1 minute"), "user_id").agg(
         exact_sum_double("amount").alias("total_spent"),
@@ -2013,8 +2013,6 @@ def q_user_running_totals_streaming(spark: SparkSession, sf_dir: str) -> DataFra
     from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
     from smart_fraud_detection_data_pipeline_spark.streaming.stateful import user_running_totals
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = stream_table(spark, sf_dir, "events")
     tx = raw.select("user_id", F.col("value").alias("amount"))
     tmp = _scratch("running_totals_")
@@ -2247,8 +2245,6 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = _staged_session_source(spark, sf_dir)
     schema = spark.read.parquet(src).schema
 
@@ -2368,8 +2364,6 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = _staged_outer_source(spark, sf_dir)
     schema = spark.read.parquet(src).schema
 
@@ -2441,8 +2435,6 @@ def q_session_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_fraud_detection_data_pipeline_spark.functions.numeric import exact_sum_double
     from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     src = _staged_session_source(spark, sf_dir)
     schema = spark.read.parquet(src).schema

@@ -48,6 +48,19 @@ def _csv_options(header: bool) -> dict[str, str]:
     }
 
 
+def _ensure_ts_confs(spark: SparkSession) -> None:
+    """Runtime confs every source path needs, set in ONE place.
+
+    The caller may hand us a vanilla session (the verify driver does).
+    Both are runtime-settable SQL confs. UTC matters because
+    date_format/year/month render timestamps in the session timezone and
+    the oracle renders them naively; nanosAsLong makes TIMESTAMP(NANOS)
+    parquet columns readable (Spark has no nanosecond type).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 @lru_cache(maxsize=None)
 def _nano_ts_columns(path: str) -> tuple[str, ...]:
     """Columns stored as TIMESTAMP(NANOS) in the parquet footer.
@@ -56,10 +69,19 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
     ``spark.sql.legacy.parquet.nanosAsLong`` those columns surface as
     long nanos and we convert to micros (lossless here — the testdata
     carries micro precision). Footer-only read, cached per path.
+    Directories (multi-file tables, the streaming-fixture layout) are
+    probed via their first member parquet file — members share a schema.
     """
+    import glob
+
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
+    if os.path.isdir(path):
+        members = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not members:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        path = members[0]
     schema = pq.read_schema(path)
     return tuple(
         f.name
@@ -71,12 +93,7 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch-read one testdata table (columnar parquet, schema from footer)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # Defensive runtime confs: the caller may hand us a vanilla session
-    # (the verify driver does). Both are runtime-settable SQL confs.
-    # UTC matters because date_format/year/month render timestamps in the
-    # session timezone and the oracle renders them naively.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_ts_confs(spark)
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
         # Integer division: ts is ~1.7e18 nanos, beyond double's 2^53 —
@@ -99,7 +116,7 @@ def load_csv_table(spark: SparkSession, path: str, schema, *, header: bool = Tru
     Timestamp columns are cast to TIMESTAMP_NTZ after the read so CSV-
     and parquet-backed pipelines produce identical types end-to-end.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_ts_confs(spark)
     reader = spark.read.format("csv").schema(schema)
     for k, v in _csv_options(header).items():
         reader = reader.option(k, v)
@@ -126,7 +143,7 @@ def stream_csv_table(
     path — including the same UTC session-tz self-set, so TimestampType
     schemas parse identically under a vanilla (non-UTC) driver session.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_ts_confs(spark)
     reader = spark.readStream.format("csv").schema(schema)
     for k, v in _csv_options(header).items():
         reader = reader.option(k, v)
@@ -162,10 +179,9 @@ def stream_table(
     from a batch read of the same path (footer only — no data scan).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_ts_confs(spark)
     schema = spark.read.parquet(path).schema
-    nano_cols = _nano_ts_columns(path) if os.path.isfile(path) else ()
+    nano_cols = _nano_ts_columns(path)
     # The file stream source only accepts directories; testdata tables are
     # single files, so stage a symlink inside a temp directory.
     if os.path.isfile(path):

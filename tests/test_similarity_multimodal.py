@@ -177,3 +177,30 @@ def test_resize_fixed_width_and_empty(spark):
     assert abs(out[1].resized_mean - sum(sampled) / 16.0) < 1e-12
     assert out[2].resized_mean == 0.0
     assert out[2].resized_digest == hashlib.md5(b"").hexdigest()
+
+
+def test_injected_decoder_keeps_feature_schema(spark, sf_dir):
+    """VERDICT r2 next #7: the drop-in decoder contract. A fake
+    'codec-backed' decoder injected through the SAME mapInPandas path
+    must produce FEATURE_SCHEMA exactly — no schema drift when a real
+    Pillow/ffmpeg decoder replaces the byte stub in production."""
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+
+    def pillow_like_decoder(payload: bytes):
+        # stands in for: img = Image.open(BytesIO(payload)); stats...
+        return float(payload[0]) if payload else -1.0, 0.5
+
+    out = MM.extract_byte_features(
+        MM.attach_binary_payload(docs), decoder=pillow_like_decoder
+    )
+    assert out.schema == MM.extract_byte_features(
+        MM.attach_binary_payload(docs)
+    ).schema  # identical to the default-decoder schema
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out.schema.fields)
+    assert ddl == "doc_id bigint, n_bytes bigint, byte_mean double, byte_entropy_proxy double, format string"
+    rows = {r.doc_id: r for r in out.collect()}
+    for t in docs.select("doc_id", "text").collect():
+        b = t.text.encode()
+        assert rows[t.doc_id].byte_mean == pytest.approx(float(b[0]))
+        assert rows[t.doc_id].byte_entropy_proxy == 0.5
+        assert rows[t.doc_id].n_bytes == len(b)
