@@ -4327,3 +4327,287 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     being empty (ADVICE r1)."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.resize_payload(MM.attach_binary_payload(docs), width=16)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 TPC-H shapes: Q4/Q8/Q10/Q11/Q15/Q16
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "order_priority_late_ship",
+    """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+  AND o.o_orderdate < TIMESTAMP '2000-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+""",
+)
+def q_order_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (commitdate/receiptdate absent, so 'late' = shipped
+    >60 days after order): EXISTS over lineitem per order, counted per
+    priority. The EXISTS is a LEFT SEMI join on the order key with the
+    non-equi lateness predicate as a join-side filter — Spark evaluates
+    it inside the join, never materializing the match multiplicity, so
+    a 100 TB lineitem contributes each orderkey at most once to the
+    shuffle. The date filter prunes the orders scan first."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("2000-10-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@_register(
+    "nation_market_share",
+    """
+WITH rev AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA'
+    AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+    AND o.o_orderdate < TIMESTAMP '2001-01-01'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM rev
+GROUP BY o_year
+""",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7's share of ASIA-customer revenue per
+    year — a conditional-ratio aggregate over a six-way star join. All
+    five dimensions broadcast (customer is the largest and still dim-
+    sized); lineitem↔orders is the only shuffle pair, and the two-year
+    date filter prunes orders before that shuffle. Both sums accumulate
+    exact decimal; the single division runs on exact doubles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    volume = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(region), F.col("cn.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+    )
+    nation_vol = F.when(F.col("sn.n_name") == "NATION_7", volume).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .agg(
+            (F.sum(nation_vol).cast("double") / F.sum(volume).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+@_register(
+    "returned_item_losses",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  AND o.o_orderdate < TIMESTAMP '2000-04-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter. Returnflag filter pushes into the lineitem scan, quarter
+    filter into orders; customer+nation broadcast. The final top-k is a
+    TakeOrderedAndProject (per-partition heaps → driver merge of 20
+    rows), never a global sort. Revenue is an exact-decimal sum so the
+    DESC ranking is engine-identical; c_custkey breaks ties."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("2000-04-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+@_register(
+    "important_part_value",
+    """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM pv
+WHERE part_value > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                                AS DOUBLE) * 0.0002e0
+                    FROM lineitem)
+""",
+)
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp table, so 'stock value' = lineitem
+    extendedprice per part): parts whose value exceeds a fraction of
+    the GLOBAL total — a HAVING against a scalar subquery. One shuffle
+    computes the per-part sums; the global total is the SAME aggregate
+    re-reduced (a rollup of the per-part result, NOT a second scan) and
+    joins back as a broadcast scalar. Both sums exact-decimal; the
+    threshold multiply runs once on an exact double."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val_dec")
+    )
+    # Global total as a re-reduction of the per-part partials — the
+    # 100 TB discipline: never scan the fact table twice for a scalar.
+    total = per_part.agg(
+        (F.sum("val_dec").cast("double") * F.lit(0.0002)).alias("threshold")
+    )
+    return (
+        per_part.withColumn("part_value", F.col("val_dec").cast("double"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@_register(
+    "top_supplier_revenue",
+    """
+WITH sr AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(sr.total_rev AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN sr ON sr.l_suppkey = s.s_suppkey
+WHERE sr.total_rev = (SELECT MAX(total_rev) FROM sr)
+""",
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the quarter's top-revenue supplier(s) — a CTE
+    aggregate consumed twice (once for rows, once for its MAX). The
+    aggregate is computed ONCE and persisted implicitly by reuse; the
+    MAX is a 1-row broadcast joined back on equality, returning every
+    supplier tied at the top (the Q15 contract, unlike LIMIT 1).
+    Comparison happens in exact decimal, not double."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01").cast("timestamp_ntz"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    sr = (
+        li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    ).persist()  # consumed twice: rows + scalar max — avoid recompute (CSE rule)
+    mx = sr.agg(F.max("total_rev").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sr.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@_register(
+    "brand_supplier_counts",
+    """
+SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 7, 14, 23, 36, 45, 49, 50)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_size
+""",
+)
+def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (complaint suppliers ≙ negative acctbal): distinct
+    supplier count per (brand, size) excluding blacklisted suppliers.
+    The NOT IN is a broadcast LEFT ANTI join (s_suppkey is non-null, so
+    the three-valued-logic trap doesn't bite — contrast
+    not_in_null_semantics); part filters push to its scan and broadcast.
+    COUNT(DISTINCT) pays one Expand, the plan-pinned cost of exact
+    distinct aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 7, 14, 23, 36, 45, 49, 50)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad_supp = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
