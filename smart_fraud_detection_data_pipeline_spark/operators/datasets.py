@@ -119,3 +119,39 @@ def stratified_sample_exact_k(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    size: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the context-window packing precursor (chunk k starts at k·stride,
+    spans `size` chars, so consecutive chunks overlap by size−stride).
+
+    Pure built-ins: sequence → explode → substr, no Python. Map-only
+    (the explode is a per-row fan-out, not a shuffle), so it scales
+    linearly with corpus bytes; output rows carry the chunk text, so at
+    100 TB follow with a projection/digest before any wide operator.
+    Empty documents still produce one (empty) chunk — rows must never
+    vanish silently from a training corpus.
+    """
+    text = F.col(text_col)
+    n_chunks = F.greatest(
+        F.ceil(F.length(text) / F.lit(float(stride))), F.lit(1)
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx")
+    out = df.select(F.col(id_col), text.alias("__t"), idx)
+    chunk = F.substr(
+        F.col("__t"), F.col("chunk_idx") * stride + F.lit(1), F.lit(size)
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        chunk.alias("chunk"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+    )

@@ -174,3 +174,28 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+#: PII patterns kept to syntax valid AND equivalent in both Java regex
+#: (Spark) and RE2 (DuckDB oracle): plain character classes, no
+#: lookaround, no backrefs.
+EMAIL_PATTERN = "[A-Za-z0-9_.]+@[A-Za-z0-9.-]+"
+NUMBER_PATTERN = "[0-9]{3,}"
+
+
+def redact_pii(text: Column) -> dict[str, Column]:
+    """PII scrubbing signal columns: emails → <EMAIL> first, then long
+    digit runs → <NUM> (order matters — emails may contain digits), plus
+    match counts for audit. Pure column expressions (JVM regex, no UDF):
+    map-only at any scale, and the counts come from the SAME patterns
+    applied to the original text, so redacted/count can never drift."""
+    after_email = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return {
+        "redacted": F.regexp_replace(after_email, NUMBER_PATTERN, "<NUM>"),
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0)).cast(
+            "bigint"
+        ),
+        "n_numbers": F.size(
+            F.regexp_extract_all(after_email, F.lit(NUMBER_PATTERN), 0)
+        ).cast("bigint"),
+    }

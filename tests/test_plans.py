@@ -465,3 +465,45 @@ def test_streaming_agg_state_store_save_restore(spark, tmp_path):
     assert phys.count("StateStoreRestore") == 1
     assert phys.count("StateStoreSave") == 1
     assert phys.count("EventTimeWatermark") == 1
+
+
+def test_chunk_overlap_map_only(spark, sf_dir):
+    """Chunking is explode-over-scan: zero exchanges, zero joins — the
+    shape that scales linearly with corpus bytes."""
+    c = X.plan_counts(Q["doc_chunk_overlap"](spark, sf_dir))
+    assert c["exchange"] == 0
+    assert c["sort_merge_join"] == 0 and c["broadcast_hash_join"] == 0
+
+
+def test_pii_redact_map_only(spark, sf_dir):
+    """Regex scrubbing must stay a pure projection over the scan."""
+    c = X.plan_counts(Q["events_pii_redact"](spark, sf_dir))
+    assert c["exchange"] == 0
+
+
+def test_quantized_topk_broadcasts_queries_not_corpus(spark, sf_dir):
+    """Int8 top-k: queries broadcast into a nested-loop over the corpus
+    (corpus never shuffles for the join); the only exchange is the
+    window top-k's hash partition on query_id."""
+    plan = X.executed_plan(Q["embed_quantized_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    c = X.plan_counts(Q["embed_quantized_topk"](spark, sf_dir))
+    assert c["exchange"] <= 1
+    assert c["sort_merge_join"] == 0
+
+
+def test_market_share_single_fact_shuffle(spark, sf_dir):
+    """TPC-H Q8 shape: five broadcast dims; only lineitem↔orders pays a
+    shuffle pair (plus the final 2-row year aggregation)."""
+    c = X.plan_counts(Q["nation_market_share"](spark, sf_dir))
+    assert c["broadcast_hash_join"] >= 4
+    assert c["sort_merge_join"] <= 1  # lineitem↔orders may SMJ under AQE
+    plan = X.executed_plan(Q["nation_market_share"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_items_topk_no_global_sort(spark, sf_dir):
+    """TPC-H Q10 shape: LIMIT 20 under ORDER BY must be
+    TakeOrderedAndProject, never a global Sort+Exchange."""
+    plan = X.executed_plan(Q["returned_item_losses"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
