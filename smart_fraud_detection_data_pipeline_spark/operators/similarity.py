@@ -415,3 +415,48 @@ def quantized_cosine_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "q_cosine_sim", "rank")
     )
+
+
+def label_centroid_distance(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Distance of every vector to its group's centroid — the embedding-
+    aggregation primitive under cluster-quality audits and semantic-dedup
+    prefilters (far-from-centroid = candidate outlier).
+
+    Exactness discipline for the hash gate: componentwise means come
+    from 6-dp-rounded DECIMAL sums (order-independent, then ONE double
+    division); squared deviations are rounded to 6 dp and re-summed in
+    DECIMAL, so no step depends on float reduction order. Scale: the
+    centroid table is (labels × dims) rows — broadcast; the only big
+    shuffle is the posexplode re-group on (id), i.e. linear in corpus
+    size. For 100 TB use the dimension-unrolled form only if dims stay
+    modest (≤ a few hundred); beyond that, switch the inner fold to a
+    vectorized Pandas UDF over the un-exploded arrays.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(as_double_array(F.col(vec_col))).alias("__j", "__x"),
+    )
+    cent = ex.groupBy(label_col, "__j").agg(
+        (
+            F.sum(F.round(F.col("__x"), 6).cast("decimal(16,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__mean")
+    )
+    dev = F.col("__x") - F.col("__mean")
+    return (
+        ex.join(F.broadcast(cent), [label_col, "__j"])
+        .withColumn("__sq", F.round(dev * dev, 6).cast("decimal(18,6)"))
+        .groupBy(id_col, label_col)
+        .agg(
+            F.round(F.sqrt(F.sum("__sq").cast("double")), ROUND_DP).alias(
+                "centroid_dist"
+            )
+        )
+    )

@@ -4957,3 +4957,131 @@ def q_events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+@_register(
+    "forecast_revenue_change",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+  AND l_shipdate < TIMESTAMP '2001-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+""",
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — the last missing letter of the Q1–Q22 shape sweep:
+    pure filter-aggregate, no join. Every predicate reaches the parquet
+    scan (PushedFilters) and the sum accumulates exact decimal (the
+    price×discount product is 4-dp decimal, still associative). The
+    benchmark's measure of raw scan+reduce throughput: at 100 TB this
+    is bounded by I/O alone — no shuffle beyond the 1-row final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_register(
+    "asof_next_error",
+    """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+x AS (
+  SELECT event_id AS error_id, user_id, CAST(ts AS TIMESTAMP) AS error_ts
+  FROM events WHERE event_type = 'error'
+),
+j AS (
+  SELECT e.event_id, e.user_id, e.ts, x.error_id, x.error_ts,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY x.error_ts ASC NULLS LAST, x.error_id ASC NULLS LAST
+         ) AS rn
+  FROM e LEFT JOIN x
+    ON x.user_id = e.user_id AND x.error_ts >= e.ts
+)
+SELECT event_id, user_id, ts, error_id AS next_error_id, error_ts AS next_error_ts
+FROM j WHERE rn = 1
+""",
+)
+def q_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of FORWARD join (the other direction of operators/asof.py):
+    every event paired with the same user's next error at-or-after it —
+    time-to-failure labeling for supervised training. Same single
+    user-partitioned shuffle as the backward variant."""
+    from smart_fraud_detection_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    errors = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "error"
+    ).select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+    )
+    out = asof_join(
+        ev,
+        errors,
+        on=["user_id"],
+        left_key="event_id",
+        left_ts="ts",
+        right_ts="error_ts",
+        tie_break="error_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("error_id").alias("next_error_id"),
+        F.col("error_ts").alias("next_error_ts"),
+    )
+
+
+@_register(
+    "embed_label_centroid_dist",
+    """
+WITH ex AS (
+  SELECT vec_id, label, j, CAST(embedding[j] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(j)
+),
+cent AS (
+  SELECT label, j,
+         CAST(SUM(CAST(round(x, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*)
+           AS mean_x
+  FROM ex GROUP BY label, j
+)
+SELECT ex.vec_id, ex.label,
+       round(sqrt(CAST(SUM(CAST(round((ex.x - cent.mean_x) * (ex.x - cent.mean_x),
+                                       6) AS DECIMAL(18,6))) AS DOUBLE)), 6)
+         AS centroid_dist
+FROM ex JOIN cent ON cent.label = ex.label AND cent.j = ex.j
+GROUP BY ex.vec_id, ex.label
+""",
+)
+def q_embed_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid distance (similarity.label_centroid_distance):
+    every embedding's L2 distance to its label's mean vector — cluster-
+    quality / outlier signal. Means and squared deviations run through
+    6-dp DECIMAL sums so no value depends on float reduction order;
+    both engines agree bit-for-bit (full hash gate, no recall gate).
+    The posexplode join key (label, j) differs in base between engines
+    (0- vs 1-based ordinality) but is internal-only."""
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import (
+        label_centroid_distance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_distance(emb)
