@@ -41,16 +41,21 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     tie_break: str | None = None,
+    tie_break_direction: str = "desc",
 ) -> DataFrame:
     """Left as-of join: latest right row at-or-before each left row.
 
     ``left_key`` must uniquely identify left rows (their primary key).
-    ``tie_break`` (a right column, descending) resolves equal right_ts.
-    Right columns must not collide with left columns except the `on`
-    keys (rename beforehand).
+    ``tie_break`` (a right column) resolves equal right_ts;
+    ``tie_break_direction`` ("desc" default, or "asc") picks which end
+    of the tie wins — forward joins usually want "asc" (lowest id =
+    first-created among simultaneous events). Right columns must not
+    collide with left columns except the `on` keys (rename beforehand).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
+    if tie_break_direction not in ("desc", "asc"):
+        raise ValueError(f"unknown tie_break_direction: {tie_break_direction}")
     cond: Column = (
         (F.col(right_ts) <= F.col(left_ts))
         if direction == "backward"
@@ -65,7 +70,11 @@ def asof_join(
         else F.col(right_ts).asc_nulls_last()
     ]
     if tie_break:
-        order.append(F.col(tie_break).desc_nulls_last())
+        order.append(
+            F.col(tie_break).desc_nulls_last()
+            if tie_break_direction == "desc"
+            else F.col(tie_break).asc_nulls_last()
+        )
     w = Window.partitionBy(left_key).orderBy(*order)
     ranked = joined.withColumn("__rn", F.row_number().over(w))
     matched = ranked.where(F.col("__rn") == 1).drop("__rn")

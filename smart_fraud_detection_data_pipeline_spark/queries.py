@@ -3472,15 +3472,15 @@ def q_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook form is EXISTS + NOT EXISTS — two correlated self-joins of
     the fact table. Here both are collapsed into one two-level
     aggregation: per (order, supplier) late flags, then per-order
-    supplier/late counts, re-joined on the already-partitioned order
-    key. An explicit repartition(l_orderkey) pays the ONE fact shuffle
-    up front; both aggregation levels and the self-join then run
-    exchange-free on that partitioning (ClusteredDistribution on
-    (okey, skey) is satisfied by hash(okey)). Skipping map-side combine
-    is deliberate — lineitem carries ~1 row per (order, supplier), so
-    pre-aggregation would shrink nothing. The per-(order,supplier)
-    frame is persisted because it feeds both levels and Catalyst will
-    not CSE a reused subplan (CLAUDE.md invariant)."""
+    supplier/late counts as WINDOW aggregates over l_orderkey — the
+    window replaces the former persist + groupBy + self-join (one fewer
+    shuffle, no cached partitions leaking on a shared session). An
+    explicit repartition(l_orderkey) pays the ONE fact shuffle up
+    front; the groupBy and the window then run exchange-free on that
+    partitioning (ClusteredDistribution on (okey, skey) is satisfied by
+    hash(okey); the window needs only hash(okey)). Skipping map-side
+    combine is deliberate — lineitem carries ~1 row per
+    (order, supplier), so pre-aggregation would shrink nothing."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     late = F.when(
@@ -3491,15 +3491,20 @@ def q_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("late"))
-        .persist()
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late"),
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        per_os.where(F.col("late") == 1)
-        .join(per_o.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)), "l_orderkey")
+        flagged.where(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -4565,24 +4570,26 @@ WHERE sr.total_rev = (SELECT MAX(total_rev) FROM sr)
 )
 def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the quarter's top-revenue supplier(s) — a CTE
-    aggregate consumed twice (once for rows, once for its MAX). The
-    aggregate is computed ONCE and persisted implicitly by reuse; the
-    MAX is a 1-row broadcast joined back on equality, returning every
-    supplier tied at the top (the Q15 contract, unlike LIMIT 1).
-    Comparison happens in exact decimal, not double."""
+    aggregate consumed twice in SQL (once for rows, once for its MAX).
+    Instead of persist + self-consume (which leaks cached partitions on
+    a shared long-lived session), the MAX is a whole-frame window over
+    the aggregate: the frame is supplier-sized (|suppliers| rows, not
+    fact rows), so the single-partition window exchange is cheap, and
+    the plan stays pure-lazy. Returns every supplier tied at the top
+    (the Q15 contract, unlike LIMIT 1); comparison in exact decimal."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("2000-04-01").cast("timestamp_ntz"))
     )
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-    sr = (
-        li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
-    ).persist()  # consumed twice: rows + scalar max — avoid recompute (CSE rule)
-    mx = sr.agg(F.max("total_rev").alias("max_rev"))
+    from pyspark.sql import Window
+
+    sr = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    w = Window.partitionBy()
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sr.crossJoin(F.broadcast(mx))
+        sr.withColumn("max_rev", F.max("total_rev").over(w))
         .where(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
@@ -4724,9 +4731,12 @@ WITH base AS (
   FROM base
 ), scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
-         round(list_dot_product(a.q, b.q)
-               / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))),
-               6) AS q_cosine_sim
+         CASE WHEN list_dot_product(a.q, a.q) > 0
+               AND list_dot_product(b.q, b.q) > 0
+              THEN round(list_dot_product(a.q, b.q)
+                         / (sqrt(list_dot_product(a.q, a.q))
+                            * sqrt(list_dot_product(b.q, b.q))),
+                         6) END AS q_cosine_sim
   FROM qz a, qz b
   WHERE a.vec_id < 5
 ), ranked AS (
@@ -4872,9 +4882,14 @@ def q_doc_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = toks.select(
         "doc_id",
         F.explode(
+            # sequence(1, 0) DESCENDS in Spark (default step -1), so a
+            # 1-token doc would index element_at(__toks, 2) and throw;
+            # DuckDB's generate_series(1, 0) is empty. Guard to match.
             F.expr(
-                "transform(sequence(1, size(__toks) - 1),"
+                "CASE WHEN size(__toks) >= 2 THEN"
+                " transform(sequence(1, size(__toks) - 1),"
                 " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
+                " ELSE array() END"
             )
         ).alias("bigram"),
     )
@@ -5041,6 +5056,7 @@ def q_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="error_ts",
         tie_break="error_id",
+        tie_break_direction="asc",
         direction="forward",
     )
     return out.select(

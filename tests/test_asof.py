@@ -71,6 +71,28 @@ def test_asof_output_size_equals_left(spark):
     assert out.count() == left.count()
 
 
+def test_asof_tie_break_directions(spark):
+    # Two right rows share the exact timestamp: "desc" (default) picks the
+    # highest tie_break value, "asc" the lowest — the forward/oracle
+    # convention (ADVICE r3: asof_next_error ties must match the SQL twin).
+    left = spark.createDataFrame([Row(id=1, k="a", ts=_m(0))])
+    right = spark.createDataFrame(
+        [
+            Row(k="a", r_id=7, r_ts=_m(5), payload="hi"),
+            Row(k="a", r_id=3, r_ts=_m(5), payload="lo"),
+        ]
+    )
+    kw = dict(on=["k"], left_key="id", left_ts="ts", right_ts="r_ts",
+              direction="forward", tie_break="r_id")
+    assert asof_join(left, right, **kw).collect()[0].r_id == 7
+    assert (
+        asof_join(left, right, tie_break_direction="asc", **kw).collect()[0].r_id
+        == 3
+    )
+    with pytest.raises(ValueError, match="unknown tie_break_direction"):
+        asof_join(left, right, tie_break_direction="up", **kw)
+
+
 def test_asof_rejects_bad_direction(spark):
     left, right = _frames(spark)
     with pytest.raises(ValueError, match="unknown direction"):

@@ -106,6 +106,28 @@ def test_cosine_handles_zero_vector(spark):
     assert by_rank[3][0] == 1 and by_rank[3][1] is None  # zero vec last, null sim
 
 
+def test_quantized_topk_handles_zero_vector(spark):
+    """Quantized tier twin of the zero-vector contract (ADVICE r3: the
+    oracle SQL now mirrors this guard): zero-norm → null sim, sorted
+    last — identically on the Spark side and in the SQL twin's CASE."""
+    from pyspark.sql import Row
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 0.0]),  # zero vector
+            Row(vec_id=2, embedding=[0.5, 0.5]),
+        ]
+    )
+    queries = corpus.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.quantized_cosine_topk(corpus, queries, k=3).collect()
+    by_rank = {r.rank: (r.vec_id, r.q_cosine_sim) for r in out}
+    assert by_rank[1] == (0, 1.0)
+    assert by_rank[3][0] == 1 and by_rank[3][1] is None
+
+
 def test_documents_corpus_is_ascii(spark, sf_dir):
     """PRECONDITION of the promoted multimodal_byte_features oracle: byte
     statistics equal codepoint statistics only for pure-ASCII text. If

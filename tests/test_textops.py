@@ -184,6 +184,37 @@ def test_ppjoin_positional_bound_is_safe_on_edge_pairs(spark):
         assert got == {(1, 2)}
 
 
+def test_bigram_coverage_short_docs(spark, tmp_path):
+    """ADVICE r3: a <=1-token doc must emit zero bigrams (DuckDB
+    generate_series(1,0) is empty) — not throw INVALID_ARRAY_INDEX from
+    Spark's DESCENDING sequence(1, 0). Runs the registered query AND its
+    oracle on a fixture that contains exactly those docs."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from tools.oracle_check import compare
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["single", "   ", "two tokens", "three little tokens"],
+            "lang": ["en"] * 4,
+            "source": ["fixture"] * 4,
+            "n_chars": [6, 3, 10, 19],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    name = "doc_bigram_coverage"
+    sdf = entrymod.queries()[name](spark, str(tmp_path)).toPandas()
+    assert set(sdf.doc_id) == {3, 4}  # 0/1-token docs dropped, no crash
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    odf = con.sql(entrymod.oracle_sql()[name]).df()
+    con.close()
+    assert not compare(sdf, odf)
+
+
 def test_winnow_guarantee_and_pairs(spark):
     """Winnowing contract (Schleimer et al. '03): two docs sharing a
     substring of length >= k + w - 1 MUST share a fingerprint; docs with
