@@ -30,25 +30,89 @@ def test_cosine_topk_self_match(spark, emb):
     assert out.count() == 5 * 10
 
 
+def _recall(exact_rows, approx_rows):
+    es, aps = {}, {}
+    for r in exact_rows:
+        es.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx_rows:
+        aps.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(es[q] & aps.get(q, set())) / len(es[q]) for q in es]
+    return sum(recalls) / len(recalls), es, aps
+
+
 def test_srp_ann_recall_vs_bruteforce(spark, emb):
-    """ANN must recover most of the true top-10 while scoring a fraction
-    of the corpus (the whole point of the bucketed path)."""
+    """Operating-point gates on the ISOTROPIC testdata, where recall
+    tracks the scored fraction (measured curve in srp_ann_topk's
+    docstring): hamming-1 is the cheap floor, hamming-2 the ≥0.8
+    operating point (measured 0.88 @ 67% scored — brute-force-adjacent
+    cost, which is the honest ceiling on structure-free vectors; the
+    clustered fixture below shows the low-cost high-recall regime)."""
     exact = SIM.cosine_topk(emb, _queries(emb), k=10).collect()
-    approx = SIM.srp_ann_topk(emb, _queries(emb), k=10, n_planes=4).collect()
-    exact_sets = {}
-    for r in exact:
-        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
-    approx_sets = {}
-    for r in approx:
-        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
-    recalls = [
-        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
-        for q in exact_sets
-    ]
-    assert sum(recalls) / len(recalls) >= 0.4  # 16 buckets + multiprobe on random data
+    cheap = SIM.srp_ann_topk(emb, _queries(emb), k=10, n_planes=4).collect()
+    r_cheap, es, aps = _recall(exact, cheap)
+    assert r_cheap >= 0.4
     # self-match always survives (same bucket by construction)
-    for q in exact_sets:
-        assert q in approx_sets.get(q, set())
+    for q in es:
+        assert q in aps.get(q, set())
+    wide = SIM.srp_ann_topk(
+        emb, _queries(emb), k=10, n_planes=4, probe_hamming=2
+    ).collect()
+    r_wide, _, _ = _recall(exact, wide)
+    assert r_wide >= 0.8
+    assert r_wide >= r_cheap  # the dial is monotone
+
+
+def _clustered_emb(spark, n_clusters=10, per_cluster=50, dim=16):
+    """Deterministic well-separated clusters: center c = one-hot(axis c)
+    scaled, plus a small md5-seeded perturbation — the geometry real
+    (trained) embeddings have and isotropic testdata lacks."""
+    import hashlib
+
+    rows = []
+    for cid in range(n_clusters):
+        for j in range(per_cluster):
+            vec = []
+            for d in range(dim):
+                h = hashlib.md5(f"cl:{cid}:{j}:{d}".encode()).digest()
+                noise = (int.from_bytes(h[:4], "big") / 2**32 - 0.5) * 0.3
+                vec.append((3.0 if d == cid else 0.0) + noise)
+            rows.append((cid * per_cluster + j, vec))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+
+def test_ann_clustered_high_recall_low_cost(spark):
+    """On clustered embeddings (the production regime) both ANN tiers
+    must reach >=0.9 recall@10 while scoring a small corpus fraction —
+    the claim that justifies the bucketed scale path at 100 TB."""
+    emb = _clustered_emb(spark)
+    q = emb.where(F.col("vec_id").isin(0, 50, 100, 150, 200)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(emb, q, k=10).collect()
+
+    srp = SIM.srp_ann_topk(emb, q, k=10, n_planes=6, probe_hamming=1).collect()
+    r_srp, _, _ = _recall(exact, srp)
+    assert r_srp >= 0.9
+
+    ivf = SIM.ivf_ann_topk(emb, q, k=10, n_clusters=16, nprobe=2).collect()
+    r_ivf, _, _ = _recall(exact, ivf)
+    assert r_ivf >= 0.9
+    # nprobe=2 of 16 cells: candidate sets must stay a small fraction
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import (
+        as_double_array,
+        ivf_assign,
+        sample_centroids,
+    )
+
+    cents = sample_centroids(emb, 16)
+    assigned = ivf_assign(
+        emb.select("vec_id", as_double_array(F.col("embedding")).alias("__cvec")),
+        cents,
+    )
+    sizes = {r["__cluster"]: r["c"] for r in
+             assigned.groupBy("__cluster").agg(F.count("*").alias("c")).collect()}
+    # two cells of a 500-vector corpus: bounded well under half the corpus
+    assert max(sizes.values()) * 2 <= 0.5 * 500
 
 
 def test_multimodal_features_match_python_reference(spark, sf_dir):
@@ -74,15 +138,18 @@ def test_ivf_ann_recall_vs_bruteforce(spark, emb):
 
     exact = SIM.cosine_topk(emb, _queries(emb), k=10).collect()
     approx = ivf_ann_topk(emb, _queries(emb), k=10, n_clusters=16, nprobe=4).collect()
-    es, aps = {}, {}
-    for r in exact:
-        es.setdefault(r.query_id, set()).add(r.vec_id)
-    for r in approx:
-        aps.setdefault(r.query_id, set()).add(r.vec_id)
-    recalls = [len(es[q] & aps.get(q, set())) / len(es[q]) for q in es]
-    assert sum(recalls) / len(recalls) >= 0.3  # 25% of corpus scored
+    r_cheap, es, aps = _recall(exact, approx)
+    assert r_cheap >= 0.3  # ~25% of corpus scored; isotropic floor
     for q in es:
         assert q in aps.get(q, set())  # self always in its own probed cell
+    # The ≥0.8 operating point on isotropic data: nprobe=8 of 16 cells
+    # (measured 0.88 recall @ 51% scored — see srp_ann_topk docstring for
+    # why isotropic recall tracks scored fraction; the clustered fixture
+    # asserts the low-cost regime).
+    wide = ivf_ann_topk(emb, _queries(emb), k=10, n_clusters=16, nprobe=8).collect()
+    r_wide, _, _ = _recall(exact, wide)
+    assert r_wide >= 0.8
+    assert r_wide >= r_cheap  # nprobe is a monotone dial
 
 
 def test_cosine_handles_zero_vector(spark):
