@@ -5101,3 +5101,184 @@ def q_embed_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_centroid_distance(emb)
+
+
+@_register(
+    "user_value_ohlc",
+    """
+WITH ranked AS (
+  SELECT user_id, value,
+         date_trunc('hour', ts) AS wstart,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id,
+       strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(wstart + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+       COUNT(*) AS n_events
+FROM ranked
+GROUP BY user_id, wstart
+""",
+)
+def q_user_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the timeseries rollup every feature store
+    needs): per user per 1-hour tumbling window, the first (open),
+    max (high), min (low), and last (close) event value plus the count.
+    Open/close are picked by row_number over a TOTAL order
+    (ts, event_id) rather than min_by/max_by-on-ts so simultaneous
+    events are deterministic and both engines agree (DuckDB's arg_min
+    cannot order by a composite key). No float sums — min/max/pick are
+    reduction-order-free, so the full hash gate applies.
+
+    Scale: one exchange on (user_id, hour) serves BOTH row_number specs
+    and the final aggregation (same partitioning keys) — the window
+    sorts are the only added cost, and each sorts one window's rows,
+    not the partition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    w_a = Window.partitionBy("user_id", "__h").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("user_id", "__h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = (
+        ev.select("user_id", "ts", "event_id", "value", hour.alias("__h"))
+        .withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+    )
+    return (
+        ranked.groupBy("user_id", "__h")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("__h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format(
+                F.col("__h") + F.expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_end"),
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "n_events",
+        )
+    )
+
+
+@_register(
+    "user_scd2_intervals",
+    """
+SELECT event_id, user_id, event_type AS state,
+       CAST(ts AS TIMESTAMP) AS valid_from,
+       lead(CAST(ts AS TIMESTAMP))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+FROM events
+""",
+)
+def q_user_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension build: each user's event stream becomes validity
+    intervals [valid_from, valid_to) with the event_type as the tracked
+    state and an is_current flag on the open-ended last row — the
+    warehouse-side twin of asof_join (which CONSUMES such intervals).
+    Ordered by the total key (ts, event_id) so simultaneous events
+    chain deterministically. Both lead() calls share one window spec —
+    Spark computes them in a single Window operator over one
+    user-partitioned exchange; output size = input size (map-shaped
+    after the sort), so the build scales with the fact table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
+@_register(
+    "orders_snapshot_diff",
+    """
+WITH a AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+),
+b AS (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2))
+           + CASE WHEN o_orderkey % 10 = 0
+                  THEN CAST(1000 AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END AS price
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+            WHEN b.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       CAST(a.price AS DOUBLE) AS old_price,
+       CAST(b.price AS DOUBLE) AS new_price
+FROM a FULL OUTER JOIN b ON b.o_orderkey = a.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR a.price <> b.price
+""",
+)
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC diff — the read side of merge_upsert's write side:
+    given two key-aligned snapshots (old: orders before 2000; new:
+    orders since 1997, with every 10th key's price restated), emit the
+    change set as insert/delete/update rows. The overlap whose values
+    are unchanged is filtered OUT — the property that makes downstream
+    incremental loads proportional to the CHANGE volume, not the
+    snapshot size. Prices compare in exact DECIMAL (a double compare
+    could misclassify same-value rows), outputs cast to double.
+
+    Scale: one full-outer sort-merge join on the key — the unavoidable
+    shuffle; both snapshot scans push their date filters to parquet."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    a = orders.where(
+        F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select(F.col("o_orderkey").alias("a_key"), dec("o_totalprice").alias("a_price"))
+    bump = (
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(1000))
+        .otherwise(F.lit(0))
+        .cast("decimal(18,2)")
+    )
+    b = orders.where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    ).select(
+        F.col("o_orderkey").alias("b_key"),
+        (dec("o_totalprice") + bump).alias("b_price"),
+    )
+    diff = a.join(b, a.a_key == b.b_key, "full_outer").where(
+        F.col("a_key").isNull()
+        | F.col("b_key").isNull()
+        | (F.col("a_price") != F.col("b_price"))
+    )
+    return diff.select(
+        F.coalesce("a_key", "b_key").alias("o_orderkey"),
+        F.when(F.col("a_key").isNull(), "insert")
+        .when(F.col("b_key").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("a_price").cast("double").alias("old_price"),
+        F.col("b_price").cast("double").alias("new_price"),
+    )

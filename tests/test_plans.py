@@ -220,15 +220,21 @@ def test_large_volume_customers_single_fact_shuffle(spark, sf_dir):
 
 
 def test_late_sole_suppliers_shares_orderkey_partitioning(spark, sf_dir):
-    """Q21 shape: EXISTS + NOT EXISTS collapsed into a two-level
-    aggregation over ONE explicit order-key repartition; both levels
-    and the self-join reuse that partitioning (the cached frame), and
-    nothing falls back to a nested loop."""
+    """Q21 shape: EXISTS + NOT EXISTS collapsed into a groupBy plus
+    window aggregates over ONE explicit order-key repartition (the
+    former persist + self-join is gone — no cached partitions, one
+    fewer shuffle); nothing falls back to a nested loop."""
     df = Q["late_sole_suppliers"](spark, sf_dir)
     plan = X.executed_plan(df)
     assert "REPARTITION_BY_COL" in plan  # the single fact shuffle
-    assert "InMemoryTableScan" in plan  # both levels read the cached frame
-    assert X.plan_counts(df)["nested_loop_join"] == 0
+    assert "InMemoryTableScan" not in plan  # no persisted intermediate
+    c = X.plan_counts(df)
+    assert c["nested_loop_join"] == 0
+    # groupBy(l_orderkey, l_suppkey) + window(l_orderkey) both reuse the
+    # explicit repartition: the only other exchange is the join with
+    # orders (broadcast under AQE) — allow <=2 total just in case AQE
+    # chooses SMJ for it at larger SFs.
+    assert c["exchange"] <= 2
 
 
 def test_idle_rich_customers_anti_join_and_scalar_stats(spark, sf_dir):
@@ -507,3 +513,61 @@ def test_returned_items_topk_no_global_sort(spark, sf_dir):
     TakeOrderedAndProject, never a global Sort+Exchange."""
     plan = X.executed_plan(Q["returned_item_losses"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark, sf_dir, tmp_path):
+    """DPP: a fact table Hive-partitioned on the join key must receive a
+    runtime dynamicpruning subquery from the dim side's selective
+    predicate — at 100 TB the fact scan lists only the partitions the
+    dim filter selects, instead of every partition plus a post-join
+    drop. Complements the bloom-filter test (row-level runtime filter)
+    with the partition-level one."""
+    from pyspark.sql import functions as F
+
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").drop("props")
+    path = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("error", 1), ("click", 0), ("view", 0), ("signup", 0), ("purchase", 0)],
+        "event_type: string, is_alert: int",
+    )
+    joined = fact.join(dim.where(F.col("is_alert") == 1), "event_type").groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    plan = X.formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), "DPP subquery not injected"
+    rows = joined.collect()
+    assert [r.event_type for r in rows] == ["error"]
+    assert rows[0].n == ev.where(F.col("event_type") == "error").count()
+
+
+def test_ohlc_single_shuffle_serves_windows_and_agg(spark, sf_dir):
+    """OHLC downsample: both row_number specs (asc + desc) and the final
+    aggregation share ONE hash exchange on (user_id, hour) — adding the
+    open/close picks must not add shuffles over a plain windowed agg."""
+    c = X.plan_counts(Q["user_value_ohlc"](spark, sf_dir))
+    assert c["exchange"] == 1
+    assert c["sort_merge_join"] == 0
+
+
+def test_scd2_single_exchange_map_shaped(spark, sf_dir):
+    """SCD2 interval build: one user-partitioned exchange, no joins —
+    output size = input size, so the build scales with the fact scan."""
+    c = X.plan_counts(Q["user_scd2_intervals"](spark, sf_dir))
+    assert c["exchange"] == 1
+    assert c["broadcast_hash_join"] == 0 and c["sort_merge_join"] == 0
+
+
+def test_snapshot_diff_pushes_both_snapshot_filters(spark, sf_dir):
+    """CDC diff: the full-outer join pays its two key exchanges, and each
+    snapshot's date predicate reaches its parquet scan."""
+    df = Q["orders_snapshot_diff"](spark, sf_dir)
+    c = X.plan_counts(df)
+    assert c["sort_merge_join"] == 1
+    assert c["exchange"] == 2
+    pushed = X.pushed_filters(df)
+    assert "LessThan(o_orderdate" in pushed
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
