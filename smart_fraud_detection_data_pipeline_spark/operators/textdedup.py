@@ -629,3 +629,100 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).cast("int").alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 20,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity via an inverted-index join — the
+    lexical near-dup tier between token-set Jaccard (structure-blind)
+    and embedding cosine (needs a model). Cites the same capability the
+    reference's dedup keys only gesture at (consumer.py:87-92 dedups on
+    exact transaction_id; this scores *content* overlap).
+
+    Pipeline: tokens → TF → smoothed IDF (the doc_tfidf formula) →
+    per-token posting lists (one shuffle) → in-row pair expansion →
+    per-pair dot aggregation (one shuffle on the pair key) → norm join.
+    NOT a self-join: each posting list emits its C(df,2) pairs in-row,
+    each pair once (sorted by doc id), so the join never materializes
+    both orders and never shuffles the weight table twice.
+
+    Scale levers: ``max_df`` drops tokens shared by more than that many
+    docs — they cost quadratic pairs and carry the least IDF signal
+    (prefix-filtering's big brother; same lever as ngram_jaccard_pairs
+    / winnow_pairs). Cosine is computed over the max_df-FILTERED vector
+    space on both the dot and the norms, so it is a well-defined
+    similarity there, rounded to 6 dp through DECIMAL sums so both
+    engines agree bit-for-bit (hash gate, not recall gate).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    )
+    n_docs = df.count()
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.groupBy("token")
+        .agg(F.count_distinct("id").alias("doc_freq"))
+        .where(F.col("doc_freq") <= max_df)
+    )
+    idf = (
+        F.log(
+            (F.lit(float(n_docs)) + F.lit(1.0))
+            / (F.col("doc_freq").cast("double") + F.lit(1.0))
+        )
+        + F.lit(1.0)
+    )
+    # The weight frame feeds BOTH the norm aggregation and the posting
+    # lists; Catalyst does not CSE shared subplans (CLAUDE.md invariant),
+    # so without materialization the tokenize→TF→IDF pipeline runs once
+    # per consumer (measured: 13 exchanges vs 6). localCheckpoint (the
+    # graph.py discipline) materializes it once and frees with the DF —
+    # unlike persist() it leaves nothing registered on a shared session.
+    w = (
+        tf.join(F.broadcast(dfreq), "token")
+        .select("id", "token", (F.col("tf").cast("double") * idf).alias("wt"))
+        .localCheckpoint()
+    )
+    norm = w.groupBy("id").agg(
+        F.sqrt(
+            F.sum(F.expr("CAST(round(wt * wt, 6) AS DECIMAL(18,6))")).cast("double")
+        ).alias("nrm")
+    )
+    posting = w.groupBy("token").agg(
+        F.sort_array(F.collect_list(F.struct("id", "wt"))).alias("ps")
+    ).where(F.size("ps") > 1)
+    pairs = posting.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
+                        lambda y: F.struct(
+                            x["id"].alias("doc_a"),
+                            y["id"].alias("doc_b"),
+                            (x["wt"] * y["wt"]).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select("pr.doc_a", "pr.doc_b", "pr.p")
+    dots = pairs.groupBy("doc_a", "doc_b").agg(
+        F.sum(F.expr("CAST(round(p, 6) AS DECIMAL(18,6))")).cast("double").alias("dot")
+    )
+    na = norm.select(F.col("id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norm.select(F.col("id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )

@@ -5282,3 +5282,95 @@ def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_price").cast("double").alias("old_price"),
         F.col("b_price").cast("double").alias("new_price"),
     )
+
+
+@_register(
+    "doc_tfidf_cosine_pairs",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY token
+  HAVING COUNT(DISTINCT doc_id) <= 50
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(tf.tf AS DOUBLE)
+           * (ln((CAST((SELECT n_docs FROM n) AS DOUBLE) + 1.0e0)
+                 / (CAST(doc_freq AS DOUBLE) + 1.0e0)) + 1.0e0) AS wt
+  FROM tf JOIN df USING (token)
+),
+nrm AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(round(wt * wt, 6) AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
+  FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(CAST(round(a.wt * b.wt, 6) AS DECIMAL(18,6))) AS DOUBLE) AS dot
+  FROM w a JOIN w b ON b.token = a.token AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine_sim
+FROM dots
+JOIN nrm na ON na.doc_id = doc_a
+JOIN nrm nb ON nb.doc_id = doc_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.2
+""",
+)
+def q_doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine pairs (textdedup.tfidf_cosine_pairs): the
+    lexical similarity tier between Jaccard and embeddings, computed as
+    an inverted-index posting-list expansion — NEVER an all-pairs join.
+    The oracle spells the same math as a token self-join (DuckDB has no
+    posting-list idiom); the Spark plan generates each pair in-row from
+    the per-token list, one shuffle each for postings and pair-sums.
+    DECIMAL-summed products + 6-dp rounding → full hash gate."""
+    from smart_fraud_detection_data_pipeline_spark.operators.textdedup import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, max_df=50, threshold=0.2)
+
+
+@_register(
+    "user_event_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT user_id, from_type, to_type, COUNT(*) AS n_transitions
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY user_id, from_type, to_type
+""",
+)
+def q_user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts per user (event_type →
+    next event_type) — the sequence-mining feature behind funnel and
+    next-action models; complements user_funnel (which pins ONE path)
+    with the full empirical transition matrix. The lead() window and
+    the aggregation share the user_id hash partitioning: the groupBy
+    keys start with user_id, so Spark reuses the window's exchange —
+    one shuffle total."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.where(F.col("to_type").isNotNull())
+        .groupBy("user_id", "from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -571,3 +571,23 @@ def test_snapshot_diff_pushes_both_snapshot_filters(spark, sf_dir):
     pushed = X.pushed_filters(df)
     assert "LessThan(o_orderdate" in pushed
     assert "GreaterThanOrEqual(o_orderdate" in pushed
+
+
+def test_tfidf_cosine_pairs_posting_lists_not_self_join(spark, sf_dir):
+    """Sparse cosine: pairs must come from in-row posting-list expansion
+    (Generate over collect_list), never a token self-join that shuffles
+    the weight table twice and materializes both pair orders; the
+    checkpointed weight frame caps the whole plan at 4 exchanges."""
+    df = Q["doc_tfidf_cosine_pairs"](spark, sf_dir)
+    plan = X.executed_plan(df)
+    assert "Generate" in plan  # explode of the pair combinations
+    c = X.plan_counts(df)
+    assert c["exchange"] <= 4
+    assert c["sort_merge_join"] == 0
+
+
+def test_event_transitions_single_shuffle(spark, sf_dir):
+    """Markov transitions: lead() window and the (user_id, ...) groupBy
+    share one user_id exchange."""
+    c = X.plan_counts(Q["user_event_transitions"](spark, sf_dir))
+    assert c["exchange"] == 1

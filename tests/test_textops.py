@@ -249,3 +249,22 @@ def test_winnow_selection_properties(spark):
         assert 1 <= len(r.fps) <= max(len(r.h) - 3, 1)
     again = hashed.select(TS.winnow(F.col("h"), 4).alias("fps")).collect()
     assert [r.fps for r in again] == [r.fps for r in sel]
+
+
+def test_tfidf_cosine_pairs_semantics(spark):
+    """Identical docs must score cosine 1.0; docs sharing no token must
+    not pair at all (posting lists never emit them); near-dups land in
+    between and above the threshold."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta"),
+            Row(doc_id=2, text="alpha beta gamma delta"),      # exact dup of 1
+            Row(doc_id=3, text="alpha beta gamma epsilon"),    # near dup
+            Row(doc_id=4, text="zeta eta theta iota"),         # disjoint
+        ]
+    )
+    out = {(r.doc_a, r.doc_b): r.cosine_sim
+           for r in TD.tfidf_cosine_pairs(docs, max_df=10, threshold=0.1).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.1 <= out[(1, 3)] < 1.0 and out[(1, 3)] == out[(2, 3)]
+    assert all(4 not in p for p in out)
