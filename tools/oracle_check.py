@@ -62,8 +62,14 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
@@ -72,14 +78,25 @@ def main() -> int:
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir).toPandas()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001 — keep auditing the rest
+            failures += 1
+            print(f"[FAIL] {name}: {type(exc).__name__}: {exc}"[:300])
+            results[name] = {"status": "error", "err": str(exc)[:300]}
+            continue
         t1 = time.time()
         if name not in oracles:
             print(f"[rows-only] {name}: {len(sdf)} rows ({t1 - t0:.1f}s)")
+            results[name] = {
+                "status": "rows_only", "spark_rows": len(sdf),
+                "sec": round(t1 - t0, 2),
+            }
             continue
         odf = con.sql(oracles[name]).df()
         problems = compare(sdf, odf)
@@ -90,6 +107,21 @@ def main() -> int:
                 print(f"       - {p}")
         else:
             print(f"[ok]   {name}: {len(sdf)} rows ({t1 - t0:.1f}s)")
+        results[name] = {
+            "status": "fail" if problems else "ok",
+            "spark_rows": len(sdf), "oracle_rows": len(odf),
+            "sec": round(t1 - t0, 2), "problems": problems,
+        }
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n": len(results), "failures": failures,
+                 "results": results},
+                f, indent=1,
+            )
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if failures else 0
 
