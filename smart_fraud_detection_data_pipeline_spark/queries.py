@@ -5374,3 +5374,30 @@ def q_user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@_register("user_distinct_sketch_rollup", None)  # sketch-based → approximate
+def q_user_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count STATE (DataSketches HLL, Spark 4
+    hll_sketch_agg / hll_union_agg): per-day sketches of distinct users
+    per event_type are persisted-shape binary columns, then UNIONED to
+    the all-time estimate — the incremental pattern that replaces
+    COUNT(DISTINCT) recomputation at 100 TB (store a sketch per
+    partition-day; a new day merges in O(sketch) instead of rescanning
+    history; contrast user_spend_trends_incremental, which re-adds
+    exact counts only because its windows are disjoint). Rows-only:
+    DuckDB has no DataSketches twin; the merge-vs-direct contract is
+    pinned in tests/test_trends.py instead."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

@@ -58,3 +58,39 @@ def test_approx_mode_close_to_exact(spark, sf_dir):
         q_user_spend_trends_approx(spark, sf_dir).agg(F.sum("num_transactions")).collect()[0][0]
     )
     assert abs(approx - exact) / exact < 0.1  # HLL++ rsd 0.05
+
+
+def test_sketch_rollup_merge_equals_direct(spark, sf_dir):
+    """The mergeable-state contract behind user_distinct_sketch_rollup:
+    estimating from per-day sketches UNIONED together must agree with a
+    direct single-pass sketch (both go through the same DataSketches
+    union machinery), and both must sit within HLL error of the exact
+    distinct count."""
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    merged = {
+        r.event_type: r.approx
+        for r in ev.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"))
+        .collect()
+    }
+    direct = {
+        r.event_type: r.approx
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(merged) == set(direct) == set(exact)
+    for et in exact:
+        assert abs(merged[et] - direct[et]) <= 0.01 * exact[et] + 1
+        assert abs(merged[et] - exact[et]) <= 0.05 * exact[et] + 1
