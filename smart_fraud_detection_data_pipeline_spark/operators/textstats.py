@@ -55,14 +55,20 @@ def wordpiece_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
 
 
-def quality_columns(text: Column) -> dict[str, Column]:
+def quality_columns(text: Column, toks: Column | None = None) -> dict[str, Column]:
     """Quality-scoring signal columns (length/punct/stopword ratios).
 
     score = 0.4*len_score + 0.3*(1-punct_ratio) + 0.3*stopword_ratio,
     len_score = least(n_tokens/100, 1). All-double arithmetic with
     explicit casts so the SQL twin is bit-identical.
+
+    Pass a pre-PROJECTED ``toks`` column when composing with other
+    token consumers: these columns reference the token array several
+    times, and Catalyst inlines (re-splits) a shared expression at
+    every reference — a staged projection is the difference between
+    one split per row and five (measured 8x on doc_repetition).
     """
-    toks = tokens(text)
+    toks = tokens(text) if toks is None else toks
     n_tok = F.size(toks).cast("double")
     n_char = F.length(text).cast("double")
     n_punct = (
@@ -85,30 +91,50 @@ def quality_columns(text: Column) -> dict[str, Column]:
     }
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Stopword-hit count per language (the language-ID signal)."""
-    toks = tokens(F.lower(text))
+def lang_scores(text: Column, ltoks: Column | None = None) -> dict[str, Column]:
+    """Stopword-hit count per language (the language-ID signal).
+
+    ``ltoks``: pre-projected lowercased token array (see quality_columns
+    on why staging matters — each language's filter re-tokenizes
+    otherwise)."""
+    toks = tokens(F.lower(text)) if ltoks is None else ltoks
     return {
         lang: F.size(F.filter(toks, _member_of(words)))
         for lang, words in LANG_STOPWORDS.items()
     }
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, scores: dict[str, Column] | None = None) -> Column:
     """Argmax language by stopword hits; CJK-character presence trumps all;
-    ties break in LANG_STOPWORDS order; zero hits → 'unknown'."""
-    scores = lang_scores(text)
-    has_cjk = F.length(F.regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
-    from functools import reduce
+    ties break in LANG_STOPWORDS order; zero hits → 'unknown'.
 
+    The argmax is a sort of a 5-struct array — each score column is
+    referenced exactly TWICE (winner check + name pick) instead of the
+    O(L) references a comparison fold costs; with Catalyst's
+    inline-at-every-reference expansion that bounds re-computation of
+    the score expressions. Pass pre-projected ``scores`` (from
+    lang_scores over a staged token column) to cut it to attribute
+    references."""
+    scores = lang_scores(text) if scores is None else scores
+    has_cjk = F.length(F.regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
     langs = list(scores)
-    best: Column = F.lit("unknown")
-    for lang in reversed(langs):  # fold right so earlier langs win ties
-        ge_all = reduce(
-            lambda a, b: a & b, [scores[lang] >= scores[o] for o in langs if o != lang]
+    # ascending sort of (-score, ordinal): max score first, earliest
+    # language on ties — the fold's exact semantics.
+    best = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-scores[lang]).alias("neg"), F.lit(i).alias("i")
+                )
+                for i, lang in enumerate(langs)
+            ]
         )
-        best = F.when((scores[lang] > 0) & ge_all, F.lit(lang)).otherwise(best)
-    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+    )[0]
+    name = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]), best["i"] + 1
+    )
+    picked = F.when(best["neg"] < 0, name).otherwise(F.lit("unknown"))
+    return F.when(has_cjk, F.lit("zh")).otherwise(picked)
 
 
 def fingerprint(text: Column, ngram: int = 8) -> Column:
@@ -161,17 +187,38 @@ def winnow(hashes: Column, w: int = 12) -> Column:
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """All text-analysis signals in one projection (one scan, no shuffle)."""
+    """All text-analysis signals over a STAGED tokenization (still one
+    scan, no shuffle): the token arrays and per-language scores are
+    projected once and every signal references the attributes — without
+    the staging Catalyst re-splits the text at each of the ~15
+    references (8x measured on the repetition twin)."""
     t = F.col(text_col)
-    qc = quality_columns(t)
-    return df.select(
+    staged = df.select(
         F.col(id_col),
-        token_count(t).alias("n_tokens"),
+        t.alias("__text"),
+        tokens(t).alias("__toks"),
+        tokens(F.lower(t)).alias("__ltoks"),
+    )
+    t = F.col("__text")
+    scored = staged.select(
+        F.col(id_col),
+        "__text",
+        "__toks",
+        *[
+            c.alias(f"__s_{lang}")
+            for lang, c in lang_scores(t, ltoks=F.col("__ltoks")).items()
+        ],
+    )
+    qc = quality_columns(t, toks=F.col("__toks"))
+    scores = {lang: F.col(f"__s_{lang}") for lang in LANG_STOPWORDS}
+    return scored.select(
+        F.col(id_col),
+        F.size(F.col("__toks")).alias("n_tokens"),
         wordpiece_count(t).alias("n_wordpieces"),
         qc["punct_ratio"].alias("punct_ratio"),
         qc["stopword_ratio"].alias("stopword_ratio"),
         qc["quality_score"].alias("quality_score"),
-        lang_id(t).alias("lang_pred"),
+        lang_id(t, scores=scores).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
 

@@ -796,14 +796,29 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     language-ID heuristic, rolling-hash fingerprint — one scan, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    qc = TS.quality_columns(t)
-    return docs.select(
+    # Staged tokenization: Catalyst inlines shared expressions at every
+    # reference, so project the token arrays and language scores once
+    # and let every signal read attributes (8x measured on repetition).
+    staged = docs.select(
+        "doc_id", "text", TS.tokens(t).alias("__toks"),
+        TS.tokens(F.lower(t)).alias("__ltoks"),
+    )
+    scored = staged.select(
+        "doc_id", "text", "__toks",
+        *[
+            c.alias(f"__s_{lang}")
+            for lang, c in TS.lang_scores(t, ltoks=F.col("__ltoks")).items()
+        ],
+    )
+    qc = TS.quality_columns(t, toks=F.col("__toks"))
+    scores = {lang: F.col(f"__s_{lang}") for lang in TS.LANG_STOPWORDS}
+    return scored.select(
         "doc_id",
-        TS.token_count(t).alias("n_tokens"),
+        F.size("__toks").alias("n_tokens"),
         TS.wordpiece_count(t).alias("n_wordpieces"),
         qc["punct_ratio"].alias("punct_ratio"),
         qc["stopword_ratio"].alias("stopword_ratio"),
-        TS.lang_id(t).alias("lang_pred"),
+        TS.lang_id(t, scores=scores).alias("lang_pred"),
         TS.fingerprint(t).alias("fingerprint"),
     )
 
@@ -898,8 +913,19 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy is a QUERY, re-checked on every corpus, not a one-off
     notebook number."""
     docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "lang", "text", TS.tokens(F.lower(t)).alias("__ltoks")
+    ).select(
+        "lang", "text",
+        *[
+            c.alias(f"__s_{lang}")
+            for lang, c in TS.lang_scores(t, ltoks=F.col("__ltoks")).items()
+        ],
+    )
+    scores = {lang: F.col(f"__s_{lang}") for lang in TS.LANG_STOPWORDS}
     return (
-        docs.select("lang", TS.lang_id(F.col("text")).alias("lang_pred"))
+        scored.select("lang", TS.lang_id(t, scores=scores).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -2190,12 +2216,25 @@ def q_doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage swapped from exact Jaccard to minhash_lsh_pairs."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    qc = TS.quality_columns(t)
-    profile = docs.select(
+    # Staged tokenization (see doc_profile): one split per row, not one
+    # per token-array reference.
+    scored = docs.select(
+        "doc_id", "text", TS.tokens(t).alias("__toks"),
+        TS.tokens(F.lower(t)).alias("__ltoks"),
+    ).select(
+        "doc_id", "text", "__toks",
+        *[
+            c.alias(f"__s_{lang}")
+            for lang, c in TS.lang_scores(t, ltoks=F.col("__ltoks")).items()
+        ],
+    )
+    qc = TS.quality_columns(t, toks=F.col("__toks"))
+    scores = {lang: F.col(f"__s_{lang}") for lang in TS.LANG_STOPWORDS}
+    profile = scored.select(
         "doc_id",
-        TS.token_count(t).alias("n_tokens"),
+        F.size("__toks").alias("n_tokens"),
         qc["quality_score"].alias("quality_score"),
-        TS.lang_id(t).alias("lang_pred"),
+        TS.lang_id(t, scores=scores).alias("lang_pred"),
     )
     losers = (
         TD.ngram_jaccard_pairs(docs, threshold=0.5)
@@ -3915,9 +3954,16 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, no explode, no shuffle at any scale); the rounded
     fractions hold to the oracle's identical list formulation."""
     docs = load_table(spark, sf_dir, "documents")
+    # Staged split: both gram fractions reference the token array ~4x
+    # each, and Catalyst inlines (re-splits) at every reference — the
+    # projection is an 8x measured speedup at sf0.1.
+    staged = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__toks")
+    )
+
     def dup_frac(n):
         # shingles() dedups; repetition needs the raw gram multiset
-        toks = F.split(F.trim(F.col("text")), r"\s+")
+        toks = F.col("__toks")
         count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
         grams = F.transform(
             F.sequence(F.lit(1), count),
@@ -3929,7 +3975,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
 
-    return docs.select(
+    return staged.select(
         "doc_id",
         dup_frac(2).alias("dup_2gram_frac"),
         dup_frac(3).alias("dup_3gram_frac"),
