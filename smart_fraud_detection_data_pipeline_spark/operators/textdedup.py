@@ -60,18 +60,42 @@ def exact_dup_groups(
     )
 
 
-def shingles(text: Column, n: int = DEFAULT_SHINGLE) -> Column:
+def shingles(
+    text: Column, n: int = DEFAULT_SHINGLE, *, toks: Column | None = None
+) -> Column:
     """Distinct word n-gram shingles of a document (array<string>).
 
     Shorter docs produce their full token sequence as one shingle.
+
+    IMPORTANT (measured 8x): the gram transform maps over an index
+    SEQUENCE and slices the token array per element — if ``toks`` is an
+    inline split expression, Spark's HOF evaluation re-derives it for
+    every gram (no CSE into the lambda scope). Callers building a
+    DataFrame should pre-project the split into a column and pass it as
+    ``toks`` so the lambda slices a cheap attribute (see
+    shingle_index / minhash_signatures).
     """
-    toks = F.split(F.trim(text), "\\s+")
+    toks = F.split(F.trim(text), "\\s+") if toks is None else toks
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), count),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.array_distinct(grams)
+
+
+def _staged_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, *extra_cols: str
+) -> DataFrame:
+    """(id, __sh) with the tokenization staged through a projection so
+    the shingle lambda slices an attribute, not a re-split."""
+    return df.select(
+        F.col(id_col), *extra_cols, F.split(F.trim(F.col(text_col)), "\\s+").alias("__toks")
+    ).select(
+        F.col(id_col),
+        *extra_cols,
+        shingles(None, n, toks=F.col("__toks")).alias("__sh"),
+    )
 
 
 def shingle_index(
@@ -84,8 +108,8 @@ def shingle_index(
     """Inverted index (id, shingle), optionally dropping shingles with
     document frequency > max_df (the scale lever: frequent shingles are
     the quadratic fan-out in any all-pairs join)."""
-    idx = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    idx = _staged_shingles(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("__sh").alias("shingle")
     )
     if max_df is not None:
         w = Window.partitionBy("shingle")
@@ -135,8 +159,8 @@ def ngram_jaccard_pairs(
     ~2^-64 per shingle pair (≈1e-11 corpus-wide) and candidate
     over-generation is filtered by verification in the prefix path.
     """
-    sets = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    sets = _staged_shingles(df, text_col, id_col, n).select(
+        F.col(id_col).alias("id"), F.col("__sh").alias("sh")
     )
     if method == "ppjoin":
         # AllPairs prefix filtering + the PPJoin positional filter
@@ -314,7 +338,7 @@ def minhash_signatures(
     def perm_hash(i: int):
         return lambda s: F.md5(F.concat(F.lit(f"p{i}|"), s).cast("binary"))
 
-    base = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("__sh"))
+    base = _staged_shingles(df, text_col, id_col, n)
     sig_cols = [
         F.array_min(F.transform(F.col("__sh"), perm_hash(i))).alias(f"sig_{i}")
         for i in range(num_perm)
@@ -351,8 +375,8 @@ def minhash_lsh_pairs(
     # sf0.1 with persist). Left cached for the caller's action; evicted
     # by LRU — at cluster scale this is a deliberate, size-bounded cache
     # (ids + shingle arrays only, never payload columns).
-    sets = df.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("sh")
+    sets = _staged_shingles(df, text_col, id_col, n).select(
+        F.col(id_col), F.col("__sh").alias("sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sets.count()  # materialize eagerly: both plan branches must hit cache
 
@@ -535,17 +559,21 @@ def cross_corpus_containment(
     Returns (id, n_grams, n_hit, hit_frac, contaminated); hit_frac is
     rounded to 6 dp for cross-engine hash stability.
     """
-    ev_grams = eval_df.select(
+    ev_grams = _staged_shingles(eval_df, text_col, id_col, n).select(
         F.col(id_col),
         F.explode(
-            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+            F.transform("__sh", lambda s: F.xxhash64(s))
         ).alias("shingle"),
     )
     ev_gram_set = ev_grams.select("shingle").distinct()
     hit_grams = (
-        train.select(
+        train.select(F.split(F.trim(F.col(text_col)), "\\s+").alias("__toks"))
+        .select(
             F.explode(
-                F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+                F.transform(
+                    shingles(None, n, toks=F.col("__toks")),
+                    lambda s: F.xxhash64(s),
+                )
             ).alias("shingle")
         )
         .join(F.broadcast(ev_gram_set), "shingle", "left_semi")
