@@ -1129,13 +1129,18 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — per-partition heaps, never a global sort.
     Ties broken by the ngram itself so the cut is deterministic."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # Staged split: the bigram lambda slices the token array per element
+    # — an inline split would re-tokenize once per bigram (see shingles).
+    staged = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__toks")
+    )
+    toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, 2), " "),
     )
     return (
-        docs.select(F.explode(grams).alias("ngram"))
+        staged.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), "ngram")
