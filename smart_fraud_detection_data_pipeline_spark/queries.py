@@ -5452,3 +5452,54 @@ def q_user_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+@_register(
+    "doc_unigram_logprob",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+),
+cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT COUNT(*) AS t FROM toks)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       round(CAST(SUM(CAST(round(-ln(CAST(c AS DOUBLE) / (SELECT t FROM tot)), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_neg_logprob
+FROM toks JOIN cnt USING (token)
+GROUP BY doc_id
+""",
+)
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model cross-entropy per document (nats/token):
+    the classic LM-based quality filter — documents whose tokens are
+    improbable under the corpus unigram distribution are noise/garble;
+    unusually LOW entropy is boilerplate (cf. CCNet's LM perplexity
+    filter, here with the corpus itself as the model, no external LM).
+    Per-token -ln p values round to 6 dp and sum in DECIMAL, so the
+    per-doc mean is reduction-order-free → full hash gate.
+
+    Scale: the vocabulary aggregate is Zipf-small and BROADCASTS back
+    onto the exploded tokens (no fact shuffle for the join); the only
+    fact-sized shuffle is the per-doc aggregation. The corpus total is
+    a bounded driver scalar (same discipline as _table_count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__toks")
+    ).select("doc_id", F.explode("__toks").alias("token"))
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = float(toks.count())
+    term = F.round(-F.log(F.col("c").cast("double") / F.lit(total)), 6)
+    return (
+        toks.join(F.broadcast(cnt), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(term.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )

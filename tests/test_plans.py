@@ -591,3 +591,14 @@ def test_event_transitions_single_shuffle(spark, sf_dir):
     share one user_id exchange."""
     c = X.plan_counts(Q["user_event_transitions"](spark, sf_dir))
     assert c["exchange"] == 1
+
+
+def test_unigram_logprob_vocab_broadcasts(spark, sf_dir):
+    """LM quality signal: the Zipf-small vocabulary aggregate must
+    broadcast back onto the exploded tokens — the fact side pays only
+    its own per-doc aggregation shuffle, never a join shuffle."""
+    df = Q["doc_unigram_logprob"](spark, sf_dir)
+    c = X.plan_counts(df)
+    assert c["broadcast_hash_join"] == 1
+    assert c["sort_merge_join"] == 0
+    assert c["exchange"] <= 2  # vocab count + per-doc agg
