@@ -121,3 +121,77 @@ def test_run_pipeline_rejects_unknown_mode(spark, tmp_path):
     stream = spark.readStream.schema(schema).parquet(d)
     with pytest.raises(ValueError, match="unknown mode"):
         P.run_pipeline(spark, stream, None, None, str(tmp_path / "o"), mode="bogus")
+
+
+def test_snapshot_diff_reconstructs_new_snapshot(spark, sf_dir):
+    """CDC soundness: applying the change set to the OLD snapshot must
+    reproduce the NEW snapshot exactly — delete the 'delete' keys, then
+    upsert the 'insert'/'update' new values. Checked set-wise on
+    (key, price) at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from smart_fraud_detection_data_pipeline_spark.queries import registry
+
+    q = {s.name: s.spark_fn for s in registry()}
+    diff = q["orders_snapshot_diff"](spark, sf_dir)
+
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    a = orders.where(
+        F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select("o_orderkey", dec("o_totalprice").cast("double").alias("price"))
+    bump = (
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(1000)).otherwise(F.lit(0))
+    ).cast("decimal(18,2)")
+    b = orders.where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey", (dec("o_totalprice") + bump).cast("double").alias("price")
+    )
+
+    changed = diff.where(F.col("change_type") != "delete").select(
+        "o_orderkey", F.col("new_price").alias("price")
+    )
+    reconstructed = (
+        a.join(diff.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(changed)
+    )
+    assert reconstructed.exceptAll(b).count() == 0
+    assert b.exceptAll(reconstructed).count() == 0
+
+
+def test_ohlc_matches_pandas_reference(spark, sf_dir):
+    """OHLC per (user, hour) must equal a pandas groupby with
+    total-order (ts, event_id) first/last picks."""
+    from pyspark.sql import functions as F
+
+    from smart_fraud_detection_data_pipeline_spark.queries import registry
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    q = {s.name: s.spark_fn for s in registry()}
+    got = {
+        (r.user_id, r.window_start): (
+            r.open_value, r.high_value, r.low_value, r.close_value, r.n_events
+        )
+        for r in q["user_value_ohlc"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).toPandas()
+    ev["h"] = ev["ts"].dt.floor("h")
+    ev = ev.sort_values(["user_id", "h", "ts", "event_id"])
+    ref = ev.groupby(["user_id", "h"]).agg(
+        open_value=("value", "first"),
+        high_value=("value", "max"),
+        low_value=("value", "min"),
+        close_value=("value", "last"),
+        n=("value", "size"),
+    )
+    assert len(got) == len(ref)
+    for (uid, h), r in ref.iterrows():
+        key = (uid, h.strftime("%Y-%m-%d %H:%M:%S"))
+        assert got[key] == (
+            r.open_value, r.high_value, r.low_value, r.close_value, r.n
+        ), key
