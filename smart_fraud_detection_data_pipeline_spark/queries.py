@@ -119,9 +119,30 @@ _SLOW = frozenset({
     "doc_dup_components", "doc_clean_corpus", "merge_upsert",
 })
 
+#: Queries whose Spark implementation or oracle SQL is NEW or CHANGED
+#: this round, ordered FIRST (within the non-slow class) so the
+#: driver's budget-capped correctness run verifies the changed surface
+#: before re-verifying stable queries (ADVICE r3: none of round 3's 16
+#: new queries made it into the 50-entry driver artifact). Refresh this
+#: set each round.
+_FRESH = frozenset({
+    # new in round 4
+    "user_value_ohlc", "user_scd2_intervals", "orders_snapshot_diff",
+    "user_event_transitions", "doc_tfidf_cosine_pairs",
+    "doc_unigram_logprob", "user_distinct_sketch_rollup",
+    # oracle or implementation changed in round 4
+    "asof_next_error", "embed_quantized_topk", "doc_bigram_coverage",
+    "top_supplier_revenue", "late_sole_suppliers", "doc_profile",
+    "doc_repetition", "lang_id_confusion", "vocab_top_ngrams",
+    "doc_ngram_jaccard", "doc_ngram_jaccard_capped", "doc_minhash_lsh",
+    "doc_decontaminate", "embed_srp_ann",
+})
+
 
 def registry() -> list[QuerySpec]:
-    return sorted(_REGISTRY, key=lambda s: s.name in _SLOW)
+    return sorted(
+        _REGISTRY, key=lambda s: (s.name in _SLOW, s.name not in _FRESH)
+    )
 
 
 # ---------------------------------------------------------------------------
