@@ -117,6 +117,7 @@ _SLOW = frozenset({
     "user_spend_trends_incremental", "warehouse_load", "warehouse_load_incremental",
     "fraud_ml_score", "embed_ivf_kmeans_ann", "embed_ivf_ann",
     "doc_dup_components", "doc_clean_corpus", "merge_upsert",
+    "corpus_training_export",
 })
 
 #: Queries whose Spark implementation or oracle SQL is NEW or CHANGED
@@ -2191,14 +2192,14 @@ def q_embed_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clean_corpus_sql() -> str:
-    """Oracle for the composite cleaning pipeline: profile + near-dup
-    losers + filters, from the same fragments as doc_profile/jaccard."""
+def _clean_corpus_ctes() -> str:
+    """The cleaning pipeline as reusable WITH fragments ending in a
+    `cleaned` CTE — shared by doc_clean_corpus and the end-to-end
+    corpus_training_export composite."""
     all_stops = ", ".join(
         f"'{w}'" for w in sorted({w for ws in TS.LANG_STOPWORDS.values() for w in ws})
     )
-    return f"""
-WITH {_SQL_SHINGLE_CTES},
+    return f"""{_SQL_SHINGLE_CTES},
 losers AS (
   SELECT DISTINCT id_b FROM jacc WHERE jaccard >= 0.5
 ),
@@ -2224,12 +2225,22 @@ profile AS (
          {_LANG_CASES}
          ELSE 'unknown' END AS lang_pred
   FROM scored
-)
-SELECT doc_id, n_tokens, quality_score, lang_pred
-FROM profile
-WHERE n_tokens >= 20
-  AND lang_pred <> 'unknown'
-  AND doc_id NOT IN (SELECT id_b FROM losers)
+),
+cleaned AS (
+  SELECT doc_id, n_tokens, quality_score, lang_pred
+  FROM profile
+  WHERE n_tokens >= 20
+    AND lang_pred <> 'unknown'
+    AND doc_id NOT IN (SELECT id_b FROM losers)
+)"""
+
+
+def _clean_corpus_sql() -> str:
+    """Oracle for the composite cleaning pipeline: profile + near-dup
+    losers + filters, from the same fragments as doc_profile/jaccard."""
+    return f"""
+WITH {_clean_corpus_ctes()}
+SELECT doc_id, n_tokens, quality_score, lang_pred FROM cleaned
 """
 
 
@@ -5523,4 +5534,67 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_neg_logprob"),
         )
+    )
+
+
+_MD5_BUCKET_SQL = """CAST(list_sum(list_transform(generate_series(1, 8),
+              i -> (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                   * power(16.0e0, 8 - i))) AS BIGINT) % 100"""
+
+
+def _training_export_sql() -> str:
+    return f"""
+WITH {_clean_corpus_ctes()},
+bucketed AS (
+  SELECT doc_id, n_tokens, lang_pred, {_MD5_BUCKET_SQL} AS bucket
+  FROM cleaned
+),
+train AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, lang_pred, bucket,
+         doc_id % {_PACK_SHARDS} AS shard
+  FROM bucketed WHERE bucket < 80
+),
+c AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM train
+)
+SELECT doc_id, n_tokens, lang_pred, bucket, shard,
+       CAST(floor(cum_before / {_PACK_BUDGET}.0e0) AS BIGINT) AS bin_id,
+       CAST(row_number() OVER (
+              PARTITION BY shard, CAST(floor(cum_before / {_PACK_BUDGET}.0e0) AS BIGINT)
+              ORDER BY doc_id) AS BIGINT) AS seq_pos
+FROM c
+"""
+
+
+@_register("corpus_training_export", _training_export_sql())
+def q_corpus_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data flow as ONE composite: quality
+    profile → length/language filters → near-dup removal (the
+    doc_clean_corpus stage) → deterministic hash-bucket split → the
+    train split poured into token-budget bins per shard
+    (doc_pack_sequences' streaming fill). What a user runs to turn a
+    raw document table into trainer-ready shards; every stage is the
+    already-oracle-checked operator, composed, and the whole chain
+    stays under the full hash gate.
+
+    Scale: the chain adds NO new shuffle class — cleaning's near-dup
+    index join, one map-only split projection, and the per-shard pack
+    window (hash partition on shard, no global sort). At 100 TB the
+    near-dup stage swaps to minhash_lsh_pairs exactly as
+    doc_clean_corpus documents."""
+    from smart_fraud_detection_data_pipeline_spark.operators import datasets as DS2
+
+    cleaned = q_doc_clean_corpus(spark, sf_dir)
+    assigned = DS2.split_assign(cleaned)
+    train = assigned.where(F.col("split") == "train").withColumn(
+        "n_tokens", F.col("n_tokens").cast("bigint")
+    )
+    packed = DS2.pack_sequences(
+        train, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+    return packed.select(
+        "doc_id", "n_tokens", "lang_pred", "bucket", "shard", "bin_id", "seq_pos"
     )

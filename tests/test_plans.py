@@ -602,3 +602,14 @@ def test_unigram_logprob_vocab_broadcasts(spark, sf_dir):
     assert c["broadcast_hash_join"] == 1
     assert c["sort_merge_join"] == 0
     assert c["exchange"] <= 2  # vocab count + per-doc agg
+
+
+def test_training_export_no_global_sort(spark, sf_dir):
+    """The end-to-end export composite: the pack stage must hash-
+    partition on shard (window sort within partitions), never a global
+    range sort; the near-dup stage is the only join-heavy phase."""
+    df = Q["corpus_training_export"](spark, sf_dir)
+    plan = X.executed_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    c = X.plan_counts(df)
+    assert c["nested_loop_join"] == 0
