@@ -136,7 +136,8 @@ _FRESH = frozenset({
     "top_supplier_revenue", "late_sole_suppliers", "doc_profile",
     "doc_repetition", "lang_id_confusion", "vocab_top_ngrams",
     "doc_ngram_jaccard", "doc_ngram_jaccard_capped", "doc_minhash_lsh",
-    "doc_decontaminate", "embed_srp_ann",
+    "doc_decontaminate", "embed_srp_ann", "user_txn_velocity",
+    "amount_benford",
 })
 
 
@@ -5597,4 +5598,116 @@ def q_corpus_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packed.select(
         "doc_id", "n_tokens", "lang_pred", "bucket", "shard", "bin_id", "seq_pos"
+    )
+
+
+@_register(
+    "user_txn_velocity",
+    """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(COUNT(*) OVER w AS BIGINT) - 1 AS n_prior_10m,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            - CAST(value AS DOUBLE) AS DOUBLE) AS amt_prior_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_user_txn_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction velocity — THE classic fraud feature the reference's
+    rule set lacks (spark.py:147-168 scores rows independently): for
+    every event, how many transactions and how much value the same user
+    produced in the trailing 10 minutes. A RANGE window frame over
+    epoch seconds (one hash partition on user_id, range frame within
+    the sort — no self-join, no interval explosion), so the feature is
+    computable at full stream history scale. The event itself is
+    subtracted out so the feature is strictly "prior" activity;
+    same-second neighbors stay included in both engines because RANGE
+    frames are value-based, not row-based (no ordering ambiguity). Sums
+    accumulate in DECIMAL before the double cast."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(sec.cast("long")).rangeBetween(-600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.count(F.lit(1)).over(w) - F.lit(1)).cast("bigint").alias("n_prior_10m"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            - F.col("value").cast("double")
+        ).cast("double").alias("amt_prior_10m"),
+    )
+
+
+#: log10(1 + 1/d) for d=1..9, precomputed so neither engine's log10
+#: implementation is in the comparison path.
+_BENFORD = (0.30103, 0.176091, 0.124939, 0.09691,
+            0.079181, 0.066947, 0.057992, 0.051153, 0.045757)
+
+
+@_register(
+    "amount_benford",
+    f"""
+WITH cents AS (
+  SELECT event_type, CAST(round(value * 100.0e0, 0) AS BIGINT) AS c
+  FROM events WHERE value > 0.0e0
+),
+digits AS (
+  SELECT event_type,
+         CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM cents WHERE c > 0
+),
+counts AS (
+  SELECT event_type, digit, COUNT(*) AS n,
+         SUM(COUNT(*)) OVER (PARTITION BY event_type) AS total
+  FROM digits GROUP BY event_type, digit
+)
+SELECT event_type, digit, n,
+       round(CAST(n AS DOUBLE) / total, 6) AS observed_freq,
+       CASE digit {' '.join(f'WHEN {d + 1} THEN {v}e0' for d, v in enumerate(_BENFORD))} END
+         AS benford_freq,
+       round(abs(CAST(n AS DOUBLE) / total
+                 - CASE digit {' '.join(f'WHEN {d + 1} THEN {v}e0' for d, v in enumerate(_BENFORD))} END),
+             6) AS abs_dev
+FROM counts
+""",
+)
+def q_amount_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit per event type — the forensic-
+    accounting screen for fabricated amounts (synthetic/structured
+    values drift from log10(1+1/d)). Engine-stable by construction: the
+    first significant digit comes from the INTEGER cents' string form
+    (double-to-string would differ between engines), and the Benford
+    expectations are precomputed literals so no log10 runs in either
+    engine. Two small shuffles (per-type digit counts + the per-type
+    total window over a 9-row-per-type frame); the digit extraction is
+    map-only."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0.0)
+    cents = F.round(F.col("value") * 100.0, 0).cast("bigint")
+    digits = (
+        ev.select("event_type", cents.alias("c"))
+        .where(F.col("c") > 0)
+        .select(
+            "event_type",
+            F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit"),
+        )
+    )
+    from pyspark.sql import Window
+
+    counts = digits.groupBy("event_type", "digit").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy("event_type"))
+    bf = F.element_at(F.array(*[F.lit(v) for v in _BENFORD]), F.col("digit"))
+    obs = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.withColumn("total", total)
+        .select(
+            "event_type", "digit", "n",
+            F.round(obs, 6).alias("observed_freq"),
+            bf.alias("benford_freq"),
+            F.round(F.abs(obs - bf), 6).alias("abs_dev"),
+        )
     )

@@ -613,3 +613,12 @@ def test_training_export_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower()
     c = X.plan_counts(df)
     assert c["nested_loop_join"] == 0
+
+
+def test_txn_velocity_single_exchange_range_frame(spark, sf_dir):
+    """Velocity features: one user_id hash exchange; the trailing window
+    is a RANGE frame inside the sort — no self-join, no interval
+    explosion."""
+    c = X.plan_counts(Q["user_txn_velocity"](spark, sf_dir))
+    assert c["exchange"] == 1
+    assert c["sort_merge_join"] == 0 and c["broadcast_hash_join"] == 0
