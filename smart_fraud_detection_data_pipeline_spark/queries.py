@@ -137,7 +137,7 @@ _FRESH = frozenset({
     "doc_repetition", "lang_id_confusion", "vocab_top_ngrams",
     "doc_ngram_jaccard", "doc_ngram_jaccard_capped", "doc_minhash_lsh",
     "doc_decontaminate", "embed_srp_ann", "user_txn_velocity",
-    "amount_benford",
+    "amount_benford", "value_drift_chi2",
 })
 
 
@@ -5709,5 +5709,108 @@ def q_amount_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(obs, 6).alias("observed_freq"),
             bf.alias("benford_freq"),
             F.round(F.abs(obs - bf), 6).alias("abs_dev"),
+        )
+    )
+
+
+@_register(
+    "value_drift_chi2",
+    """
+WITH a AS (
+  SELECT event_type, value FROM events
+  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'
+),
+b AS (
+  SELECT event_type, value FROM events
+  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+),
+th AS (
+  SELECT event_type,
+         quantile_cont(value, [0.1e0,0.2e0,0.3e0,0.4e0,0.5e0,0.6e0,0.7e0,0.8e0,0.9e0]) AS qs
+  FROM a GROUP BY event_type
+),
+ab AS (
+  SELECT 'a' AS period, event_type, value FROM a
+  UNION ALL
+  SELECT 'b' AS period, event_type, value FROM b
+),
+bucketed AS (
+  SELECT ab.period, ab.event_type,
+         len(list_filter(th.qs, t -> ab.value > t)) AS bucket
+  FROM ab JOIN th USING (event_type)
+),
+counts AS (
+  SELECT event_type, bucket,
+         SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS nb
+  FROM bucketed GROUP BY event_type, bucket
+),
+tot AS (
+  SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(MAX(t.ta) AS BIGINT) AS n_ref,
+       CAST(MAX(t.tb) AS BIGINT) AS n_cur,
+       round(CAST(SUM(CAST(round(
+         CASE WHEN c.na > 0 AND t.tb > 0
+              THEN (c.nb - t.tb * (CAST(c.na AS DOUBLE) / t.ta))
+                   * (c.nb - t.tb * (CAST(c.na AS DOUBLE) / t.ta))
+                   / (t.tb * (CAST(c.na AS DOUBLE) / t.ta))
+              ELSE 0.0e0 END, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS chi2
+FROM counts c JOIN tot t USING (event_type)
+GROUP BY c.event_type
+""",
+)
+def q_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: chi-square statistic of the CURRENT
+    week's value distribution against the REFERENCE week's exact
+    deciles, per event type — the scheduled data-quality check that
+    catches upstream schema/unit changes before a model retrains on
+    drifted features. Reference deciles are exact percentiles (the
+    value_quantiles interpolation, already hash-proven cross-engine),
+    broadcast back onto both periods; the bucket is a 9-element
+    in-row filter count. Per-bucket chi2 terms round to 6 dp and sum
+    in DECIMAL so the statistic is reduction-order-free.
+
+    Scale: thresholds are |event_type| x 9 doubles (broadcast); each
+    period scans once, one shuffle for the (type, bucket) counts —
+    drift monitoring at 100 TB costs two scans and a tiny aggregate."""
+    from pyspark.sql import Window
+
+    split = F.lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    a = ev.where(F.col("ts") < split)
+    b = ev.where(F.col("ts") >= split)
+    pcts = F.array(*[F.lit(p / 10.0) for p in range(1, 10)])
+    th = a.groupBy("event_type").agg(F.percentile("value", pcts).alias("qs"))
+    ab = a.select(F.lit("a").alias("period"), "event_type", "value").unionByName(
+        b.select(F.lit("b").alias("period"), "event_type", "value")
+    )
+    bucketed = ab.join(F.broadcast(th), "event_type").select(
+        "period",
+        "event_type",
+        F.size(F.filter(F.col("qs"), lambda t: F.col("value") > t)).alias("bucket"),
+    )
+    counts = bucketed.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).alias("nb"),
+    )
+    w = Window.partitionBy("event_type")
+    totals = counts.withColumn("ta", F.sum("na").over(w)).withColumn(
+        "tb", F.sum("nb").over(w)
+    )
+    exp = F.col("tb") * (F.col("na").cast("double") / F.col("ta"))
+    term = F.when(
+        (F.col("na") > 0) & (F.col("tb") > 0),
+        (F.col("nb") - exp) * (F.col("nb") - exp) / exp,
+    ).otherwise(F.lit(0.0))
+    return (
+        totals.withColumn("__term", F.round(term, 6).cast("decimal(18,6)"))
+        .groupBy("event_type")
+        .agg(
+            F.max("ta").cast("bigint").alias("n_ref"),
+            F.max("tb").cast("bigint").alias("n_cur"),
+            F.round(F.sum("__term").cast("double"), 6).alias("chi2"),
         )
     )
