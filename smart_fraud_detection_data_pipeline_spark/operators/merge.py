@@ -93,13 +93,13 @@ def merge_upsert_partitioned(
     routed like any other value (plain isin would return NULL for NULL
     rows and silently drop them from BOTH branches — the same
     three-valued-logic data-loss class as the merge_upsert __src fix).
-    The source is persisted because it is consumed twice (partition
-    discovery + the merge join) and Catalyst does not CSE across
-    actions; it stays cached for the caller's action.
+    The source is localCheckpoint-ed because it is consumed twice
+    (partition discovery + the merge join) and Catalyst does not CSE
+    across actions; unlike persist() nothing stays registered on a
+    shared long-lived session (ADVICE r3 leak rule), and the following
+    collect materializes immediately anyway.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    source = source.persist(StorageLevel.MEMORY_AND_DISK)
+    source = source.localCheckpoint()
     parts = [r[0] for r in source.select(partition_col).distinct().collect()]
     non_null = [p for p in parts if p is not None]
     in_parts = (

@@ -366,19 +366,17 @@ def minhash_lsh_pairs(
     output deterministic & engine-portable: LSH only decides WHICH
     pairs get scored.
     """
-    from pyspark.storagelevel import StorageLevel
-
     rows = num_perm // bands
     # The shingle sets feed BOTH signature generation and candidate
     # verification; without materialization Spark recomputes the
     # tokenize+shingle subtree on each side (measured 10.9s → 6.5s at
-    # sf0.1 with persist). Left cached for the caller's action; evicted
-    # by LRU — at cluster scale this is a deliberate, size-bounded cache
-    # (ids + shingle arrays only, never payload columns).
+    # sf0.1). localCheckpoint materializes once, truncates lineage, and
+    # unlike persist() leaves nothing registered on a shared session —
+    # at cluster scale this is a deliberate, size-bounded spill (ids +
+    # shingle arrays only, never payload columns).
     sets = _staged_shingles(df, text_col, id_col, n).select(
         F.col(id_col), F.col("__sh").alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sets.count()  # materialize eagerly: both plan branches must hit cache
+    ).localCheckpoint()
 
     def perm_hash(i: int):
         return lambda s: F.md5(F.concat(F.lit(f"p{i}|"), s).cast("binary"))
@@ -489,16 +487,13 @@ def simhash_pairs(
     Pigeonhole banding: split the 60-bit hash into `chunks` 15-bit
     chunks; any pair within hamming ≤ chunks−1 must agree on ≥1 chunk,
     so the join key is (chunk_idx, chunk_value) — never all-pairs.
-    The per-doc simhash is persisted: both sides of the self-join need
-    it, and recomputing the token-hash fold doubles the cost (measured
-    6.5s → 2.2s at sf0.1).
+    The per-doc simhash is localCheckpoint-ed: both sides of the
+    self-join need it, and recomputing the token-hash fold doubles the
+    cost (measured 6.5s → 2.2s at sf0.1); unlike persist() nothing
+    stays registered on a shared session.
     """
-    from pyspark.storagelevel import StorageLevel
-
     h = simhash(F.col(text_col))
-    base = df.select(F.col(id_col), h.alias("simhash")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    base = df.select(F.col(id_col), h.alias("simhash")).localCheckpoint()
     width = SIMHASH_BITS // chunks
     chunked = base.select(
         F.col(id_col),

@@ -1472,6 +1472,10 @@ def q_warehouse_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.repartition(*FRAUD_PARTITIONS).write.mode("append").partitionBy(
             *FRAUD_PARTITIONS
         ).parquet(tmp)
+    # Both consumers (the two writes) have materialized — release the
+    # cache NOW; the returned frame reads the written parquet, so
+    # nothing downstream needs it (shared-session leak rule, ADVICE r3).
+    enriched.unpersist()
     loaded = L.warehouse_load(
         spark,
         tmp,
