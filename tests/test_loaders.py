@@ -188,3 +188,33 @@ def test_zorder_key_is_morton_code(spark):
 
     assert got[(3, 5)] == morton(3, 5)
     assert all(got[(x, y)] == morton(x, y) for x in range(8) for y in range(8))
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """Idempotent partition reload (the warehouse primitive beside
+    MERGE): with partitionOverwriteMode=dynamic, overwriting a frame
+    that contains only partition P replaces P and leaves every other
+    partition untouched — static mode would truncate the whole table.
+    At 100 TB this is how a failed day is re-loaded without rewriting
+    history."""
+    from pyspark.sql import Row, functions as F
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [Row(day="d1", v=1), Row(day="d2", v=2), Row(day="d3", v=3)]
+    )
+    base.write.partitionBy("day").parquet(path)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "dynamic")
+        spark.createDataFrame([Row(day="d2", v=22)]).write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(path)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    got = {r.day: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {"d1": 1, "d2": 22, "d3": 3}
