@@ -137,7 +137,7 @@ _FRESH = frozenset({
     "doc_repetition", "lang_id_confusion", "vocab_top_ngrams",
     "doc_ngram_jaccard", "doc_ngram_jaccard_capped", "doc_minhash_lsh",
     "doc_decontaminate", "embed_srp_ann", "user_txn_velocity",
-    "amount_benford", "value_drift_chi2",
+    "amount_benford", "value_drift_chi2", "orders_grouping_sets",
 })
 
 
@@ -5818,3 +5818,39 @@ def q_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("__term").cast("double"), 6).alias("chi2"),
         )
     )
+
+
+@_register(
+    "orders_grouping_sets",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+         AS grp_id,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form rollup/cube
+    specialize): per (status, priority), per status, and the grand
+    total in ONE pass — Catalyst's Expand duplicates each input row
+    once per set, so the cost is sets x scan, not one scan per
+    aggregation level. grouping_id disambiguates the NULLs that mark
+    rolled-up columns from real NULL data (none here, but the contract
+    matters at scale where both occur). Runs through the SQL frontend
+    (spark.sql) — the GROUPING SETS syntax has no stable DataFrame
+    equivalent."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS grp_id,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """)
