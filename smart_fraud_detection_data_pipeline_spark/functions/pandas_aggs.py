@@ -44,21 +44,32 @@ def make_trimmed_mean(trim: float = 0.1):
 
 def make_robust_zscore(schema: str):
     """Build the GROUPED_MAP (applyInPandas) transform: per-group robust
-    z-score (value - median) / MAD, emitted row-per-row. The grouped-map
-    door, pinned to the hash gate the way the UDTF is pinned to its
-    builtin twin: this statistic is chosen exactly BECAUSE a window
-    formulation also exists (the oracle), so the Arrow path is held to
-    bit-parity — median interpolation and float64 division are the same
-    IEEE ops in pandas and the SQL engines. Rounding happens OUTSIDE
-    (F.round after the transform) so both engines round the same way.
-    A zero-MAD group (constant values) yields z = 0.0. Closure, as
-    every Python UDF in this engine must be (cloudpickle by-value)."""
+    z-score (value - median) / MAD over micro-unit int64 input ``iv``,
+    emitted row-per-row. The grouped-map door, pinned to the hash gate
+    the way the UDTF is pinned to its builtin twin.
+
+    Integer-exact protocol (sf0.1 proved double medians are NOT
+    cross-engine bit-stable — numpy's (a+b)/2 vs quantile_cont's
+    lo+(hi-lo)*0.5 differ by an ulp): work on 2*median so midpoints of
+    even-count groups stay integral, form z as a ratio of exact int64s,
+    then 6-dp-quantize with floor(x*1e6+0.5)/1e6 — every step is an
+    exact-rounded IEEE op with identical inputs on both engines. A
+    zero-MAD group (constant values) yields z = 0.0 (explicit zeros;
+    int*0.0 would manufacture -0.0, which hashes differently). Closure,
+    as every Python UDF in this engine must be (cloudpickle by-value)."""
+    import numpy as np
     import pandas as pd
 
     def robust_z(pdf: pd.DataFrame) -> pd.DataFrame:
-        med = pdf["value"].median()
-        mad = (pdf["value"] - med).abs().median()
-        z = (pdf["value"] - med) / mad if mad else pdf["value"] * 0.0
+        iv = pdf["iv"]
+        m2 = int(round(2 * iv.median()))  # 2*median: integral by construction
+        dev = (2 * iv - m2).abs()
+        md2 = int(round(2 * dev.median()))
+        if md2 > 0:
+            z = (2.0 * (2 * iv - m2)) / md2
+            z = np.floor(z * 1e6 + 0.5) / 1e6
+        else:
+            z = np.zeros(len(pdf))
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],

@@ -132,6 +132,7 @@ _FRESH = frozenset({
     "user_event_transitions", "doc_tfidf_cosine_pairs",
     "doc_unigram_logprob", "user_distinct_sketch_rollup",
     # oracle or implementation changed in round 4
+    "doc_tfidf", "user_robust_zscore",  # sf0.1 float-drift fixes
     "asof_next_error", "embed_quantized_topk", "doc_bigram_coverage",
     "top_supplier_revenue", "late_sole_suppliers", "doc_profile",
     "doc_repetition", "lang_id_confusion", "vocab_top_ngrams",
@@ -2003,8 +2004,10 @@ df AS (
 ),
 n AS (SELECT COUNT(*) AS n_docs FROM documents)
 SELECT tf.doc_id, tf.token, tf.tf,
-       CAST(tf.tf AS DOUBLE) * (ln((CAST((SELECT n_docs FROM n) AS DOUBLE) + 1.0e0)
-            / (CAST(doc_freq AS DOUBLE) + 1.0e0)) + 1.0e0) AS tfidf
+       CAST(tf.tf AS DOUBLE) *
+       (floor((ln((CAST((SELECT n_docs FROM n) AS DOUBLE) + 1.0e0)
+               / (CAST(doc_freq AS DOUBLE) + 1.0e0)) + 1.0e0)
+              * 1000000.0e0 + 0.5e0) / 1000000.0e0) AS tfidf
 FROM tf JOIN df USING (token)
 """,
 )
@@ -2012,7 +2015,15 @@ def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF features (tokenize → TF per doc → smoothed IDF join)
     in long form (doc_id, token, tf, tfidf) — the CountVectorizer/IDF
     capability as pure relational ops. Two shuffles: TF groupBy and the
-    DF groupBy, then a broadcast of the (small) vocabulary."""
+    DF groupBy, then a broadcast of the (small) vocabulary.
+
+    The idf is quantized to 6 dp (floor(x*1e6+0.5)/1e6 — floor is the
+    engine-exact form; round() disagrees between BigDecimal half-up and
+    binary half-away at representation boundaries) BEFORE the tf
+    multiply: ln() is libm-vs-JVM 1-ulp territory (first seen at sf0.1
+    — 3847/700k rows off in the last ulp), and quantizing the one
+    transcendental collapses both engines onto the same double, making
+    the downstream product bit-identical rather than merely close."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = _table_count(spark, sf_dir, "documents")
     toks = docs.select(
@@ -2026,11 +2037,13 @@ def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log((F.lit(float(n_docs)) + F.lit(1.0)) / (F.col("doc_freq").cast("double") + F.lit(1.0)))
         + F.lit(1.0)
     )
+    # floor() is exact on both engines; ln() is not (see oracle SQL note).
+    idf_q = F.floor(idf * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return tf.join(F.broadcast(dfreq), "token").select(
         "doc_id",
         "token",
         "tf",
-        (F.col("tf").cast("double") * idf).alias("tfidf"),
+        (F.col("tf").cast("double") * idf_q).alias("tfidf"),
     )
 
 
@@ -3930,20 +3943,27 @@ def q_kafka_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "user_robust_zscore",
     """
-WITH med AS (
-  SELECT user_id, median(value) AS med FROM events GROUP BY user_id
+WITH q AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 1000000.0e0 + 0.5e0) AS BIGINT) AS iv
+  FROM events
+),
+med AS (
+  SELECT user_id, CAST(2 * median(iv) AS BIGINT) AS m2 FROM q GROUP BY user_id
 ),
 mad AS (
-  SELECT e.user_id, median(abs(e.value - m.med)) AS mad
-  FROM events e JOIN med m ON m.user_id = e.user_id
-  GROUP BY e.user_id
+  SELECT q.user_id, CAST(2 * median(abs(2 * q.iv - m.m2)) AS BIGINT) AS md2
+  FROM q JOIN med m ON m.user_id = q.user_id
+  GROUP BY q.user_id
 )
-SELECT e.event_id, e.user_id,
-       round(CASE WHEN d.mad > 0 THEN (e.value - m.med) / d.mad
-                  ELSE 0.0e0 END, 6) AS robust_z
-FROM events e
-JOIN med m ON m.user_id = e.user_id
-JOIN mad d ON d.user_id = e.user_id
+SELECT q.event_id, q.user_id,
+       CASE WHEN d.md2 > 0
+            THEN floor((2.0e0 * (2 * q.iv - m.m2)) / d.md2
+                       * 1000000.0e0 + 0.5e0) / 1000000.0e0
+            ELSE 0.0e0 END AS robust_z
+FROM q
+JOIN med m ON m.user_id = q.user_id
+JOIN mad d ON d.user_id = q.user_id
 """,
 )
 def q_user_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3951,19 +3971,30 @@ def q_user_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-score (value − median)/MAD — the last Arrow door (map, grouped-
     agg, stateful, UDTF are already hash-gated), held to the window/
     join oracle formulation. One shuffle on the group key; each group
-    crosses Arrow once. Builtins remain the documented fast path for
-    anything a window can express — this pins that when a custom
-    grouped-map IS needed, its results hold to the same gate."""
+    crosses Arrow once.
+
+    All statistics run on micro-unit INTEGERS (iv = floor(v*1e6+0.5)),
+    doubled so even-count median midpoints stay integral: sf0.1
+    falsified the old docstring's claim that double median interpolation
+    is bit-identical across engines (numpy computes (a+b)/2, quantile_cont
+    lo+(hi-lo)*0.5 — up to 1 ulp apart, and two rows then straddled the
+    6-dp rounding boundary). z = 2*(2iv − 2med)/(2mad·2) is a ratio of
+    exact int64s (< 2^53), so the division — and the final floor-based
+    6-dp quantization — is exact-rounded identically everywhere. Same
+    shrink-the-units discipline as the money sums (CLAUDE.md)."""
     from smart_fraud_detection_data_pipeline_spark.functions.pandas_aggs import (
         make_robust_zscore,
     )
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("iv"),
+    )
     out_schema = "event_id bigint, user_id bigint, robust_z double"
-    out = ev.groupBy("user_id").applyInPandas(
+    return ev.groupBy("user_id").applyInPandas(
         make_robust_zscore(out_schema), schema=out_schema
     )
-    return out.withColumn("robust_z", F.round("robust_z", 6))
 
 
 @_register(
