@@ -62,6 +62,13 @@ def make_robust_zscore(schema: str):
 
     def robust_z(pdf: pd.DataFrame) -> pd.DataFrame:
         iv = pdf["iv"]
+        # Precondition: iv is non-null int64. A NULL anywhere arrives in
+        # pandas as float64+NaN, silently degrading the integer-exact
+        # protocol (NaN median -> ValueError here; partial NaN -> NaN z
+        # where a SQL oracle emits NULL). Callers must filter nulls the
+        # same way on both engines (queries.user_robust_zscore does);
+        # fail loudly rather than drift (ADVICE r5 #1).
+        assert not iv.isna().any(), "robust_z requires non-null iv (filter upstream on both engines)"
         m2 = int(round(2 * iv.median()))  # 2*median: integral by construction
         dev = (2 * iv - m2).abs()
         md2 = int(round(2 * dev.median()))

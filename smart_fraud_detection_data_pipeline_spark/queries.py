@@ -1025,27 +1025,23 @@ FROM events
 )
 def q_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """observe()-based quality counters: the metrics ride the events
-    scan (no second pass), then surface as a 1-row frame.
-    The same observed_constraints call attaches to streaming frames,
-    where each micro-batch's progress event carries the counters
-    (tests/test_quality.py)."""
+    scan (no second pass), surfaced as a 1-row agg over the SAME
+    observation-attached plan — the caller's collect is the only
+    action (the r4 collect_observed-then-createDataFrame shape ran an
+    extra metrics job and regressed 2.0x). Observation readback and
+    the streaming progress-event path stay pinned in
+    tests/test_quality.py."""
     from smart_fraud_detection_data_pipeline_spark.operators.quality import (
-        collect_observed,
-        observed_constraints,
+        observed_report,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    observed, name = observed_constraints(
+    return observed_report(
         ev,
         {
             "value_nonneg": F.col("value").isNotNull() & (F.col("value") >= 0),
             "user_present": F.col("user_id").isNotNull(),
         },
-    )
-    m = collect_observed(observed, name)
-    return spark.createDataFrame(
-        [(m["n_rows"], m["value_nonneg_violations"], m["user_present_violations"])],
-        "n_rows long, value_nonneg_violations long, user_present_violations long",
     )
 
 
@@ -3976,6 +3972,7 @@ WITH q AS (
   SELECT event_id, user_id,
          CAST(floor(value * 1000000.0e0 + 0.5e0) AS BIGINT) AS iv
   FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
 ),
 med AS (
   SELECT user_id, CAST(2 * median(iv) AS BIGINT) AS m2 FROM q GROUP BY user_id
@@ -4015,10 +4012,19 @@ def q_user_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_robust_zscore,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("iv"),
+    ev = (
+        load_table(spark, sf_dir, "events")
+        # Null discipline (ADVICE r5 #1): robust_z asserts non-null iv —
+        # a NULL value would arrive in pandas as float64+NaN and break
+        # the integer-exact protocol. Filter identically on both engines
+        # (NULL group keys would also diverge: pandas groups NaN keys,
+        # SQL GROUP BY keeps a NULL group but the joins drop it).
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("iv"),
+        )
     )
     out_schema = "event_id bigint, user_id bigint, robust_z double"
     return ev.groupBy("user_id").applyInPandas(
