@@ -24,6 +24,7 @@ idle keys when the key space is unbounded.
 from __future__ import annotations
 
 from collections.abc import Iterator
+import os
 
 import pandas as pd
 
@@ -79,15 +80,24 @@ def user_running_totals(transactions: DataFrame) -> DataFrame:
 
 def have_tws_runtime() -> bool:
     """transformWithState's Python worker speaks protobuf to the JVM
-    state server; without the `protobuf` package the query plan BUILDS
-    fine but execution crashes the driver worker. Gate execution (and
-    the parity test) on this, like the codec gate in multimodal."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    state server; without a protobuf runtime the query plan BUILDS fine
+    but execution crashes every worker. A vendored pure-Python runtime
+    (`smart_fraud_detection_data_pipeline_spark._vendor`) backstops the
+    missing wheel — but workers only see it if `ensure_protobuf()` ran
+    BEFORE the SparkSession was built (PYTHONPATH is captured into the
+    JVM env at launch), so this gate reports True only when both the
+    import works AND the path is exported for workers."""
+    from smart_fraud_detection_data_pipeline_spark._vendor import (
+        _VENDOR_DIR,
+        ensure_protobuf,
+    )
 
-        return True
-    except ImportError:
+    if not ensure_protobuf():
         return False
+    import google.protobuf as pb
+
+    vendored = pb.__file__.startswith(_VENDOR_DIR)
+    return not vendored or _VENDOR_DIR in os.environ.get("PYTHONPATH", "")
 
 
 def user_running_totals_tws(transactions: DataFrame) -> DataFrame:

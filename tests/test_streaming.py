@@ -364,15 +364,30 @@ def test_transform_with_state_matches_legacy_and_batch(
 
     out_path = str(tmp_path / "totals_tws")
     stream = _stream(spark, staged_stream_dir)
-    q = SK.start_foreach_batch(
-        user_running_totals_tws(stream),
-        SK.reemit_parquet_sink(out_path),
-        str(tmp_path / "ckpt_tws"),
-        output_mode="update",
-        available_now=True,
-        query_name="running_totals_tws",
+    # transformWithState requires a column-family-capable state store;
+    # HDFSBackedStateStoreProvider hard-rejects it, so run under RocksDB
+    # (the production backend anyway — see the provider test below).
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    q.awaitTermination(120)
+    try:
+        q = SK.start_foreach_batch(
+            user_running_totals_tws(stream),
+            SK.reemit_parquet_sink(out_path),
+            str(tmp_path / "ckpt_tws"),
+            output_mode="update",
+            available_now=True,
+            query_name="running_totals_tws",
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
 
     emissions = spark.read.parquet(out_path)
     assert emissions.count() > 0
