@@ -2047,8 +2047,12 @@ def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary half-away at representation boundaries) BEFORE the tf
     multiply: ln() is libm-vs-JVM 1-ulp territory (first seen at sf0.1
     — 3847/700k rows off in the last ulp), and quantizing the one
-    transcendental collapses both engines onto the same double, making
-    the downstream product bit-identical rather than merely close."""
+    transcendental collapses both engines onto the same double in every
+    case where the 1-ulp divergence does not itself straddle a k+0.5
+    quantization boundary. That residual straddle risk is real but
+    unobserved (clean at sf0.01 AND sf0.1); parity here is measured,
+    not guaranteed — which is exactly why CLAUDE.md mandates the sf0.1
+    gate for any new transcendental-producing query."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = _table_count(spark, sf_dir, "documents")
     toks = docs.select(
