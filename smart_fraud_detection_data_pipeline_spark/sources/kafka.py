@@ -123,9 +123,17 @@ def kafka_transaction_sink(
     bootstrap_servers: str,
     checkpoint: str,
     topic: str = DEFAULT_TOPIC,
+    *,
+    available_now: bool = False,
 ):
-    """S2: keyed JSON publish (key = transaction_id, value = row JSON)."""
+    """S2: keyed JSON publish (key = transaction_id, value = row JSON).
+
+    ``available_now=True`` drains the current source backlog and stops —
+    the bounded form the broker integration test uses; the default is
+    the reference's continuous publish."""
     writer = encode_transactions(df).writeStream.format("kafka")
     for k, v in kafka_sink_options(bootstrap_servers, checkpoint, topic).items():
         writer = writer.option(k, v)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -12,6 +12,9 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import os
+import subprocess
+import sys
 
 import pytest
 from pyspark.sql import Row
@@ -26,6 +29,8 @@ from smart_fraud_detection_data_pipeline_spark.sources.kafka import (
     kafka_source_options,
     kafka_transaction_source,
 )
+
+HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def _sample_rows():
@@ -175,3 +180,30 @@ def test_source_resolves_kafka_format(spark):
     else:
         assert df.isStreaming
         assert df.schema == TRANSACTION_SCHEMA
+
+
+# ---------------------------------------------------------------------------
+# Broker-backed integration (VERDICT r4 task 7): runs only when the
+# operator points KAFKA_BOOTSTRAP at a live broker. The round-trip runs
+# in its own JVM (tests/kafka_roundtrip_main.py) because the connector
+# jars must be on the classpath at session LAUNCH — the shared fixture
+# session can't add them retroactively.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(
+    not os.environ.get("KAFKA_BOOTSTRAP"),
+    reason="set KAFKA_BOOTSTRAP=host:port (and have the spark-sql-kafka "
+    "package resolvable) to run the live-broker round-trip",
+)
+def test_broker_roundtrip_matches_file_twin(tmp_path):
+    """synthetic transactions → kafka_transaction_sink (streaming
+    publish, availableNow) → broker → kafka_transaction_source →
+    parquet, hash-compared against the frame that never left the
+    process. Catches the option/auth mistakes (startingOffsets, serde
+    drift, offset semantics) no connector-less test can."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(HERE, "kafka_roundtrip_main.py"), str(tmp_path)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, f"\n--- stdout ---\n{proc.stdout}\n--- stderr ---\n{proc.stderr}"
+    assert "ROUNDTRIP OK" in proc.stdout
