@@ -59,6 +59,12 @@ def get_spark(
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None:
+        # SPARK_GRAFT_MASTER lets the harness swap the whole topology —
+        # e.g. local-cluster[2,4,4096] to exercise real closure
+        # serialization and shuffle-network paths that local[n]'s shared
+        # JVM never touches.
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     builder = builder.master(master)
