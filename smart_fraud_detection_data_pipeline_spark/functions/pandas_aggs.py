@@ -31,8 +31,16 @@ def make_trimmed_mean(trim: float = 0.1):
 
     @pandas_udf("double")
     def trimmed_mean(v: pd.Series, ids: pd.Series) -> float:
-        vs = v.to_numpy()
-        order = np.lexsort((ids.to_numpy(), vs))
+        # NULL values are excluded, matching SQL aggregate semantics
+        # (a NaN here would otherwise poison the int64 cents sum —
+        # np.rint(nan).astype(int64) is garbage, found by the
+        # adversarial-fixture sweep). The oracle filters value IS NOT
+        # NULL for the same reason.
+        mask = v.notna().to_numpy()
+        vs = v.to_numpy()[mask]
+        if len(vs) == 0:
+            return None
+        order = np.lexsort((ids.to_numpy()[mask], vs))
         vs = vs[order]
         k = int(len(vs) * trim)
         kept = vs[k : len(vs) - k] if k else vs

@@ -207,8 +207,17 @@ def merge_additive(
     out_cols = [
         F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in keys
     ]
+    # SQL SUM over an all-NULL group is NULL, and a full recompute must
+    # stay bit-identical — so NULL+NULL combines to NULL, not 0.0
+    # (adversarial-sweep rule; only the coalesce-to-0 arithmetic needs
+    # the guard, counts are never NULL for an existing group).
     out_cols += [
-        (dec("t", c) + dec("s", c)).cast("double").alias(c) for c in sum_cols
+        F.when(
+            F.col(f"t.{c}").isNull() & F.col(f"s.{c}").isNull(), F.lit(None)
+        )
+        .otherwise((dec("t", c) + dec("s", c)).cast("double"))
+        .alias(c)
+        for c in sum_cols
     ]
     out_cols += [
         (

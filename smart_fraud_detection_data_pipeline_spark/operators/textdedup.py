@@ -88,7 +88,14 @@ def _staged_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int, *extra_cols: str
 ) -> DataFrame:
     """(id, __sh) with the tokenization staged through a projection so
-    the shingle lambda slices an attribute, not a re-split."""
+    the shingle lambda slices an attribute, not a re-split.
+
+    NULL text is EXCLUDED here — absent content has no shingle set and
+    must not pair with anything. Without the filter, split(NULL) →
+    NULL tokens → concat_ws skips the NULL slice → a NULL-text doc
+    manufactures the same '' shingle as an empty-string doc and the
+    two spuriously pair at Jaccard 1.0 (adversarial-sweep finding)."""
+    df = df.where(F.col(text_col).isNotNull())
     return df.select(
         F.col(id_col), *extra_cols, F.split(F.trim(F.col(text_col)), "\\s+").alias("__toks")
     ).select(
@@ -493,7 +500,12 @@ def simhash_pairs(
     stays registered on a shared session.
     """
     h = simhash(F.col(text_col))
-    base = df.select(F.col(id_col), h.alias("simhash")).localCheckpoint()
+    # NULL text has no signature — excluded, same rule as _staged_shingles.
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), h.alias("simhash"))
+        .localCheckpoint()
+    )
     width = SIMHASH_BITS // chunks
     chunked = base.select(
         F.col(id_col),
@@ -623,7 +635,8 @@ def winnow_pairs(
     """
     from smart_fraud_detection_data_pipeline_spark.operators.textstats import kgram_hashes, winnow
 
-    hashed = df.select(
+    # NULL text has no fingerprints — excluded, same rule as _staged_shingles.
+    hashed = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), kgram_hashes(F.col(text_col), k).alias("__h")
     )
     fps = hashed.select("id", F.explode(winnow(F.col("__h"), w)).alias("fp"))

@@ -328,6 +328,12 @@ def q_fraud_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Windowed trends (A1-A3, F1/F2, ST2 — spark.py:171-200)
 # ---------------------------------------------------------------------------
 
+#: Engine semantic, pinned by the adversarial-fixture sweep: time-
+#: windowed aggregation requires an event time. Spark's window()/
+#: session_window() silently exclude NULL-ts rows (exactly what a
+#: streaming watermark would do), while a bare GROUP BY date_trunc
+#: would keep a NULL window group — so every windowed oracle filters
+#: ts IS NOT NULL explicitly.
 _SQL_TRENDS = """
 SELECT {key_out},
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS {sum_alias},
@@ -335,6 +341,7 @@ SELECT {key_out},
        strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        strftime(date_trunc('minute', ts) + INTERVAL 1 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY {key_in}, date_trunc('minute', ts)
 """
 
@@ -772,8 +779,10 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("doc_simhash", None)  # hex→int (conv) has no DuckDB equivalent
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (map-only projection; rows-only check —
-    the bit math needs conv(hex,16,10), which the oracle engine lacks)."""
-    docs = load_table(spark, sf_dir, "documents")
+    the bit math needs conv(hex,16,10), which the oracle engine lacks).
+    NULL text is excluded on both engines (absent content has no
+    signature — adversarial-sweep rule, same as the pair ops)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return docs.select("doc_id", TD.simhash(F.col("text")).alias("simhash"))
 
 
@@ -1614,7 +1623,9 @@ def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_props",
     """
 SELECT event_type,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN json_valid(props)
+                     THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END)
+            AS BIGINT) AS sum_k,
        COUNT(*) AS n_events
 FROM events
 GROUP BY event_type
@@ -1622,7 +1633,11 @@ GROUP BY event_type
 )
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction (F13 family): parse the props JSON column
-    JVM-side (get_json_object — no Python in the loop) and aggregate."""
+    JVM-side (get_json_object — no Python in the loop) and aggregate.
+    Malformed/empty/NULL props extract as NULL (get_json_object's
+    behavior); DuckDB's json_extract_string THROWS on malformed text,
+    so the oracle needs the explicit json_valid guard
+    (adversarial-sweep rule)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(
@@ -1664,16 +1679,20 @@ SELECT o_custkey, o_orderkey,
        CAST(row_number() OVER w AS INTEGER) AS order_seq,
        lag(o_totalprice) OVER w AS prev_price
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 """,
 )
 def q_customer_order_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window functions (SURVEY §2.5 — absent in the reference
     but required for keep-last dedup): row_number + lag over a
-    per-customer event-time ordering, ties broken by key."""
+    per-customer event-time ordering, ties broken by key. NULL order
+    dates sort FIRST explicitly on both engines (Spark's ASC default;
+    DuckDB's is NULLS LAST — adversarial-sweep rule)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_first(), "o_orderkey"
+    )
     return load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
@@ -1686,9 +1705,11 @@ def q_customer_order_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sliding_window_trends",
     """
 WITH buckets AS (
-  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS w_start, value FROM events
+  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS w_start, value
+  FROM events WHERE ts IS NOT NULL
   UNION ALL
-  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) - INTERVAL 1 MINUTE, value FROM events
+  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) - INTERVAL 1 MINUTE, value
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        strftime(w_start + INTERVAL 2 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
@@ -1722,6 +1743,7 @@ WITH o AS (
                 OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events
+  WHERE ts IS NOT NULL
 ),
 s AS (
   SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
@@ -1983,6 +2005,7 @@ SELECT user_id,
        strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        strftime(date_trunc('minute', ts) + INTERVAL 1 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY user_id, date_trunc('minute', ts)
 """,
 )
@@ -2623,6 +2646,7 @@ WITH o AS (
                 OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events
+  WHERE ts IS NOT NULL
 ),
 s AS (
   SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
@@ -2642,18 +2666,30 @@ GROUP BY user_id, sess_id
 @_register(
     "events_props_map",
     """
+WITH conforming AS (
+  SELECT props FROM events
+  WHERE json_valid(props)
+    AND list_aggregate(
+          list_transform(json_keys(props),
+            k -> try_cast(json_extract_string(props, '$.' || k) AS INTEGER) IS NOT NULL),
+          'bool_and')
+)
 SELECT k AS prop_key,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(MIN(CAST(json_extract_string(props, '$.' || k) AS INTEGER)) AS INTEGER) AS min_v,
        CAST(MAX(CAST(json_extract_string(props, '$.' || k) AS INTEGER)) AS INTEGER) AS max_v
-FROM events, unnest(json_keys(props)) AS t(k)
+FROM conforming, unnest(json_keys(props)) AS t(k)
 GROUP BY k
 """,
 )
 def q_events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType coverage: parse the props JSON column into map<string,int>,
     explode entries, aggregate per key — the dynamic-properties pattern
-    (the reference's data model has no map/array types at all)."""
+    (the reference's data model has no map/array types at all).
+    Schema-on-read semantics pinned by the adversarial sweep: from_json
+    nulls the ENTIRE map when any value fails the declared int type (or
+    the text is malformed), and explode drops NULL maps — so the oracle
+    keeps only documents whose every value casts to INTEGER."""
     ev = load_table(spark, sf_dir, "events")
     entries = ev.select(
         F.explode(F.from_json("props", "map<string,int>")).alias("prop_key", "v")
@@ -2870,6 +2906,7 @@ hashes AS (
                     i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
                   (acc, d) -> acc * 16 + d)) AS hs
   FROM documents
+  WHERE text IS NOT NULL
 ),
 sims AS (
   SELECT doc_id,
@@ -3085,6 +3122,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM events
+  WHERE value IS NOT NULL
 )
 SELECT event_type,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0e0 / COUNT(*)
@@ -3106,7 +3144,10 @@ def q_event_type_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_trimmed_mean,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values filtered IDENTICALLY on both engines before the trim
+    # (adversarial-sweep rule: a group whose values are all NULL must
+    # vanish on both sides, not surface as a NULL mean on one of them).
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     return ev.groupBy("event_type").agg(
         make_trimmed_mean(0.1)(F.col("value"), F.col("event_id")).alias(
             "trimmed_mean"
@@ -3232,7 +3273,8 @@ FROM walk GROUP BY part
     "events_variant_props",
     """
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       CASE WHEN json_valid(props)
+            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
 FROM events
 """,
 )
@@ -3242,11 +3284,14 @@ def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema-on-read door for payloads whose shape drifts, next to the
     schema-declared from_json door (events_json_props). VARIANT's
     binary encoding makes repeated path extraction cheaper than
-    re-parsing JSON text per field at scale."""
+    re-parsing JSON text per field at scale. try_parse_json (not
+    parse_json) so malformed/empty props become a NULL variant instead
+    of a runtime error — the ingestion-grade behavior, mirrored by the
+    oracle's json_valid guard (adversarial-sweep rule)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+        F.expr("variant_get(try_parse_json(props), '$.k', 'bigint')").alias("k"),
     )
 
 
@@ -4040,7 +4085,8 @@ def q_user_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_repetition",
     """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
 ),
 grams AS (
   SELECT doc_id,
@@ -4065,7 +4111,8 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     before training. Map-only (higher-order array functions inside one
     projection, no explode, no shuffle at any scale); the rounded
     fractions hold to the oracle's identical list formulation."""
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text excluded on both engines (adversarial-sweep rule).
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     # Staged split: both gram fractions reference the token array ~4x
     # each, and Catalyst inlines (re-splits) at every reference — the
     # projection is an 8x measured speedup at sf0.1.
@@ -4164,10 +4211,10 @@ def q_multi_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, user_id, value,
        round(value - lag(value) OVER w, 6) AS delta_prev,
        lead(event_id) OVER w AS next_event_id,
-       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id)
             AS INTEGER) AS value_quartile
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 """,
 )
 def q_user_value_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4177,12 +4224,20 @@ def q_user_value_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch. Both window specs share the user_id partitioning, so Spark
     plans ONE exchange and sorts per spec within it. Frames are ordered
     by (ts, event_id) / (value, event_id) — total orders, so offsets
-    are deterministic; the first-row delta is NULL in both engines."""
+    are deterministic; the first-row delta is NULL in both engines.
+    NULL ordering is pinned EXPLICITLY on both sides (ASC NULLS FIRST,
+    Spark's native default) — DuckDB defaults ASC to NULLS LAST, so a
+    nullable sort key silently reshuffles ntile buckets and lag frames
+    between engines otherwise (adversarial-sweep rule)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wq = Window.partitionBy("user_id").orderBy("value", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
+    wq = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc_nulls_first(), "event_id"
+    )
     return ev.select(
         "event_id",
         "user_id",
@@ -4198,6 +4253,7 @@ _WINNOW_SQL_CTES = """h AS (
          list_transform(generate_series(1, greatest(length(text) - 23, 1)),
                         i -> md5(substr(text, i, 24))) AS hashes
   FROM documents
+  WHERE text IS NOT NULL
 ), sel AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -4228,8 +4284,9 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5s (Catalyst does not CSE). The cross-engine check compares the
     fingerprint COUNT plus an order-insensitive digest (md5 of the
     sorted concat) because Spark's array_distinct and DuckDB's
-    list_distinct order survivors differently."""
-    docs = load_table(spark, sf_dir, "documents")
+    list_distinct order survivors differently. NULL text is excluded
+    on both engines (adversarial-sweep rule)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     hashed = docs.select("doc_id", TS.kgram_hashes(F.col("text"), 24).alias("__h"))
     sel = hashed.select("doc_id", TS.winnow(F.col("__h"), 12).alias("fps"))
     return sel.select(

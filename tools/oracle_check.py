@@ -45,6 +45,9 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
         problems.append(
             f"columns spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
         )
+    if problems:
+        # Different row counts make the element-wise compare below
+        # meaningless (and pandas raises on length-mismatched Series).
         return problems
     a, b = _normalize(spark_df), _normalize(oracle_df)
     for c in a.columns:
@@ -98,8 +101,14 @@ def main() -> int:
                 "sec": round(t1 - t0, 2),
             }
             continue
-        odf = con.sql(oracles[name]).df()
-        problems = compare(sdf, odf)
+        try:
+            odf = con.sql(oracles[name]).df()
+            problems = compare(sdf, odf)
+        except Exception as exc:  # noqa: BLE001 — keep auditing the rest
+            failures += 1
+            print(f"[FAIL] {name}: oracle/compare {type(exc).__name__}: {exc}"[:300])
+            results[name] = {"status": "error", "err": str(exc)[:300]}
+            continue
         if problems:
             failures += 1
             print(f"[FAIL] {name} ({t1 - t0:.1f}s):")
