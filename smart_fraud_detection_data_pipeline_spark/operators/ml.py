@@ -45,12 +45,30 @@ def _require_ml() -> None:
 def kmeans_centroids(
     corpus: DataFrame, k: int, *, vec_col: str = "embedding", max_iter: int = 10
 ) -> list[list[float]]:
-    """Learned IVF coarse quantizer: seeded KMeans over the embeddings."""
+    """Learned IVF coarse quantizer: seeded KMeans over the embeddings.
+    NULL vectors are excluded — MLlib's vector conversion rejects them,
+    and an absent vector belongs to no cluster (adversarial-sweep rule).
+    """
     _require_ml()
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     feats = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=k, seed=SEED, maxIter=max_iter).fit(feats)
+    # MLlib KMeans dies with an ArrayIndexOutOfBounds during init when k
+    # approaches the number of (near-)distinct points (adversarial-sweep
+    # finding on a tiny corpus with duplicate vectors; the exact feasible
+    # k is an MLlib internal — 5 of 7 distinct points in the probe). A
+    # deterministic halving ladder recovers: k=1 always fits, so this
+    # terminates in ≤ log2(k) retries, and on healthy corpora (k ≪ n)
+    # the first fit succeeds with no extra work.
+    while True:
+        try:
+            model = KMeans(k=k, seed=SEED, maxIter=max_iter).fit(feats)
+            break
+        except Exception:
+            if k <= 1:
+                raise
+            k = max(k // 2, 1)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 

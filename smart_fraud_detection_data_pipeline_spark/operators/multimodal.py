@@ -72,6 +72,10 @@ def extract_byte_features(df: DataFrame, decoder=None) -> DataFrame:
     pinned by a test). Payload is dropped on output so no downstream
     operator ever shuffles bytes. Decoders must be closures (or
     otherwise cloudpickle-by-value) per the repo UDF rule.
+
+    NULL payloads are EXCLUDED (a missing media object has no
+    features; a real decoder pipeline must not die on one —
+    adversarial-sweep rule, mirrored by the oracle's text IS NOT NULL).
     """
     if decoder is None:
 
@@ -95,7 +99,7 @@ def extract_byte_features(df: DataFrame, decoder=None) -> DataFrame:
                 }
             )
 
-    narrow = df.select(
+    narrow = df.where(F.col("payload").isNotNull()).select(
         "doc_id", "payload", F.col("media_meta.format").alias("format")
     )
     return narrow.mapInPandas(batches, schema=FEATURE_SCHEMA)
@@ -115,9 +119,17 @@ def sample_frames(df: DataFrame, frame_size: int = 64, every: int = 2) -> DataFr
     The "decode" is deterministic byte chunking standing in for a codec
     (same contract as extract_byte_features); a real implementation
     swaps the chunk loop for keyframe extraction and keeps everything
-    else. Output carries per-frame size + md5 digest, never the frame
+    else. Output carries per-frame size + digest, never the frame
     bytes — payloads must not outlive the map stage (module scale rule
     #1). Map-only: no shuffle at any corpus size.
+
+    The digest is md5 over the chunk's lowercase HEX encoding (not the
+    raw bytes): hex is injective, so identity properties are identical,
+    and it is reproducible by a SQL oracle on any byte content — the
+    oracle engine has no blob md5, and digesting text instead would
+    silently predicate correctness on an ASCII-only corpus
+    (adversarial-sweep rule). NULL payloads are excluded, same as
+    extract_byte_features.
     """
     import hashlib
 
@@ -131,7 +143,9 @@ def sample_frames(df: DataFrame, frame_size: int = 64, every: int = 2) -> DataFr
                     ids.append(doc_id)
                     idxs.append(i)
                     sizes.append(len(chunk))
-                    digests.append(hashlib.md5(bytes(chunk)).hexdigest())
+                    digests.append(
+                        hashlib.md5(bytes(chunk).hex().encode()).hexdigest()
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -141,7 +155,11 @@ def sample_frames(df: DataFrame, frame_size: int = 64, every: int = 2) -> DataFr
                 }
             )
 
-    return df.select("doc_id", "payload").mapInPandas(batches, schema=FRAME_SCHEMA)
+    return (
+        df.where(F.col("payload").isNotNull())
+        .select("doc_id", "payload")
+        .mapInPandas(batches, schema=FRAME_SCHEMA)
+    )
 
 
 def resize_payload(df: DataFrame, width: int = 16) -> DataFrame:
@@ -153,6 +171,9 @@ def resize_payload(df: DataFrame, width: int = 16) -> DataFrame:
     (position j ↦ byte ⌊j·(n−1)/(w−1)⌋). Emits the resized signal's
     mean and digest, not the bytes. Map-only Arrow stage; swap the
     strided gather for Pillow's `resize` when codecs exist.
+
+    Digest over the lowercase hex encoding and NULL payloads excluded —
+    same rationale as sample_frames.
     """
     import hashlib
 
@@ -171,7 +192,7 @@ def resize_payload(df: DataFrame, width: int = 16) -> DataFrame:
                 means.append(
                     float(sum(sampled)) / width if sampled else 0.0
                 )
-                digests.append(hashlib.md5(sampled).hexdigest())
+                digests.append(hashlib.md5(sampled.hex().encode()).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -180,4 +201,8 @@ def resize_payload(df: DataFrame, width: int = 16) -> DataFrame:
                 }
             )
 
-    return df.select("doc_id", "payload").mapInPandas(batches, schema=RESIZE_SCHEMA)
+    return (
+        df.where(F.col("payload").isNotNull())
+        .select("doc_id", "payload")
+        .mapInPandas(batches, schema=RESIZE_SCHEMA)
+    )

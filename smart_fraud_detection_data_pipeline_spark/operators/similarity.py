@@ -180,7 +180,13 @@ def sample_centroids(
     good enough as an IVF coarse quantizer on roughly isotropic data.
     (Swap in Lloyd iterations per-DataFrame if the corpus is clustered;
     the search path below is unchanged.)
+
+    NULL vectors are excluded BEFORE sampling (a NULL can't be a
+    centroid, and the modular sample positions must be computed over
+    the indexable corpus so the SQL oracle reproduces them —
+    adversarial-sweep rule).
     """
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     n = corpus.count()
     step = max(n // k, 1)
     rows = (
@@ -215,7 +221,13 @@ def ivf_ann_topk(
     sample, and nprobe gives a smooth recall/cost dial. The cluster
     assignment is a map-only projection (in production: computed once,
     stored as a partition column → partition pruning does the routing).
+
+    NULL vectors are excluded from both the indexed corpus and the
+    query set — an ANN index has no cell for an absent vector
+    (adversarial-sweep rule).
     """
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     cents = (
         centroids
         if centroids is not None

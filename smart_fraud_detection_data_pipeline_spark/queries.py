@@ -1384,7 +1384,7 @@ def q_fraud_enrich_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="fraud_enrich_streaming",
     )
     q.awaitTermination(300)
-    return spark.read.parquet(os.path.join(tmp, "out"))
+    return SK.read_or_empty(spark, os.path.join(tmp, "out"), result)
 
 
 # stream output == batch output, so the oracle SQL is shared verbatim
@@ -1456,7 +1456,7 @@ def q_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             query_name="dedup_streaming",
         )
         q.awaitTermination(300)
-    return spark.read.parquet(os.path.join(tmp, "out"))
+    return SK.read_or_empty(spark, os.path.join(tmp, "out"), deduped)
 
 
 @_register("synthetic_transactions", None)  # generator source — no oracle table
@@ -2134,7 +2134,8 @@ def q_embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_running_totals_streaming",
     """
 SELECT user_id,
-       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT)
+         AS total_cents,
        COUNT(*) AS n_events
 FROM events
 GROUP BY user_id
@@ -2204,13 +2205,20 @@ def q_user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
+WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
 GROUP BY user_id, event_type
+HAVING SUM(CAST(value AS DECIMAL(18,2))) IS NOT NULL
 """,
 )
 def q_user_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): the wide pivot matrix folded back to long form
     must equal a plain two-key GROUP BY — a pivot→unpivot round-trip
-    proving both reshape directions are lossless."""
+    proving both reshape directions are lossless for every cell the
+    pivot REPRESENTS: the explicit pivot value list excludes event
+    types outside it (incl. NULL), and a NULL wide cell cannot
+    distinguish 'no events' from 'all values NULL', so the oracle
+    scopes to the pivot values and non-NULL totals (adversarial-sweep
+    rule)."""
     wide = q_user_event_type_pivot(spark, sf_dir)
     return wide.unpivot(
         ids=["user_id"],
@@ -2454,7 +2462,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             query_name="stream_stream_join",
         )
         q.awaitTermination(300)
-    return spark.read.parquet(os.path.join(tmp, "out"))
+    return SK.read_or_empty(spark, os.path.join(tmp, "out"), pairs)
 
 
 _OUTER_SRC: dict[str, str] = {}
@@ -2575,7 +2583,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
     # strip the left sentinels' own (unmatched) emissions — a batch-side
     # filter, immune to the streaming pushdown that motivated them
-    return spark.read.parquet(os.path.join(tmp, "out")).where(
+    return SK.read_or_empty(spark, os.path.join(tmp, "out"), pairs).where(
         F.col("err_id") >= 0
     )
 
@@ -2960,11 +2968,12 @@ def _ivf_oracle_sql(k: int = 10, n_clusters: int = 16, nprobe: int = 4) -> str:
         " - 2 * list_sum(list_transform(list_zip({v}, cents.cv), z -> z[1]*z[2]))"
     )
     return f"""
-WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
 cents AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx, v AS cv
   FROM c
-  WHERE vec_id % greatest((SELECT count(*) FROM embeddings) // {n_clusters}, 1) = 0
+  WHERE vec_id % greatest((SELECT count(*) FROM c) // {n_clusters}, 1) = 0
   ORDER BY vec_id LIMIT {n_clusters}
 ),
 assign AS (
@@ -3013,31 +3022,41 @@ for _i, _s in enumerate(_REGISTRY):
         break
 
 
-# Promote the Arrow-UDF byte-feature query: the documents corpus is pure
-# ASCII (verified), so utf-8 byte statistics equal codepoint statistics,
-# which the oracle can compute — putting the mapInPandas path itself
-# under the hash gate. (On non-ASCII corpora this oracle would not hold;
-# the UDF is the general implementation.)
+# Promote the Arrow-UDF byte-feature query to the hash gate with a
+# BYTE-exact oracle: the utf-8 payload surfaces in SQL as its hex
+# encoding (hex(encode(text))), and each byte is reconstructed by
+# nibble arithmetic — so the oracle holds on ANY corpus, not just
+# ASCII (the old codepoint formulation silently predicated correctness
+# on an ASCII-only corpus; the adversarial fixtures' unicode documents
+# falsified it).
+_HEX_BYTE = (
+    "(strpos('0123456789ABCDEF', substr(hx, 2*j + 1, 1)) - 1) * 16"
+    " + strpos('0123456789ABCDEF', substr(hx, 2*j + 2, 1)) - 1"
+)
 for _i, _s in enumerate(_REGISTRY):
     if _s.name == "multimodal_byte_features":
         _REGISTRY[_i] = QuerySpec(
             "multimodal_byte_features",
             _s.spark_fn,
-            """
-WITH chars AS (
-  SELECT doc_id, text,
-         list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)) AS cs
+            f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n
   FROM documents
+  WHERE text IS NOT NULL
+),
+bs AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(0, n - 1), j -> {_HEX_BYTE}) AS bytes
+  FROM b
 )
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CASE WHEN length(text) > 0
-            THEN CAST(list_sum(list_transform(cs, c -> unicode(c))) AS DOUBLE)
-                   / len(cs)
-            ELSE 0.0e0 END AS byte_mean,
-       CAST(len(list_distinct(cs)) AS DOUBLE) / 256.0e0 AS byte_entropy_proxy,
+       CAST(n AS BIGINT) AS n_bytes,
+       CASE WHEN n > 0
+            THEN CAST(list_sum(bytes) AS DOUBLE) / n ELSE 0.0e0 END AS byte_mean,
+       CAST(len(list_distinct(bytes)) AS DOUBLE) / 256.0e0 AS byte_entropy_proxy,
        'txt' AS format
-FROM chars
+FROM bs
 """,
         )
         break
@@ -4508,17 +4527,24 @@ def q_prolific_red_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
 @_register(
     "multimodal_frame_sample",
     """
-WITH f AS (
-  SELECT doc_id, text,
-         unnest(generate_series(0, greatest(CAST(ceil(length(text) / 64.0e0)
-                                                 AS INTEGER), 1) - 1)) AS frame_idx
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n
   FROM documents
+  WHERE text IS NOT NULL
+),
+f AS (
+  SELECT doc_id, hx,
+         unnest(generate_series(0, greatest(CAST(ceil(n / 64.0e0)
+                                                 AS INTEGER), 1) - 1)) AS frame_idx
+  FROM b
 )
 SELECT doc_id,
        CAST(frame_idx AS INTEGER) AS frame_idx,
-       CAST(length(substr(text, CAST(frame_idx AS INTEGER) * 64 + 1, 64))
+       CAST(length(substr(hx, CAST(frame_idx AS INTEGER) * 128 + 1, 128)) // 2
             AS INTEGER) AS frame_bytes,
-       md5(substr(text, CAST(frame_idx AS INTEGER) * 64 + 1, 64)) AS frame_digest
+       md5(lower(substr(hx, CAST(frame_idx AS INTEGER) * 128 + 1, 128)))
+         AS frame_digest
 FROM f
 WHERE frame_idx % 2 = 0
 """,
@@ -4527,10 +4553,10 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video-like payloads (multimodal.sample_frames):
     chunk each payload into 64-byte frames, keep every 2nd, one output
     ROW per kept frame — the 1→N Arrow fan-out a real keyframe sampler
-    has, under the hash gate via the corpus's ASCII text↔byte
-    equivalence (same promotion argument as multimodal_byte_features;
-    asserted by test_documents_corpus_is_ascii). Map-only — payload
-    bytes never outlive the Arrow stage."""
+    has. Byte-exact on any corpus: the oracle slices the payload's hex
+    encoding (2 hex chars per byte), and the product digest is defined
+    over that hex form — see multimodal.sample_frames. Map-only —
+    payload bytes never outlive the Arrow stage."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.sample_frames(MM.attach_binary_payload(docs), frame_size=64, every=2)
 
@@ -4538,18 +4564,27 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "multimodal_resize",
     """
-WITH r AS (
-  SELECT doc_id, text,
-         list_transform(generate_series(0, 15),
-           j -> substr(text, CAST((j * (length(text) - 1)) // 15 AS INTEGER) + 1, 1)) AS cs
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n
   FROM documents
+  WHERE text IS NOT NULL
+),
+r AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(0, 15),
+           j -> lower(substr(hx, CAST((j * (n - 1)) // 15 AS INTEGER) * 2 + 1, 2))) AS ps
+  FROM b
 )
 SELECT doc_id,
-       CASE WHEN length(text) > 0
-            THEN CAST(list_sum(list_transform(cs, c -> unicode(c))) AS DOUBLE) / 16.0e0
+       CASE WHEN n > 0
+            THEN CAST(list_sum(list_transform(ps,
+                   p -> (strpos('0123456789abcdef', substr(p, 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substr(p, 2, 1)) - 1)) AS DOUBLE)
+                 / 16.0e0
             ELSE 0.0e0 END AS resized_mean,
-       CASE WHEN length(text) > 0
-            THEN md5(array_to_string(cs, '')) ELSE md5('') END AS resized_digest
+       CASE WHEN n > 0
+            THEN md5(array_to_string(ps, '')) ELSE md5('') END AS resized_digest
 FROM r
 """,
 )
@@ -4558,9 +4593,10 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte grid (multimodal.resize_payload) — constant output size
     regardless of input length, the property that makes downstream
     training batches rectangular. The empty-payload edge is guarded in
-    BOTH engines (UDF returns mean 0.0 / md5 of empty; oracle CASEs the
-    same) so the oracle doesn't silently depend on the corpus never
-    being empty (ADVICE r1)."""
+    BOTH engines (UDF returns mean 0.0 / digest of empty; oracle CASEs
+    the same) so the oracle doesn't silently depend on the corpus never
+    being empty (ADVICE r1). Byte-exact on any corpus via the hex
+    formulation (see multimodal_frame_sample)."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.resize_payload(MM.attach_binary_payload(docs), width=16)
 
@@ -5052,7 +5088,7 @@ def q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             query_name="stream_windowed_rollup",
         )
         q.awaitTermination(300)
-    return spark.read.parquet(os.path.join(tmp, "out"))
+    return SK.read_or_empty(spark, os.path.join(tmp, "out"), out)
 
 
 @_register(

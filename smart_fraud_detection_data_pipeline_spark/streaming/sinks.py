@@ -75,6 +75,20 @@ def reemit_parquet_sink(path: str) -> Callable[[DataFrame, int], None]:
     return handle
 
 
+def read_or_empty(spark, path: str, like: DataFrame) -> DataFrame:
+    """Read a foreachBatch parquet output dir, or return an empty frame
+    with `like`'s schema when NO batch ever wrote (the empty-batch guard
+    means a query whose every micro-batch was empty leaves no directory
+    behind — a plain read then dies with PATH_NOT_FOUND, found by the
+    adversarial sweep). `like` is the streaming frame the sink consumed,
+    so schemas match the non-empty case exactly."""
+    import os
+
+    if not os.path.exists(path):
+        return spark.createDataFrame([], like.schema)
+    return spark.read.parquet(path)
+
+
 def start_foreach_batch(
     df: DataFrame,
     handler: Callable[[DataFrame, int], None],

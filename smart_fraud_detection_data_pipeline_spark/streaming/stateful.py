@@ -57,8 +57,15 @@ def user_running_totals(transactions: DataFrame) -> DataFrame:
         for pdf in pdfs:
             # 2-dp money → integer cents PER ROW (round before summing:
             # a float batch-sum rounded once can differ from the row-wise
-            # exact cents by the accumulated representation error)
-            total_cents += int(pdf["amount"].mul(100).round().astype("int64").sum())
+            # exact cents by the accumulated representation error).
+            # NULL amounts contribute nothing to the total but DO count
+            # as events — SQL SUM/COUNT(*) semantics; a NaN would
+            # otherwise kill the int64 cast (adversarial-sweep rule; the
+            # counter stays 0-based where SQL SUM of all-NULLs is NULL,
+            # which the oracle mirrors with COALESCE).
+            vals = pdf["amount"].dropna()
+            if len(vals):
+                total_cents += int(vals.mul(100).round().astype("int64").sum())
             n += len(pdf)
         state.update((total_cents, n))
         yield pd.DataFrame(

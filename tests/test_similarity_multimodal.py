@@ -242,7 +242,11 @@ def test_frame_sample_fanout_and_edges(spark):
     assert set(out) == {(1, 0), (1, 2), (2, 0), (3, 0)}
     assert out[(1, 0)].frame_bytes == 64 and out[(1, 2)].frame_bytes == 2
     assert out[(3, 0)].frame_bytes == 0
-    assert out[(1, 0)].frame_digest == hashlib.md5(b"a" * 64).hexdigest()
+    # Digests are md5 over the chunk's lowercase hex encoding (injective,
+    # SQL-oracle-reproducible on any byte content — see sample_frames).
+    assert out[(1, 0)].frame_digest == hashlib.md5(
+        (b"a" * 64).hex().encode()
+    ).hexdigest()
     assert out[(3, 0)].frame_digest == hashlib.md5(b"").hexdigest()
 
 
@@ -262,7 +266,7 @@ def test_resize_fixed_width_and_empty(spark):
     b = text.encode()
     sampled = bytes(b[(j * (len(b) - 1)) // 15] for j in range(16))
     assert sampled[0] == b[0] and sampled[-1] == b[-1]
-    assert out[1].resized_digest == hashlib.md5(sampled).hexdigest()
+    assert out[1].resized_digest == hashlib.md5(sampled.hex().encode()).hexdigest()
     assert abs(out[1].resized_mean - sum(sampled) / 16.0) < 1e-12
     assert out[2].resized_mean == 0.0
     assert out[2].resized_digest == hashlib.md5(b"").hexdigest()
