@@ -130,6 +130,21 @@ _FRESH = frozenset({
     # implementation changed in round 5
     "observed_quality",     # observe folded into the returned frame's action
     "user_robust_zscore",   # null-iv guard (ADVICE r5 #1)
+    # round-5 adversarial-sweep semantics pins (NULL ts/keys/measures/
+    # text/vectors, JSON guards, hex digests, zero-emission streams)
+    "user_spend_trends", "category_trends", "user_spend_trends_incremental",
+    "sliding_window_trends", "session_windows", "session_windows_streaming",
+    "user_spend_trends_streaming", "event_type_trimmed_mean",
+    "user_value_lag_delta", "customer_order_seq", "events_json_props",
+    "events_props_map", "events_variant_props", "doc_ngram_jaccard",
+    "doc_ngram_jaccard_capped", "doc_minhash_lsh", "doc_simhash",
+    "doc_simhash_pairs", "doc_repetition", "doc_winnow", "doc_winnow_pairs",
+    "doc_dup_components", "multimodal_byte_features",
+    "multimodal_frame_sample", "multimodal_resize", "embed_ivf_ann",
+    "embed_ivf_kmeans_ann", "user_running_totals_streaming",
+    "user_event_type_unpivot", "stream_stream_join",
+    "stream_stream_left_join", "fraud_enrich_streaming", "dedup_streaming",
+    "stream_windowed_rollup",
 })
 
 #: Registry rotation (VERDICT r4 task 1): the driver's correctness run
