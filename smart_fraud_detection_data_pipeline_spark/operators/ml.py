@@ -66,9 +66,14 @@ def kmeans_centroids(
             model = KMeans(k=k, seed=SEED, maxIter=max_iter).fit(feats)
             break
         except Exception:
-            if k <= 1:
+            # Checked only in the failure path: an EMPTY corpus has no
+            # centroids at all (the empty-partition-day case), and
+            # MLlib's k floor is 2.
+            if feats.isEmpty():
+                return []
+            if k <= 2:
                 raise
-            k = max(k // 2, 1)
+            k = max(k // 2, 2)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 

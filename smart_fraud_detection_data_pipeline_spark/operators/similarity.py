@@ -233,6 +233,18 @@ def ivf_ann_topk(
         if centroids is not None
         else sample_centroids(corpus, n_clusters, id_col=id_col, vec_col=vec_col)
     )
+    if not cents:
+        # empty corpus → no cells → empty result with the output schema
+        # (the empty-partition-day case; F.array() of zero centroids is
+        # untyped and breaks the assignment expression)
+        spark = corpus.sparkSession
+        id_t = dict(corpus.dtypes)[id_col]
+        qid_t = dict(queries.dtypes)[query_id_col]
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} {qid_t}, {id_col} {id_t}, "
+            "cosine_sim double, rank int",
+        )
     c = ivf_assign(
         corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")),
         cents,
@@ -354,7 +366,22 @@ def srp_ann_topk(
         probe_hamming = 1 if multiprobe else 0
     if not 0 <= probe_hamming <= 2:
         raise ValueError(f"probe_hamming must be 0..2, got {probe_hamming}")
-    dim = len(corpus.select(vec_col).first()[0])
+    # NULL vectors excluded (same rule as ivf_ann_topk); an EMPTY corpus
+    # yields an empty result instead of dying on the dim probe — the
+    # empty-partition-day case from the empty-fixture sweep.
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
+    probe_row = corpus.select(vec_col).first()
+    if probe_row is None:
+        spark = corpus.sparkSession
+        id_t = dict(corpus.dtypes)[id_col]
+        qid_t = dict(queries.dtypes)[query_id_col]
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} {qid_t}, {id_col} {id_t}, "
+            "cosine_sim double, rank int",
+        )
+    dim = len(probe_row[0])
     planes = srp_planes(dim, n_planes)
     c = corpus.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")

@@ -145,6 +145,10 @@ _FRESH = frozenset({
     "user_event_type_unpivot", "stream_stream_join",
     "stream_stream_left_join", "fraud_enrich_streaming", "dedup_streaming",
     "stream_windowed_rollup",
+    # round-5 empty-input hardening (grand-total rows, empty ANN/ML
+    # corpora, zero-emission reemit streams, empty partitioned writes)
+    "orders_cube", "orders_rollup", "orders_grouping_sets",
+    "embed_srp_ann", "warehouse_load", "fraud_ml_score",
 })
 
 #: Registry rotation (VERDICT r4 task 1): the driver's correctness run
@@ -1510,6 +1514,13 @@ def q_warehouse_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cache the enriched table: both load slices derive from it, and
     # without materialization the two writes re-run the enrichment.
     enriched = q_fraud_enrich(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    if enriched.isEmpty():
+        # empty-partition day: a partitioned write of zero rows leaves a
+        # directory with no data files, and partition discovery then
+        # cannot infer a schema — short-circuit with the loader's output
+        # shape (empty-fixture sweep rule)
+        enriched.unpersist()
+        return enriched.select(*cols).limit(0)
     tmp = _scratch("warehouse_")
     first = enriched.withColumn("load_seq", F.lit(1))
     reemit = enriched.where(F.col("transaction_id") % 4 == 0).withColumn(
@@ -1672,11 +1683,17 @@ SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0
 """,
 )
 def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (beyond-reference agg coverage): grand
-    total + per-status + per-(status,priority) in one pass (Expand)."""
+    total + per-status + per-(status,priority) in one pass (Expand).
+    The HAVING pins an engine difference on EMPTY input only: ANSI (and
+    DuckDB) emit a count-0 grand-total row over zero rows, Spark's
+    grouping-sets Expand emits nothing; COUNT(*)=0 is impossible for
+    any real group, so the guard is inert on non-empty data
+    (empty-fixture sweep rule)."""
     return (
         load_table(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
@@ -2005,7 +2022,7 @@ def q_user_spend_trends_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
             query_name="user_spend_trends_streaming",
         )
         q.awaitTermination(300)
-    raw_out = spark.read.parquet(os.path.join(tmp, "out"))
+    raw_out = SK.read_or_empty(spark, os.path.join(tmp, "out"), out, with_batch_id=True)
     return dedup_keep_last(
         raw_out, ["user_id", "window_start"], ["batch_id"]
     ).drop("batch_id")
@@ -2181,7 +2198,9 @@ def q_user_running_totals_streaming(spark: SparkSession, sf_dir: str) -> DataFra
             query_name="user_running_totals_streaming",
         )
         q.awaitTermination(300)
-    emissions = spark.read.parquet(os.path.join(tmp, "out"))
+    emissions = SK.read_or_empty(
+        spark, os.path.join(tmp, "out"), user_running_totals(tx), with_batch_id=True
+    )
     return dedup_keep_last(emissions, ["user_id"], ["n_events", "batch_id"]).drop(
         "batch_id"
     )
@@ -2256,6 +2275,15 @@ def q_fraud_ml_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_fraud_detection_data_pipeline_spark.operators import ml as ML
 
     enriched = q_fraud_enrich(spark, sf_dir)
+    if enriched.isEmpty():
+        # no rows → nothing to train on; scoring an empty frame is an
+        # empty frame with score_transactions' output shape
+        # (empty-fixture sweep rule)
+        return (
+            enriched.select("transaction_id")
+            .withColumn("ml_fraud_probability", F.lit(0.0).cast("double"))
+            .limit(0)
+        )
     model = ML.train_fraud_scorer(enriched)
     return ML.score_transactions(model, enriched)
 
@@ -2653,7 +2681,9 @@ def q_session_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             query_name="session_windows_streaming",
         )
         q.awaitTermination(300)
-    emissions = spark.read.parquet(os.path.join(tmp, "out"))
+    emissions = SK.read_or_empty(
+        spark, os.path.join(tmp, "out"), out, with_batch_id=True
+    )
     # merging windows: only the LAST complete emission is the truth
     # (keep-last per key would resurrect sessions that later merged away)
     last = emissions.agg(F.max("batch_id")).collect()[0][0]
@@ -2872,9 +2902,11 @@ def _srp_oracle_sql(n_planes: int = 4, k: int = 10, dim: int = 64) -> str:
     probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(n_planes)])
     return f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < 5 AND embedding IS NOT NULL
 ),
-c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE embedding IS NOT NULL),
 cb AS (SELECT vec_id, cv, {bucket_expr('cv')} AS bucket FROM c),
 qb AS (SELECT query_id, qv, {bucket_expr('qv')} AS bucket FROM q),
 probes AS (
@@ -3429,11 +3461,13 @@ SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0
 """,
 )
 def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all 2^n grouping-set combinations in one Expand pass —
-    completes the grouping-sets family next to ROLLUP."""
+    completes the grouping-sets family next to ROLLUP. HAVING guard:
+    same empty-input engine-difference pin as orders_rollup."""
     return (
         load_table(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
@@ -6008,6 +6042,7 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+HAVING COUNT(*) > 0
 """,
 )
 def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,17 +75,26 @@ def reemit_parquet_sink(path: str) -> Callable[[DataFrame, int], None]:
     return handle
 
 
-def read_or_empty(spark, path: str, like: DataFrame) -> DataFrame:
+def read_or_empty(
+    spark, path: str, like: DataFrame, *, with_batch_id: bool = False
+) -> DataFrame:
     """Read a foreachBatch parquet output dir, or return an empty frame
     with `like`'s schema when NO batch ever wrote (the empty-batch guard
     means a query whose every micro-batch was empty leaves no directory
     behind — a plain read then dies with PATH_NOT_FOUND, found by the
     adversarial sweep). `like` is the streaming frame the sink consumed,
-    so schemas match the non-empty case exactly."""
+    so schemas match the non-empty case exactly. `with_batch_id` adds
+    the long column `reemit_parquet_sink` stamps, so readers of that
+    sink get an identical schema in the empty case too."""
     import os
 
     if not os.path.exists(path):
-        return spark.createDataFrame([], like.schema)
+        schema = like.schema
+        if with_batch_id:
+            from pyspark.sql.types import LongType
+
+            schema = schema.add("batch_id", LongType())
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(path)
 
 

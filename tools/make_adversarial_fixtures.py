@@ -393,9 +393,17 @@ def build_tables() -> dict[str, pa.Table]:
 
 
 def main() -> int:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_adversarial"
+    argv = [a for a in sys.argv[1:] if a != "--empty"]
+    empty = "--empty" in sys.argv
+    out = argv[0] if argv else (
+        "/tmp/sf_empty" if empty else "/tmp/sf_adversarial"
+    )
     os.makedirs(out, exist_ok=True)
     for name, table in build_tables().items():
+        if empty:
+            # the "empty partition day": same schemas, zero rows — every
+            # query must return an empty result, never crash
+            table = table.slice(0, 0)
         pq.write_table(table, os.path.join(out, f"{name}.parquet"))
         print(f"{name}: {table.num_rows} rows -> {out}/{name}.parquet")
     return 0
