@@ -7,6 +7,13 @@ Prints ONE JSON line:
 Each query materializes fully via the noop sink (distributed execution,
 no driver collect). A shared warm session amortizes JVM startup, mirroring
 a long-lived cluster context.
+
+Set SPARK_GRAFT_BENCH_REPEAT=N (default 1, the driver contract) to run
+every query N times and record the MEDIAN — sub-2s queries jitter by
+2-3x single-shot on a busy machine, which round 4->5 showed can read as
+phantom per-query "regressions". Optionally restrict to a comma-
+separated SPARK_GRAFT_BENCH_ONLY=name1,name2 subset when adjudicating
+a specific drift.
 """
 
 from __future__ import annotations
@@ -36,6 +43,12 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        specs = [s for s in specs if s.name in wanted]
+
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for spec in specs:
@@ -47,9 +60,15 @@ def main() -> None:
                 # fixture staging is harness work, not operator work — keep
                 # it off the clock so streaming numbers measure streaming
                 spec.prepare(spark, sf_dir)
-            t0 = time.time()
-            spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            times[spec.name] = round(time.time() - t0, 3)
+            samples = []
+            for _ in range(repeat):
+                t0 = time.time()
+                spec.spark_fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.time() - t0)
+            samples.sort()
+            times[spec.name] = round(samples[len(samples) // 2], 3)
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[spec.name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"[bench] ERROR {spec.name}: {errors[spec.name]}", file=sys.stderr)
