@@ -14,6 +14,12 @@ every query N times and record the MEDIAN — sub-2s queries jitter by
 phantom per-query "regressions". Optionally restrict to a comma-
 separated SPARK_GRAFT_BENCH_ONLY=name1,name2 subset when adjudicating
 a specific drift.
+
+REPEAT is for SUBSET adjudication, not full-registry artifacts: 129xN
+executions in one shared session age the JVM (GC pressure, listener
+and scratch accumulation) and inflate the tail by ~10-30% (measured:
+204 s median-of-3 vs 190 s single-shot on the same quiet host), so a
+full REPEAT run is not comparable to the driver's single-shot pass.
 """
 
 from __future__ import annotations
