@@ -149,6 +149,11 @@ _FRESH = frozenset({
     # corpora, zero-emission reemit streams, empty partitioned writes)
     "orders_cube", "orders_rollup", "orders_grouping_sets",
     "embed_srp_ann", "warehouse_load", "fraud_ml_score",
+    # round-5 fuzz-sweep fixes (seeded-random fixtures, see
+    # tools/make_fuzz_fixtures.py): try_cast on JSON-extracted values,
+    # try_variant_get, CJK branch in the lang_id oracle, NULL-safe
+    # partition routing in the incremental-load oracle
+    "lang_id_confusion",
 })
 
 #: Registry rotation (VERDICT r4 task 1): the driver's correctness run
@@ -978,7 +983,8 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH scored AS (
   SELECT lang, {{lang_scores}},
-         CASE {{lang_cases}}
+         CASE WHEN length(regexp_replace(text, '[^\\x{{{{4e00}}}}-\\x{{{{9fff}}}}]', '', 'g')) > 0 THEN 'zh'
+         {{lang_cases}}
          ELSE 'unknown' END AS lang_pred
   FROM documents
 )
@@ -1570,10 +1576,17 @@ WITH t AS (
   GROUP BY 1, 2
 ),
 untouched AS (
-  SELECT * FROM t WHERE order_month NOT IN (SELECT DISTINCT order_month FROM s)
+  -- NULL-safe anti/semi routing (IS NOT DISTINCT FROM, not IN): a NULL
+  -- order_month partition exists in t whenever o_orderdate has NULLs,
+  -- and three-valued NOT IN would silently drop it from BOTH branches
+  -- where the Spark operator keeps it untouched (fuzz-sweep rule,
+  -- seed 101 — the oracle-side twin of CLAUDE.md's isin() rule).
+  SELECT * FROM t WHERE NOT EXISTS
+    (SELECT 1 FROM s WHERE s.order_month IS NOT DISTINCT FROM t.order_month)
 ),
 touched AS (
-  SELECT * FROM t WHERE order_month IN (SELECT DISTINCT order_month FROM s)
+  SELECT * FROM t WHERE EXISTS
+    (SELECT 1 FROM s WHERE s.order_month IS NOT DISTINCT FROM t.order_month)
 ),
 merged AS (
   SELECT CASE WHEN s.__src IS NOT NULL THEN s.order_month ELSE t.order_month END AS order_month,
@@ -1650,7 +1663,7 @@ def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type,
        CAST(SUM(CASE WHEN json_valid(props)
-                     THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END)
+                     THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END)
             AS BIGINT) AS sum_k,
        COUNT(*) AS n_events
 FROM events
@@ -1663,12 +1676,17 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     Malformed/empty/NULL props extract as NULL (get_json_object's
     behavior); DuckDB's json_extract_string THROWS on malformed text,
     so the oracle needs the explicit json_valid guard
-    (adversarial-sweep rule)."""
+    (adversarial-sweep rule). The extracted string must go through
+    try_cast/TRY_CAST on BOTH engines: a k that is valid JSON but not
+    numeric ('{"k": "notint"}') makes ANSI cast THROW in Spark and
+    DuckDB alike (fuzz-sweep rule, seed 101); non-scalar k extracts as
+    the JSON text in Spark and NULL in DuckDB, and try_cast maps both
+    to NULL."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(
             "event_type",
-            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.get_json_object("props", "$.k").try_cast("int").alias("k"),
         )
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n_events"))
@@ -3340,7 +3358,7 @@ FROM walk GROUP BY part
     """
 SELECT event_id,
        CASE WHEN json_valid(props)
-            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
 FROM events
 """,
 )
@@ -3353,11 +3371,16 @@ def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-parsing JSON text per field at scale. try_parse_json (not
     parse_json) so malformed/empty props become a NULL variant instead
     of a runtime error — the ingestion-grade behavior, mirrored by the
-    oracle's json_valid guard (adversarial-sweep rule)."""
+    oracle's json_valid guard (adversarial-sweep rule). try_variant_get
+    (not variant_get), because a k holding a non-castable variant value
+    ('{"k": "notint"}', '{"k": {...}}') makes the typed extraction THROW
+    at runtime (fuzz-sweep rule, seed 101); the oracle mirrors with
+    TRY_CAST, and both engines apply string→bigint cast rules to scalar
+    strings so '"12"'→12 and '"3.5"'→NULL agree."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.expr("variant_get(try_parse_json(props), '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')").alias("k"),
     )
 
 
