@@ -843,6 +843,18 @@ def _lang_sql() -> str:
 
 _LANG_SCORES, _LANG_CASES = _lang_sql()
 
+#: The language-ID CJK short-circuit (twin of textstats.lang_id's
+#: has_cjk), built ONCE for every oracle that embeds the CASE chain —
+#: the branch was hand-omitted from one of its three copies until a
+#: fuzz seed produced a CJK doc (CLAUDE.md fuzz-sweep rule). Final-form
+#: SQL; `_CJK_WHEN_FMT` is the brace-doubled variant for templates that
+#: still pass through str.format().
+_CJK_WHEN = (
+    "CASE WHEN length(regexp_replace(text,"
+    " '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'"
+)
+_CJK_WHEN_FMT = _CJK_WHEN.replace("{", "{{").replace("}", "}}")
+
 _SQL_PROFILE = f"""
 WITH scored AS (
   SELECT doc_id, text,
@@ -861,7 +873,7 @@ SELECT doc_id,
                      t -> list_contains([{{all_stops}}], t)))
                  / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
             ELSE 0.0e0 END AS DOUBLE) AS stopword_ratio,
-       CASE WHEN length(regexp_replace(text, '[^\\x{{{{4e00}}}}-\\x{{{{9fff}}}}]', '', 'g')) > 0 THEN 'zh'
+       {_CJK_WHEN_FMT}
        {_LANG_CASES}
        ELSE 'unknown' END AS lang_pred,
        list_min(list_transform(
@@ -983,7 +995,7 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH scored AS (
   SELECT lang, {{lang_scores}},
-         CASE WHEN length(regexp_replace(text, '[^\\x{{{{4e00}}}}-\\x{{{{9fff}}}}]', '', 'g')) > 0 THEN 'zh'
+         {_CJK_WHEN_FMT}
          {{lang_cases}}
          ELSE 'unknown' END AS lang_pred
   FROM documents
@@ -2360,7 +2372,7 @@ profile AS (
                           t -> list_contains([{all_stops}], t)))
                       / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
                  ELSE 0.0e0 END AS DOUBLE) AS DOUBLE) AS quality_score,
-         CASE WHEN length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) > 0 THEN 'zh'
+         {_CJK_WHEN}
          {_LANG_CASES}
          ELSE 'unknown' END AS lang_pred
   FROM scored
