@@ -61,6 +61,14 @@ def asof_join(
         if direction == "backward"
         else (F.col(right_ts) >= F.col(left_ts))
     )
+    # A right row with NULL right_ts can never satisfy the inequality
+    # (an untimed event has no as-of position) and must be dropped
+    # BEFORE the join: the isNull() disjunct below exists to keep the
+    # left join's null-EXTENDED rows, and without this filter it also
+    # admits real NULL-ts right rows — which then win rn=1 whenever
+    # they are a left row's only candidate, where SQL's `right_ts <=
+    # left_ts` predicate yields no match (fuzz-sweep rule, seed 303).
+    right = right.where(F.col(right_ts).isNotNull())
     joined = left.join(right, on=list(on), how="left").where(
         cond | F.col(right_ts).isNull()
     )

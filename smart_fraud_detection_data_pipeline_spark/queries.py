@@ -152,8 +152,12 @@ _FRESH = frozenset({
     # round-5 fuzz-sweep fixes (seeded-random fixtures, see
     # tools/make_fuzz_fixtures.py): try_cast on JSON-extracted values,
     # try_variant_get, CJK branch in the lang_id oracle, NULL-safe
-    # partition routing in the incremental-load oracle
-    "lang_id_confusion",
+    # partition routing in the incremental-load oracle; NULL-ts
+    # sequence semantics (NULLS FIRST pins, asof NULL-ts rights,
+    # stream-stream outer left side, OHLC untimed-row exclusion)
+    "lang_id_confusion", "user_value_ewma", "asof_last_purchase",
+    "asof_next_error", "user_value_ohlc", "user_scd2_intervals",
+    "user_event_transitions",
 })
 
 #: Registry rotation (VERDICT r4 task 1): the driver's correctness run
@@ -1162,7 +1166,7 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_value_ewma",
     """
 SELECT user_id,
-       list_reduce(list(value ORDER BY ts, event_id),
+       list_reduce(list(value ORDER BY ts NULLS FIRST, event_id),
                    (acc, x) -> 0.3e0 * x + 0.7e0 * acc) AS ewma
 FROM events GROUP BY user_id
 """,
@@ -2587,7 +2591,13 @@ WITH e AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
 )
 SELECT a.event_id AS err_id, b.event_id AS follow_id
-FROM (SELECT * FROM e WHERE event_type = 'error') a
+FROM (SELECT * FROM e WHERE event_type = 'error'
+      -- NULL event-time rows are dropped by Spark's stream-stream join
+      -- (no watermark bound exists for them), so the batch oracle's
+      -- LEFT side must exclude them too — the outer-join twin of the
+      -- windowed-agg `ts IS NOT NULL` rule (fuzz seed 303; the right
+      -- side and the inner join exclude them via the ts inequality)
+      AND ts IS NOT NULL) a
 LEFT JOIN e b
   ON b.user_id = a.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
 """,
@@ -5441,6 +5451,15 @@ def q_embed_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "user_value_ohlc",
     """
+-- ts IS NOT NULL on BOTH engines: an untimed event has no OHLC bar
+-- (the calendar-bucketing twin of the windowed-agg NULL-event-time
+-- rule) — and the filter is also a correctness requirement for the
+-- ORACLE ENGINE itself: DuckDB v1.0.0's window operator SPLITS a
+-- NULL-keyed partition nondeterministically when the PARTITION BY key
+-- is a computed expression (date_trunc over NULL ts), yielding
+-- multiple rn=1 rows per logical partition (fuzz-sweep, seeds
+-- 303/404; AS MATERIALIZED does not reliably suppress it). Never give
+-- a DuckDB window a NULLable computed partition key.
 WITH ranked AS (
   SELECT user_id, value,
          date_trunc('hour', ts) AS wstart,
@@ -5449,6 +5468,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
                             ORDER BY ts DESC, event_id DESC) AS rn_d
   FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT user_id,
        strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -5469,7 +5489,10 @@ def q_user_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Open/close are picked by row_number over a TOTAL order
     (ts, event_id) rather than min_by/max_by-on-ts so simultaneous
     events are deterministic and both engines agree (DuckDB's arg_min
-    cannot order by a composite key). No float sums — min/max/pick are
+    cannot order by a composite key). NULL-ts rows are excluded on
+    both engines — an untimed event has no bar (and see the oracle
+    comment: a NULLable computed partition key breaks DuckDB v1.0.0's
+    window operator outright). No float sums — min/max/pick are
     reduction-order-free, so the full hash gate applies.
 
     Scale: one exchange on (user_id, hour) serves BOTH row_number specs
@@ -5478,7 +5501,7 @@ def q_user_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the partition."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     hour = F.date_trunc("hour", F.col("ts"))
     w_a = Window.partitionBy("user_id", "__h").orderBy("ts", "event_id")
     w_d = Window.partitionBy("user_id", "__h").orderBy(
@@ -5519,8 +5542,8 @@ def q_user_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, user_id, event_type AS state,
        CAST(ts AS TIMESTAMP) AS valid_from,
        lead(CAST(ts AS TIMESTAMP))
-         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-       CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS valid_to,
+       CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                  IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
 FROM events
 """,
@@ -5531,14 +5554,19 @@ def q_user_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     state and an is_current flag on the open-ended last row — the
     warehouse-side twin of asof_join (which CONSUMES such intervals).
     Ordered by the total key (ts, event_id) so simultaneous events
-    chain deterministically. Both lead() calls share one window spec —
-    Spark computes them in a single Window operator over one
-    user-partitioned exchange; output size = input size (map-shaped
-    after the sort), so the build scales with the fact table."""
+    chain deterministically; NULLS FIRST pinned on both engines (the
+    adversarial-sweep window rule — a NULL-ts event chains at the
+    START of its user's history, caught live by fuzz seed 303). Both
+    lead() calls share one window spec — Spark computes them in a
+    single Window operator over one user-partitioned exchange; output
+    size = input size (map-shaped after the sort), so the build scales
+    with the fact table."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("ts"), "event_id"
+    )
     nxt = F.lead("ts").over(w)
     return ev.select(
         "event_id",
@@ -5679,7 +5707,7 @@ def q_doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH seq AS (
   SELECT user_id, event_type AS from_type,
-         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS to_type
   FROM events
 )
 SELECT user_id, from_type, to_type, COUNT(*) AS n_transitions
@@ -5691,14 +5719,17 @@ def q_user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts per user (event_type →
     next event_type) — the sequence-mining feature behind funnel and
     next-action models; complements user_funnel (which pins ONE path)
-    with the full empirical transition matrix. The lead() window and
-    the aggregation share the user_id hash partitioning: the groupBy
-    keys start with user_id, so Spark reuses the window's exchange —
-    one shuffle total."""
+    with the full empirical transition matrix. NULLS FIRST pinned on
+    both engines (adversarial-sweep window rule; fuzz seed 303). The
+    lead() window and the aggregation share the user_id hash
+    partitioning: the groupBy keys start with user_id, so Spark reuses
+    the window's exchange — one shuffle total."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("ts"), "event_id"
+    )
     seq = ev.select(
         "user_id",
         F.col("event_type").alias("from_type"),
