@@ -93,6 +93,33 @@ def test_asof_tie_break_directions(spark):
         asof_join(left, right, tie_break_direction="up", **kw)
 
 
+def test_asof_null_ts_rows(spark):
+    """Untimed rows never participate: a NULL-ts RIGHT row is not an
+    as-of candidate even when it is a key's only right row (the SQL
+    `right_ts <= left_ts` semantics — fuzz seed 303), and a NULL-ts
+    LEFT row survives with null right columns."""
+    left = spark.createDataFrame(
+        [
+            Row(id=1, k="a", ts=_m(10)),
+            Row(id=2, k="d", ts=_m(10)),  # key d's only right row is untimed
+            Row(id=3, k="a", ts=None),    # untimed left row
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", r_ts=_m(0), payload="a0"),
+            Row(k="d", r_ts=None, payload="d-null"),
+        ]
+    )
+    out = {
+        r.id: r.payload
+        for r in asof_join(
+            left, right, on=["k"], left_key="id", left_ts="ts", right_ts="r_ts"
+        ).collect()
+    }
+    assert out == {1: "a0", 2: None, 3: None}
+
+
 def test_asof_rejects_bad_direction(spark):
     left, right = _frames(spark)
     with pytest.raises(ValueError, match="unknown direction"):
