@@ -158,6 +158,8 @@ _FRESH = frozenset({
     "lang_id_confusion", "user_value_ewma", "asof_last_purchase",
     "asof_next_error", "user_value_ohlc", "user_scd2_intervals",
     "user_event_transitions",
+    # seed 808: round()->floor-quantize on the unigram-LM transcendental
+    "doc_unigram_logprob",
 })
 
 #: Registry rotation (VERDICT r4 task 1): the driver's correctness run
@@ -5779,8 +5781,9 @@ cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
 tot AS (SELECT COUNT(*) AS t FROM toks)
 SELECT doc_id,
        COUNT(*) AS n_tokens,
-       round(CAST(SUM(CAST(round(-ln(CAST(c AS DOUBLE) / (SELECT t FROM tot)), 6)
-                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+       floor(SUM(CAST(floor(-ln(CAST(c AS DOUBLE) / (SELECT t FROM tot))
+                            * 1000000.0e0 + 0.5e0) AS BIGINT))
+             / COUNT(*) + 0.5e0) / 1000000.0e0
          AS avg_neg_logprob
 FROM toks JOIN cnt USING (token)
 GROUP BY doc_id
@@ -5792,8 +5795,14 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     improbable under the corpus unigram distribution are noise/garble;
     unusually LOW entropy is boilerplate (cf. CCNet's LM perplexity
     filter, here with the corpus itself as the model, no external LM).
-    Per-token -ln p values round to 6 dp and sum in DECIMAL, so the
-    per-doc mean is reduction-order-free → full hash gate.
+    Per-token -ln p values floor-quantize to micro-nat INTEGERS
+    (floor(x*1e6+0.5), the CLAUDE.md transcendental rule — round(x,6)
+    was the one recorded-rule violation left in the catalog, and fuzz
+    seed 808 produced a token probability whose half-up (Spark
+    BigDecimal) vs half-away (DuckDB binary) rounding disagreed by
+    1e-6); the int64 sum is exact and reduction-order-free, and the
+    per-doc mean floor-quantizes the identical double on both engines
+    → full hash gate.
 
     Scale: the vocabulary aggregate is Zipf-small and BROADCASTS back
     onto the exploded tokens (no fact shuffle for the join); the only
@@ -5805,16 +5814,20 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.explode("__toks").alias("token"))
     cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = float(toks.count())
-    term = F.round(-F.log(F.col("c").cast("double") / F.lit(total)), 6)
+    term_micro = F.floor(
+        -F.log(F.col("c").cast("double") / F.lit(total)) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
     return (
         toks.join(F.broadcast(cnt), "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum(term.cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+            (
+                F.floor(
+                    F.sum(term_micro) / F.count(F.lit(1)) + F.lit(0.5)
+                ).cast("double")
+                / F.lit(1e6)
             ).alias("avg_neg_logprob"),
         )
     )
