@@ -32,8 +32,14 @@ The point is parity, not plausibility: `tools/oracle_check.py
 failure is a real cross-engine semantics bug on inputs the fixed
 fixtures never produce.
 
-Usage: python tools/make_fuzz_fixtures.py SEED [out_dir]
+Usage: python tools/make_fuzz_fixtures.py SEED [out_dir] [--scale N]
 Default out dir: /tmp/sf_fuzz_<SEED>
+
+`--scale N` multiplies the fact-table row-count draws (orders,
+lineitem, events, documents, embeddings) — a scaled seed pushes every
+partition across engine vector/batch boundaries (DuckDB's 2048-row
+vectors, Spark's columnar batches), where chunk-edge bugs like the
+v1.0.0 NULL-partition window split live.
 """
 
 from __future__ import annotations
@@ -87,7 +93,7 @@ def _ts_us(rng: np.random.Generator, n: int, start: str, span_days: float) -> np
     return base + offs.astype("timedelta64[us]")
 
 
-def build_tables(seed: int) -> dict[str, pa.Table]:
+def build_tables(seed: int, scale: int = 1) -> dict[str, pa.Table]:
     rng = np.random.default_rng(seed)
     tables: dict[str, pa.Table] = {}
 
@@ -191,7 +197,7 @@ def build_tables(seed: int) -> dict[str, pa.Table]:
     )
 
     # ---- orders: Zipf-skewed custkey (+ dangling + NULL), 1995-2001 dates
-    n_ord = int(rng.integers(800, 1600))
+    n_ord = int(rng.integers(800, 1600)) * scale
     ok = np.arange(n_ord) + 1
     zipf_a = float(rng.uniform(1.1, 2.2))
     o_cust = (rng.zipf(zipf_a, n_ord) % (n_cust + 5)) + 1  # a few dangle past n_cust
@@ -278,7 +284,7 @@ def build_tables(seed: int) -> dict[str, pa.Table]:
     )
 
     # ---- events: Zipf users, clustered + colliding timestamps, fuzzed props
-    n_ev = int(rng.integers(600, 1400))
+    n_ev = int(rng.integers(600, 1400)) * scale
     ev_id = np.arange(n_ev) + 1
     n_users = int(rng.integers(20, 60))
     ev_user = (rng.zipf(zipf_a, n_ev) % n_users) + 1
@@ -340,7 +346,7 @@ def build_tables(seed: int) -> dict[str, pa.Table]:
     )
 
     # ---- documents: vocab sampling + seeded dup/near-dup/degenerate mix
-    n_doc = int(rng.integers(150, 400))
+    n_doc = int(rng.integers(150, 400)) * scale
     texts: list[str | None] = []
     for i in range(n_doc):
         r = rng.random()
@@ -398,7 +404,7 @@ def build_tables(seed: int) -> dict[str, pa.Table]:
     )
 
     # ---- embeddings: gaussian clusters + zero/dup/NULL/huge vectors
-    n_vec = int(rng.integers(150, 400))
+    n_vec = int(rng.integers(150, 400)) * scale
     n_clusters = int(rng.integers(3, 12))
     centroids = rng.normal(0.0, 1.0, (n_clusters, DIM))
     assign = rng.integers(0, n_clusters, n_vec)
@@ -434,13 +440,21 @@ def build_tables(seed: int) -> dict[str, pa.Table]:
 
 
 def main() -> int:
-    if len(sys.argv) < 2:
+    argv = list(sys.argv[1:])
+    scale = 1
+    if "--scale" in argv:
+        i = argv.index("--scale")
+        scale = int(argv[i + 1])
+        del argv[i : i + 2]
+    if not argv:
         print(__doc__)
         return 2
-    seed = int(sys.argv[1])
-    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sf_fuzz_{seed}"
+    seed = int(argv[0])
+    out = argv[1] if len(argv) > 1 else (
+        f"/tmp/sf_fuzz_{seed}" if scale == 1 else f"/tmp/sf_fuzz_{seed}_x{scale}"
+    )
     os.makedirs(out, exist_ok=True)
-    for name, table in build_tables(seed).items():
+    for name, table in build_tables(seed, scale=scale).items():
         pq.write_table(table, os.path.join(out, f"{name}.parquet"))
         print(f"{name}: {table.num_rows} rows -> {out}/{name}.parquet")
     return 0
