@@ -196,13 +196,33 @@ _DRIVER_UNCHECKED = frozenset({
 })
 
 
+#: Within _FRESH, the names whose SEMANTICS changed this round (the
+#: fuzz-sweep fixes), ordered by risk: after the ~47-entry
+#: _DRIVER_UNCHECKED block, the driver's 50-query budget has only a few
+#: slots left, and they should hash the riskiest changed queries — not
+#: whichever _FRESH member happens to sit first in insertion order.
+_FRESH_PRIORITY = (
+    "doc_unigram_logprob",      # quantization scheme changed (round->floor)
+    "user_value_ohlc",          # Spark-side NULL-ts exclusion added
+    "asof_last_purchase",       # operator semantics changed (NULL-ts rights)
+    "asof_next_error",
+    "user_value_ewma",
+    "user_scd2_intervals",
+    "user_event_transitions",
+    "lang_id_confusion",
+    "events_json_props",
+)
+
+
 def registry() -> list[QuerySpec]:
+    prio = {n: i for i, n in enumerate(_FRESH_PRIORITY)}
     return sorted(
         _REGISTRY,
         key=lambda s: (
             s.name not in _DRIVER_UNCHECKED,
             s.name in _SLOW,
             s.name not in _FRESH,
+            prio.get(s.name, len(prio)),
         ),
     )
 
