@@ -1699,13 +1699,17 @@ def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "events_json_props",
     """
+WITH x AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) END AS d
+  FROM events
+)
 SELECT event_type,
-       CAST(SUM(CASE WHEN json_valid(props)
-                     THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END)
+       CAST(SUM(CASE WHEN d = floor(d) THEN TRY_CAST(d AS INTEGER) END)
             AS BIGINT) AS sum_k,
        COUNT(*) AS n_events
-FROM events
-GROUP BY event_type
+FROM x GROUP BY event_type
 """,
 )
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1714,17 +1718,22 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     Malformed/empty/NULL props extract as NULL (get_json_object's
     behavior); DuckDB's json_extract_string THROWS on malformed text,
     so the oracle needs the explicit json_valid guard
-    (adversarial-sweep rule). The extracted string must go through
-    try_cast/TRY_CAST on BOTH engines: a k that is valid JSON but not
-    numeric ('{"k": "notint"}') makes ANSI cast THROW in Spark and
-    DuckDB alike (fuzz-sweep rule, seed 101); non-scalar k extracts as
-    the JSON text in Spark and NULL in DuckDB, and try_cast maps both
-    to NULL."""
+    (adversarial-sweep rule). k is interpreted by the EXACT-INTEGER
+    rule (fuzz-sweep rule, seed 101 + review): extract as text, try-
+    cast to DOUBLE, keep only values equal to their floor, and try-cast
+    the result to the target width. Direct TRY_CAST of the text to INT
+    is NOT portable — DuckDB rounds '3.5' to 4 where Spark yields NULL —
+    and ANSI CAST throws on 'notint' in both engines. Under this rule
+    (verified by execution on both engines): ints and int-valued
+    strings/floats ('3', '\"3\"', '3.0', '1e2') → the int; fractional,
+    boolean, non-numeric, object/array k → NULL; int-range overflow →
+    NULL (both try_casts)."""
     ev = load_table(spark, sf_dir, "events")
+    d = F.get_json_object("props", "$.k").try_cast("double")
     return (
         ev.select(
             "event_type",
-            F.get_json_object("props", "$.k").try_cast("int").alias("k"),
+            F.when(d == F.floor(d), d.try_cast("int")).alias("k"),
         )
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n_events"))
@@ -3400,10 +3409,15 @@ FROM walk GROUP BY part
 @_register(
     "events_variant_props",
     """
+WITH x AS (
+  SELECT event_id,
+         CASE WHEN json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) END AS d
+  FROM events
+)
 SELECT event_id,
-       CASE WHEN json_valid(props)
-            THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
-FROM events
+       CASE WHEN d = floor(d) THEN TRY_CAST(d AS BIGINT) END AS k
+FROM x
 """,
 )
 def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3416,15 +3430,25 @@ def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse_json) so malformed/empty props become a NULL variant instead
     of a runtime error — the ingestion-grade behavior, mirrored by the
     oracle's json_valid guard (adversarial-sweep rule). try_variant_get
-    (not variant_get), because a k holding a non-castable variant value
-    ('{"k": "notint"}', '{"k": {...}}') makes the typed extraction THROW
-    at runtime (fuzz-sweep rule, seed 101); the oracle mirrors with
-    TRY_CAST, and both engines apply string→bigint cast rules to scalar
-    strings so '"12"'→12 and '"3.5"'→NULL agree."""
+    (not variant_get), because a non-castable variant value makes the
+    typed extraction THROW at runtime (fuzz-sweep rule, seed 101) —
+    and extracted AS STRING, not directly as bigint, because typed
+    numeric variant access diverges from SQL text extraction three
+    ways (review finding, verified by execution): variant double
+    3.5→bigint truncates to 3 where DuckDB TRY_CAST('3.5') rounds to
+    4, variant boolean→numeric yields 1/0 where text 'true' casts to
+    NULL, and variant string '3.5'→bigint is NULL. The string route
+    mirrors json_extract_string exactly (objects/arrays/booleans → a
+    text that fails the double cast), and the EXACT-INTEGER rule
+    (try_cast to double, keep d = floor(d), try_cast to bigint — see
+    events_json_props) makes the final k engine-identical."""
     ev = load_table(spark, sf_dir, "events")
+    d = F.expr(
+        "try_variant_get(try_parse_json(props), '$.k', 'string')"
+    ).try_cast("double")
     return ev.select(
         "event_id",
-        F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')").alias("k"),
+        F.when(d == F.floor(d), d.try_cast("bigint")).alias("k"),
     )
 
 

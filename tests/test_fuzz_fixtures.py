@@ -32,7 +32,9 @@ def test_seeds_differ():
 
 def test_schemas_match_testdata():
     tables = build_tables(11)
-    for path in glob.glob(os.path.join(TESTDATA, "*.parquet")):
+    paths = glob.glob(os.path.join(TESTDATA, "*.parquet"))
+    assert paths, f"no testdata at {TESTDATA} — schema contract unchecked"
+    for path in paths:
         name = os.path.basename(path)[: -len(".parquet")]
         want = pq.read_schema(path)
         got = tables[name].schema

@@ -320,6 +320,19 @@ def build_tables(seed: int, scale: int = 1) -> dict[str, pa.Table]:
             props.append(json.dumps({"k": "notint"}))
         elif r < 0.23:
             props.append(json.dumps({"k": {"nested": 1}}))
+        # numeric-but-not-integer shapes (review finding: TRY_CAST of
+        # '3.5' to INT rounds in DuckDB but NULLs in Spark — the
+        # exact-integer rule must face these on every seed)
+        elif r < 0.26:
+            props.append(json.dumps({"k": float(rng.uniform(0, 100))}))   # fractional
+        elif r < 0.28:
+            props.append(json.dumps({"k": f"{rng.uniform(0, 100):.2f}"}))  # numeric string
+        elif r < 0.30:
+            props.append(json.dumps({"k": bool(rng.integers(0, 2))}))      # boolean
+        elif r < 0.31:
+            props.append(json.dumps({"k": [1, 2]}))                        # array
+        elif r < 0.32:
+            props.append(json.dumps({"k": int(9e18) + int(rng.integers(0, 100))}))  # near-overflow
         else:
             props.append(json.dumps({"k": int(rng.integers(0, 100))}))
     tables["events"] = pa.table(
@@ -444,6 +457,9 @@ def main() -> int:
     scale = 1
     if "--scale" in argv:
         i = argv.index("--scale")
+        if i + 1 >= len(argv) or not argv[i + 1].isdigit():
+            print(__doc__)
+            return 2
         scale = int(argv[i + 1])
         del argv[i : i + 2]
     if not argv:
