@@ -1,0 +1,233 @@
+"""Measured shuffle/spill audit over the headline batch queries.
+
+PLAN_AUDIT.md proves the *shape* of every physical plan (broadcasts
+where expected, no cartesian products, pushed filters). This tool
+measures what those plans actually *move*: per-query aggregate task
+metrics from Spark's status REST API — input bytes, shuffle read/write
+bytes, memory/disk spill, task count — so the 100 TB story rests on
+numbers, not inference. At scale the dominant cost of a distributed
+plan is bytes exchanged; a query whose shuffle volume is a small
+fraction of its input survives a 1000× scale-up, one that shuffles its
+whole input does not.
+
+Method: one shared session with the UI enabled; for each query,
+snapshot the completed-stage set, run the query to the noop sink
+(distributed materialization, no driver collect), then attribute every
+newly completed stage's metrics to that query. AQE stage reuse/skips
+are handled naturally (skipped stages report zero).
+
+Hard checks (exit non-zero on violation):
+- queries tagged ``map_only`` must report ZERO shuffle write bytes;
+- no query may spill to disk at the audited SF (local[32], 128 GiB —
+  a spill here means partition sizing is badly wrong);
+- ``warehouse_load_incremental`` must read strictly less input than
+  ``warehouse_load`` (partition pruning must reach the file scan).
+
+Usage: python tools/shuffle_audit.py [sf_dir] [query ...]
+Writes SHUFFLE_AUDIT.md at the repo root and prints a one-line summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from smart_fraud_detection_data_pipeline_spark import get_spark  # noqa: E402
+from smart_fraud_detection_data_pipeline_spark.queries import registry  # noqa: E402
+
+#: Audited queries → (shape tag, why this shape is the scale story).
+#: Tags: map_only = no exchange at all; broadcast_join = dims broadcast,
+#: fact side never shuffles; partial_agg = map-side combine then one
+#: keyed exchange of partial aggregates; topk = per-partition limit then
+#: single tiny final; keyed_shuffle = one full exchange on the dedup/
+#: window key (irreducible for exact semantics); bounded_candidates =
+#: inverted-index/bucket blocking, exchange carries candidates not
+#: all-pairs; composite = multi-stage pipeline of the above.
+HEADLINE: dict[str, tuple[str, str]] = {
+    "scan_filter_project": ("map_only", "filter+project pushed to scan"),
+    "doc_profile": ("map_only", "per-doc JVM column expressions"),
+    "events_pii_redact": ("map_only", "JVM regex over rows"),
+    "doc_winnow": ("map_only", "per-doc fingerprinting"),
+    "fraud_enrich": ("broadcast_join", "dims broadcast; fact never shuffles"),
+    "embed_cosine_topk": ("broadcast_join", "query side broadcast (exact tier)"),
+    "pricing_summary": ("partial_agg", "6-col rollup, partial agg first"),
+    "user_spend_trends": ("partial_agg", "windowed agg, map-side combine"),
+    "doc_dedup_exact": ("partial_agg", "md5 groupBy"),
+    "top_customers": ("topk", "TakeOrderedAndProject"),
+    "dedup_keep_last": ("keyed_shuffle", "row_number over key"),
+    "nation_year_profit": ("composite", "TPC-H Q9 multi-join"),
+    "salted_user_join": ("composite", "salted skew join"),
+    "doc_minhash_lsh": ("bounded_candidates", "banded LSH buckets"),
+    "doc_ngram_jaccard_capped": ("bounded_candidates", "inverted index, max_df cut"),
+    "doc_simhash_pairs": ("bounded_candidates", "pigeonhole hamming blocks"),
+    "doc_tfidf_cosine_pairs": ("bounded_candidates", "posting-list prefix cut"),
+    "doc_winnow_pairs": ("bounded_candidates", "fingerprint inverted index"),
+    "embed_srp_ann": ("bounded_candidates", "SRP hamming buckets"),
+    "corpus_training_export": ("composite", "clean→split→pack pipeline"),
+    "warehouse_load": ("composite", "full-prefix rescan (reference contract)"),
+    "warehouse_load_incremental": ("composite", "partition-pruned incremental"),
+}
+
+
+def _fmt(n: float) -> str:
+    for unit in ("B", "KB", "MB", "GB"):
+        if abs(n) < 1024:
+            return f"{n:.1f} {unit}" if unit != "B" else f"{int(n)} B"
+        n /= 1024
+    return f"{n:.1f} TB"
+
+
+class StageMeter:
+    """Diff-based stage metric attribution via the status REST API."""
+
+    FIELDS = (
+        "numTasks",
+        "inputBytes",
+        "inputRecords",
+        "shuffleReadBytes",
+        "shuffleWriteBytes",
+        "shuffleWriteRecords",
+        "memoryBytesSpilled",
+        "diskBytesSpilled",
+    )
+
+    def __init__(self, spark):
+        self._base = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{spark.sparkContext.applicationId}"
+        self._seen: set[tuple[int, int]] = set()
+
+    def _stages(self) -> list[dict]:
+        with urllib.request.urlopen(f"{self._base}/stages", timeout=30) as r:
+            return json.load(r)
+
+    def snapshot(self) -> None:
+        self._seen = {(s["stageId"], s["attemptId"]) for s in self._stages()}
+
+    def delta(self) -> dict[str, int]:
+        out = dict.fromkeys(self.FIELDS, 0)
+        out["stages"] = 0
+        for s in self._stages():
+            key = (s["stageId"], s["attemptId"])
+            if key in self._seen or s.get("status") not in ("COMPLETE", "FAILED"):
+                continue
+            out["stages"] += 1
+            for f in self.FIELDS:
+                out[f] += int(s.get(f) or 0)
+        return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    wanted = set(sys.argv[2:]) or set(HEADLINE)
+    spark = get_spark("shuffle_audit", extra_conf={"spark.ui.enabled": "true"})
+    meter = StageMeter(spark)
+
+    specs = [s for s in registry() if s.name in wanted]
+    rows: list[dict] = []
+    for spec in specs:
+        if spec.prepare is not None:
+            spec.prepare(spark, sf_dir)
+        meter.snapshot()
+        spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        m = meter.delta()
+        tag, why = HEADLINE.get(spec.name, ("", ""))
+        rows.append({"name": spec.name, "tag": tag, "why": why, **m})
+        print(
+            f"[audit] {spec.name}: in={_fmt(m['inputBytes'])} "
+            f"shuffle_w={_fmt(m['shuffleWriteBytes'])} "
+            f"spill={_fmt(m['memoryBytesSpilled'] + m['diskBytesSpilled'])}",
+            file=sys.stderr,
+        )
+
+    violations: list[str] = []
+    by_name = {r["name"]: r for r in rows}
+    for r in rows:
+        if r["tag"] == "map_only" and r["shuffleWriteBytes"] > 0:
+            violations.append(
+                f"{r['name']}: tagged map_only but wrote "
+                f"{_fmt(r['shuffleWriteBytes'])} of shuffle"
+            )
+        if r["diskBytesSpilled"] > 0:
+            violations.append(
+                f"{r['name']}: spilled {_fmt(r['diskBytesSpilled'])} to disk"
+            )
+    full, inc = by_name.get("warehouse_load"), by_name.get("warehouse_load_incremental")
+    if full and inc and not inc["inputBytes"] < full["inputBytes"]:
+        violations.append(
+            "warehouse_load_incremental read "
+            f"{_fmt(inc['inputBytes'])} ≥ full rescan {_fmt(full['inputBytes'])} "
+            "— partition pruning not reaching the scan"
+        )
+
+    lines = [
+        "# Shuffle audit — measured bytes moved per headline query",
+        "",
+        f"SF dir: `{sf_dir}`. Aggregate task metrics per query (status REST",
+        "API, stage-diff attribution; AQE on). `shufRec/inRec` is shuffle",
+        "records written as a fraction of input records read — the",
+        "encoding-independent number that predicts 100 TB cost (exchanges,",
+        "not scans, are the scale bottleneck; byte ratios mislead here",
+        "because parquet input is snappy-compressed columnar while shuffle",
+        "blocks are row-oriented, so a full-row exchange can show more",
+        "bytes than a tiny compressed scan). A record ratio ≤1 means the",
+        "exchange carries no more rows than were read; well under 1 means",
+        "map-side reduction is doing its job. Ratios >1 appear only on",
+        "`bounded_candidates`/`composite` text-dedup queries, where the",
+        "exchange unit is index POSTINGS (shingles/fingerprints/terms),",
+        "not documents — fan-out per doc is bounded by construction",
+        "(shingle count × max_df cut), so the ratio is a constant factor,",
+        "not a growth rate. Regenerate with",
+        "`python tools/shuffle_audit.py`.",
+        "",
+        "| query | shape | input | in rows | shuffle W | shuffle W rows | shufRec/inRec | spill | tasks |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        ratio = (
+            f"{r['shuffleWriteRecords'] / r['inputRecords']:.3f}"
+            if r["inputRecords"]
+            else "—"
+        )
+        spill = r["memoryBytesSpilled"] + r["diskBytesSpilled"]
+        lines.append(
+            f"| {r['name']} | {r['tag']} | {_fmt(r['inputBytes'])} "
+            f"| {r['inputRecords']} "
+            f"| {_fmt(r['shuffleWriteBytes'])} | {r['shuffleWriteRecords']} "
+            f"| {ratio} | {_fmt(spill)} | {r['numTasks']} |"
+        )
+    lines += ["", "## Shape notes", ""]
+    for r in rows:
+        if r["why"]:
+            lines.append(f"- **{r['name']}** ({r['tag']}): {r['why']}")
+    lines += ["", "## Hard checks", ""]
+    if violations:
+        lines += [f"- ❌ {v}" for v in violations]
+    else:
+        lines += [
+            "- ✅ every `map_only` query wrote 0 shuffle bytes",
+            "- ✅ zero disk spill across all audited queries",
+            "- ✅ incremental warehouse load reads strictly less input than the full rescan (partition pruning reaches the scan)",
+        ]
+    with open(os.path.join(_REPO, "SHUFFLE_AUDIT.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    print(
+        json.dumps(
+            {
+                "queries": len(rows),
+                "violations": violations,
+                "total_input": sum(r["inputBytes"] for r in rows),
+                "total_shuffle_write": sum(r["shuffleWriteBytes"] for r in rows),
+            }
+        )
+    )
+    spark.stop()
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
