@@ -202,6 +202,7 @@ _DRIVER_UNCHECKED = frozenset({
 #: slots left, and they should hash the riskiest changed queries — not
 #: whichever _FRESH member happens to sit first in insertion order.
 _FRESH_PRIORITY = (
+    "events_props_map",         # oracle conformance rewritten to mirror from_json
     "doc_unigram_logprob",      # quantization scheme changed (round->floor)
     "user_value_ohlc",          # Spark-side NULL-ts exclusion added
     "asof_last_purchase",       # operator semantics changed (NULL-ts rights)
@@ -2795,7 +2796,10 @@ WITH conforming AS (
   WHERE json_valid(props)
     AND list_aggregate(
           list_transform(json_keys(props),
-            k -> try_cast(json_extract_string(props, '$.' || k) AS INTEGER) IS NOT NULL),
+            k -> json_type(props, '$.' || k) IN ('BIGINT', 'UBIGINT', 'NULL')
+                 AND (json_type(props, '$.' || k) = 'NULL'
+                      OR try_cast(json_extract_string(props, '$.' || k) AS BIGINT)
+                         BETWEEN -2147483648 AND 2147483647)),
           'bool_and')
 )
 SELECT k AS prop_key,
@@ -2812,8 +2816,17 @@ def q_events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference's data model has no map/array types at all).
     Schema-on-read semantics pinned by the adversarial sweep: from_json
     nulls the ENTIRE map when any value fails the declared int type (or
-    the text is malformed), and explode drops NULL maps — so the oracle
-    keeps only documents whose every value casts to INTEGER."""
+    the text is malformed), and explode drops NULL maps. What "fails the
+    int type" means is Spark's Jackson parse, pinned live (fuzz seeds
+    2929/3131/4242): only an INTEGRAL JSON lexeme in int32 range parses
+    (53 ✓, 2147483647 ✓); 3.5, 3.0, "3", true and 2147483648 all null
+    the map; a JSON null value KEEPS its entry with a NULL int. The
+    oracle mirrors that with json_type IN (BIGINT, UBIGINT, NULL) plus
+    an int32 range check — NOT the exact-integer rule used by the
+    json_props/variant_props extractors (their declared semantics is
+    value-level numeric extraction; this query's is from_json
+    conformance), and never a bare try_cast-to-INT, which DuckDB
+    half-up ROUNDS ('3.5' → 4) where Jackson rejects."""
     ev = load_table(spark, sf_dir, "events")
     entries = ev.select(
         F.explode(F.from_json("props", "map<string,int>")).alias("prop_key", "v")
