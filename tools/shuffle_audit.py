@@ -69,6 +69,13 @@ HEADLINE: dict[str, tuple[str, str]] = {
     "doc_winnow_pairs": ("bounded_candidates", "fingerprint inverted index"),
     "embed_srp_ann": ("bounded_candidates", "SRP hamming buckets"),
     "corpus_training_export": ("composite", "clean→split→pack pipeline"),
+    "doc_decontaminate": ("broadcast_join", "exchange is eval-side grams only (fixed-size); train side map-only semi-join"),
+    "asof_last_purchase": ("keyed_shuffle", "union+window as-of, one exchange on key"),
+    "user_scd2_intervals": ("keyed_shuffle", "one sort exchange, then map-shaped intervals"),
+    "user_txn_velocity": ("keyed_shuffle", "RANGE frame on one user_id exchange"),
+    "session_windows": ("keyed_shuffle", "gap sessionization per user"),
+    "orders_cube": ("partial_agg", "cube grouping after partial agg"),
+    "salted_category_totals": ("partial_agg", "salted two-stage agg"),
     "warehouse_load": ("composite", "full-prefix rescan (reference contract)"),
     "warehouse_load_incremental": ("composite", "partition-pruned incremental"),
 }
