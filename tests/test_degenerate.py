@@ -154,3 +154,35 @@ def test_multimodal_null_payload_excluded(spark):
     frames = MM.sample_frames(mm, frame_size=2, every=1).collect()
     assert {r.doc_id for r in frames} == {1}
     assert frames[0].frame_digest == hashlib.md5(b"ab".hex().encode()).hexdigest()
+
+
+def test_from_json_int_map_conformance(spark):
+    """Pin Jackson's map<string,int> conformance (fuzz seeds 2929/3131/
+    4242x8): only an integral JSON lexeme within int32 range parses;
+    a float lexeme (even 3.0), a quoted digit, a boolean, or an
+    out-of-range integer nulls the WHOLE map; a JSON null KEEPS its
+    entry with a NULL value. The events_props_map oracle mirrors this
+    with json_type IN (BIGINT, UBIGINT, NULL) + a range check — if a
+    Spark upgrade loosens the parse, this fails and the oracle must
+    follow."""
+    cases = [
+        ('{"k": 53}', {"k": 53}),
+        ('{"k": -5}', {"k": -5}),
+        ('{"k": 2147483647}', {"k": 2147483647}),
+        ('{"k": null}', {"k": None}),       # null value keeps its entry
+        ('{"k": 3.5}', None),
+        ('{"k": 3.0}', None),               # exactly integral, still a float lexeme
+        ('{"k": "3"}', None),               # no string->int coercion
+        ('{"k": true}', None),
+        ('{"k": 2147483648}', None),        # int32 overflow
+        ('{"a": 1, "b": "x"}', None),       # one bad value nulls ALL entries
+        ('not json', None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "props string")
+    got = [
+        r.m
+        for r in df.select(
+            F.from_json("props", "map<string,int>").alias("m")
+        ).collect()
+    ]
+    assert got == [c[1] for c in cases]
