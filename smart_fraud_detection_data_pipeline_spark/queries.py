@@ -1447,7 +1447,7 @@ def q_fraud_enrich_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
         query_name="fraud_enrich_streaming",
     )
-    q.awaitTermination(300)
+    SK.await_or_raise(q)
     return SK.read_or_empty(spark, os.path.join(tmp, "out"), result)
 
 
@@ -1519,7 +1519,7 @@ def q_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             available_now=True,
             query_name="dedup_streaming",
         )
-        q.awaitTermination(300)
+        SK.await_or_raise(q)
     return SK.read_or_empty(spark, os.path.join(tmp, "out"), deduped)
 
 
@@ -2087,7 +2087,7 @@ def q_user_spend_trends_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
             available_now=True,
             query_name="user_spend_trends_streaming",
         )
-        q.awaitTermination(300)
+        SK.await_or_raise(q)
     raw_out = SK.read_or_empty(spark, os.path.join(tmp, "out"), out, with_batch_id=True)
     return dedup_keep_last(
         raw_out, ["user_id", "window_start"], ["batch_id"]
@@ -2263,7 +2263,7 @@ def q_user_running_totals_streaming(spark: SparkSession, sf_dir: str) -> DataFra
             available_now=True,
             query_name="user_running_totals_streaming",
         )
-        q.awaitTermination(300)
+        SK.await_or_raise(q)
     emissions = SK.read_or_empty(
         spark, os.path.join(tmp, "out"), user_running_totals(tx), with_batch_id=True
     )
@@ -2570,7 +2570,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             available_now=True,
             query_name="stream_stream_join",
         )
-        q.awaitTermination(300)
+        SK.await_or_raise(q)
     return SK.read_or_empty(spark, os.path.join(tmp, "out"), pairs)
 
 
@@ -2695,7 +2695,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             available_now=True,
             query_name="stream_stream_left_join",
         )
-        q.awaitTermination(300)
+        SK.await_or_raise(q)
     # strip the left sentinels' own (unmatched) emissions — a batch-side
     # filter, immune to the streaming pushdown that motivated them
     return SK.read_or_empty(spark, os.path.join(tmp, "out"), pairs).where(
@@ -2752,7 +2752,7 @@ def q_session_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             available_now=True,
             query_name="session_windows_streaming",
         )
-        q.awaitTermination(300)
+        SK.await_or_raise(q)
     emissions = SK.read_or_empty(
         spark, os.path.join(tmp, "out"), out, with_batch_id=True
     )
@@ -5240,7 +5240,7 @@ def q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             available_now=True,
             query_name="stream_windowed_rollup",
         )
-        q.awaitTermination(300)
+        SK.await_or_raise(q)
     return SK.read_or_empty(spark, os.path.join(tmp, "out"), out)
 
 

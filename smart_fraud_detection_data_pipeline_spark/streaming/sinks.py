@@ -124,6 +124,33 @@ def start_foreach_batch(
     return writer.start()
 
 
+def await_or_raise(q: StreamingQuery, timeout_sec: float | None = None) -> None:
+    """Wait for an available-now query to drain; FAIL LOUDLY on timeout.
+
+    A bare ``q.awaitTermination(300)`` silently returns False when the
+    query is still running, and the caller then reads PARTIAL output as
+    if it were the full result — observed on a 512x-scaled fuzz fixture
+    where both stream-stream interval joins hit the cap (their inherent
+    output there is 1.03e9 pairs) and truncated without any signal. A
+    bounded wait is still wanted (hang protection on the shared bench
+    session), so: stop the query and raise instead of returning, and
+    let the timeout be sized to the deployment via
+    SPARK_GRAFT_STREAM_TIMEOUT (seconds, default 300).
+    """
+    import os
+
+    if timeout_sec is None:
+        timeout_sec = float(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "300"))
+    if not q.awaitTermination(timeout_sec):
+        name = q.name or q.id
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} still running after {timeout_sec:g}s; "
+            "refusing to read partial output (raise SPARK_GRAFT_STREAM_TIMEOUT "
+            "if the input legitimately needs longer)"
+        )
+
+
 def csv_ingest_sink(
     df: DataFrame,
     path: str,
