@@ -45,6 +45,28 @@ DEFAULT_CONF: dict[str, str] = {
 }
 
 
+def _default_driver_memory() -> str | None:
+    """Size the local-mode JVM heap to the host instead of Spark's 1g
+    default. local[n] runs driver AND all n executor threads in one JVM:
+    at 1g, 32 concurrent tasks share <400 MB of execution memory, which
+    OOMed a 64x-scaled fuzz fixture (3.2 M lineitem) in a hash-aggregate
+    stage while the host had 128 GiB idle. RAM/8 clamped to [2g, 16g] is
+    conservative for a shared box and override-able via
+    SPARK_GRAFT_DRIVER_MEM; on a real cluster the submit config wins
+    (this only applies when WE launch the JVM — getOrCreate against an
+    existing session ignores it)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(next(ln for ln in f if ln.startswith("MemTotal")).split()[1])
+    except (OSError, StopIteration, ValueError, IndexError):
+        return None
+    gb = max(2, min(16, kb // (8 * 1024 * 1024)))
+    return f"{gb}g"
+
+
 def get_spark(
     app_name: str = "smart_fraud_detection_data_pipeline_spark",
     master: str | None = None,
@@ -76,6 +98,10 @@ def get_spark(
         # mostly irrelevant as long as it is high enough.
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if master.startswith("local"):
+        mem = _default_driver_memory()
+        if mem is not None:
+            conf.setdefault("spark.driver.memory", mem)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
