@@ -202,11 +202,11 @@ _DRIVER_UNCHECKED = frozenset({
 #: slots left, and they should hash the riskiest changed queries — not
 #: whichever _FRESH member happens to sit first in insertion order.
 _FRESH_PRIORITY = (
+    "asof_last_purchase",       # operator REWRITTEN (union-merge as-of)
+    "asof_next_error",
     "events_props_map",         # oracle conformance rewritten to mirror from_json
     "doc_unigram_logprob",      # quantization scheme changed (round->floor)
     "user_value_ohlc",          # Spark-side NULL-ts exclusion added
-    "asof_last_purchase",       # operator semantics changed (NULL-ts rights)
-    "asof_next_error",
     "user_value_ewma",
     "user_scd2_intervals",
     "user_event_transitions",
