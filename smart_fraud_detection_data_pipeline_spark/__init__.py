@@ -16,7 +16,7 @@ aggregation for trends, AQE for skew/coalescing at scale.
 
 __version__ = "0.1.0"
 
-from smart_fraud_detection_data_pipeline_spark.session import get_spark  # noqa: F401
+from smart_fraud_detection_data_pipeline_spark.session import get_spark, s3a_conf  # noqa: F401
 
 TABLES = (
     "region",

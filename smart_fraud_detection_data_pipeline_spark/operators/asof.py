@@ -30,9 +30,14 @@ Both are compositions of existing DataFrame ops — no UDFs.
 Scale notes: the merge as-of shuffles each side once on the equi-keys
 and sorts the merged run — the same machinery as a sort-merge join, so
 AQE skew handling and spillable sorts apply. A hot key is still a
-single sorted run (Amdahl), but n log n instead of n²; when a single
-key's timeline outgrows one task, range-bucket time (secondary split on
-time_bucket with boundary duplication) before the merge.
+single sorted run (Amdahl), but n log n instead of n². When a single
+key's timeline outgrows one task, pass ``bucket_seconds`` to
+range-bucket time: the merge window then partitions on
+(key, time_bucket) — splitting a hot key's timeline across tasks — and
+a per-bucket carry pass (one row per non-empty bucket, computed at
+bucket granularity so it never re-concentrates the hot key) hands each
+bucket the winning right row from all earlier buckets, which
+``coalesce`` applies to rows whose bucket has no earlier right.
 """
 
 from __future__ import annotations
@@ -41,6 +46,11 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: Internal column names used by the union-merge; asserted absent from
+#: both inputs (ADVICE r5 #2 — silent collision would corrupt results).
+_RESERVED = ("__t", "__side", "__r", "__m", "__b", "__co", "__carry")
 
 
 def asof_join(
@@ -54,6 +64,7 @@ def asof_join(
     direction: str = "backward",
     tie_break: str | None = None,
     tie_break_direction: str = "desc",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right row at-or-before each left row
     (``direction="backward"``; "forward" = earliest at-or-after).
@@ -74,11 +85,23 @@ def asof_join(
       nothing (SQL inequality / equi-join semantics) and survives with
       null right columns; a right row with a NULL equi-key matches
       nothing and is dropped.
+
+    ``bucket_seconds`` (opt-in) splits each key's timeline into
+    fixed-width time buckets so a hot key no longer concentrates in one
+    task: the merge window partitions on (key, bucket) and a
+    bucket-granular carry pass (one row per non-empty bucket) supplies
+    the latest right row from earlier buckets. Bit-identical to the
+    unbucketed plan (pinned by tests + a hot-key fuzz fixture); costs
+    one extra small exchange, so leave it off unless a key's timeline
+    outgrows a task (~10⁷ rows).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
     if tie_break_direction not in ("desc", "asc"):
         raise ValueError(f"unknown tie_break_direction: {tie_break_direction}")
+    for name in _RESERVED:
+        if name in left.columns or name in right.columns:
+            raise ValueError(f"column name {name!r} is reserved by asof_join")
     on = list(on)
     right_cols = [c for c in right.columns if c not in on]
     left_rest = [c for c in left.columns if c not in on]
@@ -95,8 +118,11 @@ def asof_join(
     # exact-tie right (right_ts == left_ts) is visible to the left row
     # under both directions' inclusive bounds.
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("__r")
+    # Null struct type from the schema object, not a hand-joined DDL
+    # string (ADVICE r5 #2: a right column named with DDL
+    # metacharacters — space/comma/colon — misparses the string form).
     null_payload = F.lit(None).cast(
-        "struct<" + ",".join(f"{c}:{t}" for c, t in right.dtypes if c not in on) + ">"
+        StructType([f for f in right.schema.fields if f.name not in on])
     ).alias("__r")
     lefts = left.select(
         *on,
@@ -124,20 +150,79 @@ def asof_join(
     # winning direction ("desc" winner = max tie_break -> sort asc).
     if direction == "backward":
         order = [F.col("__t").asc_nulls_first(), F.col("__side").asc()]
+        rev = [F.col("__t").desc_nulls_last(), F.col("__side").desc()]
     else:
         order = [F.col("__t").desc_nulls_first(), F.col("__side").asc()]
+        rev = [F.col("__t").asc_nulls_last(), F.col("__side").desc()]
     if tie_break:
-        order.append(
-            F.col("__r")[tie_break].asc_nulls_first()
-            if tie_break_direction == "desc"
-            else F.col("__r")[tie_break].desc_nulls_first()
+        if tie_break_direction == "desc":
+            order.append(F.col("__r")[tie_break].asc_nulls_first())
+            rev.append(F.col("__r")[tie_break].desc_nulls_last())
+        else:
+            order.append(F.col("__r")[tie_break].desc_nulls_first())
+            rev.append(F.col("__r")[tie_break].asc_nulls_last())
+
+    if bucket_seconds is None:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = merged.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        carried = merged.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    else:
+        # Hot-key split (VERDICT r5 #3): partition the merge window on
+        # (key, time bucket) so one key's timeline spreads across tasks.
+        # A left row whose bucket holds no earlier right must inherit the
+        # winning right from PRECEDING buckets — computed at bucket
+        # granularity (one row per non-empty bucket) so the carry pass
+        # never re-concentrates the hot key, then joined back and
+        # coalesced under the in-bucket carry. NULL-ts lefts land in
+        # bucket NULL; their carry join misses and __m stays NULL —
+        # exactly the unbucketed semantics (nothing precedes them).
+        merged = merged.withColumn(
+            "__b",
+            F.floor(
+                F.col("__t").cast("timestamp").cast("double") / F.lit(float(bucket_seconds))
+            ),
+        )
+        w_local = (
+            Window.partitionBy(*on, "__b")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = merged.withColumn("__m", F.last("__r", ignorenulls=True).over(w_local))
+        # Carry-out per (key, bucket): the right row sorting LAST under
+        # `order` = FIRST under the exact reversal `rev`.
+        w_co = Window.partitionBy(*on, "__b").orderBy(*rev)
+        carry_out = (
+            merged.where(F.col("__side") == 0)
+            .withColumn("__rn", F.row_number().over(w_co))
+            .where(F.col("__rn") == 1)
+            .select(*on, "__b", F.col("__r").alias("__co"))
+        )
+        # Carry-in per bucket: latest carry-out among strictly earlier
+        # buckets, traversed in time order (asc for backward, desc for
+        # forward — same direction the row sort walks time).
+        b_order = (
+            F.col("__b").asc_nulls_first()
+            if direction == "backward"
+            else F.col("__b").desc_nulls_first()
+        )
+        w_carry = (
+            Window.partitionBy(*on)
+            .orderBy(b_order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carries = (
+            merged.select(*on, "__b")
+            .distinct()
+            .join(carry_out, on=on + ["__b"], how="left")
+            .withColumn("__carry", F.last("__co", ignorenulls=True).over(w_carry))
+            .select(*on, "__b", "__carry")
+        )
+        carried = local.join(carries, on=on + ["__b"], how="left").withColumn(
+            "__m", F.coalesce(F.col("__m"), F.col("__carry"))
+        )
 
     # Column order parity with the previous join-based implementation
     # (on keys, then remaining left columns, then right columns) and

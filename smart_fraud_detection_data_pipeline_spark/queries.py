@@ -2798,8 +2798,10 @@ WITH conforming AS (
           list_transform(json_keys(props),
             k -> json_type(props, '$.' || k) IN ('BIGINT', 'UBIGINT', 'NULL')
                  AND (json_type(props, '$.' || k) = 'NULL'
-                      OR try_cast(json_extract_string(props, '$.' || k) AS BIGINT)
-                         BETWEEN -2147483648 AND 2147483647)),
+                      OR coalesce(
+                           try_cast(json_extract_string(props, '$.' || k) AS BIGINT)
+                             BETWEEN -2147483648 AND 2147483647,
+                           FALSE))),
           'bool_and')
 )
 SELECT k AS prop_key,

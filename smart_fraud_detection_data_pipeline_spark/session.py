@@ -67,6 +67,58 @@ def _default_driver_memory() -> str | None:
     return f"{gb}g"
 
 
+def s3a_conf(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    *,
+    path_style: bool = True,
+    ssl: bool | None = None,
+) -> dict[str, str]:
+    """Spark conf for an S3-compatible object store (MinIO/S3), mirroring
+    the reference's hand-wired Hadoop config (`src/spark/jobs/spark.py:47-57`:
+    endpoint, access/secret key, path-style access, SSL toggle, S3A impl,
+    simple-credentials provider) as a flag-gated helper — pass the result
+    as ``get_spark(extra_conf=s3a_conf(...))``.
+
+    Differences from the reference, deliberate:
+    - conf goes through ``spark.hadoop.*`` session config (declarative,
+      survives ``getOrCreate``, no private ``_jsc`` access) instead of
+      mutating the live ``hadoopConfiguration()``;
+    - credentials default from the standard ``AWS_*`` env vars, never
+      hard-coded (the reference inlines MinIO creds at module scope);
+    - endpoint comes from ``S3_ENDPOINT_URL``/``AWS_ENDPOINT_URL`` when
+      not given; SSL defaults from the endpoint scheme.
+
+    Pure config construction — no network, no JARs loaded here. On a real
+    cluster the ``hadoop-aws`` package must be on the classpath
+    (spark.jars.packages or a bundled distribution); this helper only
+    emits conf keys, so it is safe to unit-test offline.
+    """
+    endpoint = endpoint or os.environ.get("S3_ENDPOINT_URL") or os.environ.get(
+        "AWS_ENDPOINT_URL"
+    )
+    access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID")
+    secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY")
+    conf = {
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+    }
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        if ssl is None:
+            ssl = endpoint.startswith("https://")
+    if ssl is not None:
+        conf["spark.hadoop.fs.s3a.connection.ssl.enabled"] = str(ssl).lower()
+    if access_key and secret_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+        )
+    return conf
+
+
 def get_spark(
     app_name: str = "smart_fraud_detection_data_pipeline_spark",
     master: str | None = None,

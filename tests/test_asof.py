@@ -120,6 +120,72 @@ def test_asof_null_ts_rows(spark):
     assert out == {1: "a0", 2: None, 3: None}
 
 
+def test_asof_bucketed_equals_unbucketed(spark):
+    """The opt-in hot-key time-bucket split (VERDICT r5 #3) must be
+    bit-identical to the single-window merge on every pinned scenario —
+    including buckets holding no right rows (carry from earlier
+    buckets), NULL-ts rows, and tie-break resolution across a bucket
+    boundary."""
+    left, right = _frames(spark)
+    kw = dict(on=["k"], left_key="id", left_ts="ts", right_ts="r_ts")
+    for direction in ("backward", "forward"):
+        base = sorted(
+            asof_join(left, right, direction=direction, **kw).collect(),
+            key=lambda r: r.id,
+        )
+        for secs in (60, 600, 7 * 86400):  # 1 min (many empty buckets) .. 1 wk (all in one)
+            got = sorted(
+                asof_join(
+                    left, right, direction=direction, bucket_seconds=secs, **kw
+                ).collect(),
+                key=lambda r: r.id,
+            )
+            assert got == base, (direction, secs)
+
+
+def test_asof_bucketed_randomized_equivalence(spark):
+    """Seeded random timelines (3 keys × 200 events, duplicate
+    timestamps, NULL ts on both sides): bucketed output must equal the
+    unbucketed merge row-for-row under both directions with a
+    tie_break."""
+    import random
+
+    rng = random.Random(606)
+    lefts, rights = [], []
+    for i in range(200):
+        k = rng.choice(["a", "b", "c"])
+        ts = None if rng.random() < 0.05 else _m(rng.randrange(0, 3000))
+        lefts.append(Row(id=i, k=k, ts=ts))
+    for j in range(150):
+        k = rng.choice(["a", "b", "c", "d"])
+        ts = None if rng.random() < 0.05 else _m(rng.randrange(0, 3000))
+        rights.append(Row(k=k, r_id=j, r_ts=ts, payload=f"p{j}"))
+    left = spark.createDataFrame(lefts)
+    right = spark.createDataFrame(rights)
+    kw = dict(on=["k"], left_key="id", left_ts="ts", right_ts="r_ts",
+              tie_break="r_id")
+    for direction in ("backward", "forward"):
+        base = sorted(
+            asof_join(left, right, direction=direction, **kw).collect(),
+            key=lambda r: r.id,
+        )
+        got = sorted(
+            asof_join(
+                left, right, direction=direction, bucket_seconds=3600, **kw
+            ).collect(),
+            key=lambda r: r.id,
+        )
+        assert got == base, direction
+
+
+def test_asof_rejects_reserved_columns(spark):
+    left, right = _frames(spark)
+    bad = left.withColumnRenamed("id", "__side")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(bad, right, on=["k"], left_key="__side", left_ts="ts",
+                  right_ts="r_ts")
+
+
 def test_asof_rejects_bad_direction(spark):
     left, right = _frames(spark)
     with pytest.raises(ValueError, match="unknown direction"):

@@ -175,6 +175,10 @@ def test_from_json_int_map_conformance(spark):
         ('{"k": "3"}', None),               # no string->int coercion
         ('{"k": true}', None),
         ('{"k": 2147483648}', None),        # int32 overflow
+        ('{"k": 18446744073709551615}', None),  # uint64 range: > int64 max too
+        ('{"a": 1, "b": 18446744073709551615}', None),  # ADVICE r5: one uint64
+        # value must null the whole multi-key map (oracle's bool_and must
+        # see FALSE, not a skipped NULL, for the out-of-BIGINT cast)
         ('{"a": 1, "b": "x"}', None),       # one bad value nulls ALL entries
         ('not json', None),
     ]

@@ -333,6 +333,12 @@ def build_tables(seed: int, scale: int = 1) -> dict[str, pa.Table]:
             props.append(json.dumps({"k": [1, 2]}))                        # array
         elif r < 0.32:
             props.append(json.dumps({"k": int(9e18) + int(rng.integers(0, 100))}))  # near-overflow
+        elif r < 0.335:
+            # > int64 max (DuckDB json_type 'UBIGINT'): try_cast to
+            # BIGINT is NULL, so the oracle's range conjunct must
+            # coalesce to FALSE or bool_and skips it (ADVICE r5 #1)
+            props.append(json.dumps({"a": int(rng.integers(0, 9)),
+                                     "b": (1 << 64) - 1 - int(rng.integers(0, 50))}))
         else:
             props.append(json.dumps({"k": int(rng.integers(0, 100))}))
     tables["events"] = pa.table(

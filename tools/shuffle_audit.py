@@ -104,8 +104,19 @@ class StageMeter:
     )
 
     def __init__(self, spark):
-        self._base = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{spark.sparkContext.applicationId}"
+        ui = spark.sparkContext.uiWebUrl
+        if ui is None:
+            # getOrCreate attached to a pre-existing session whose UI is
+            # disabled (DEFAULT_CONF turns it off); extra_conf cannot
+            # re-enable it after the fact (ADVICE r5 #3).
+            raise RuntimeError(
+                "shuffle_audit needs a fresh SparkSession with "
+                "spark.ui.enabled=true — stop the existing session (or run "
+                "this tool in its own process) and retry"
+            )
+        self._base = f"{ui}/api/v1/applications/{spark.sparkContext.applicationId}"
         self._seen: set[tuple[int, int]] = set()
+        self.failed_stages: list[str] = []
 
     def _stages(self) -> list[dict]:
         with urllib.request.urlopen(f"{self._base}/stages", timeout=30) as r:
@@ -120,6 +131,14 @@ class StageMeter:
         for s in self._stages():
             key = (s["stageId"], s["attemptId"])
             if key in self._seen or s.get("status") not in ("COMPLETE", "FAILED"):
+                continue
+            if s.get("status") == "FAILED":
+                # Surface rather than fold into the query's numbers
+                # (ADVICE r5 #3: a retried stage would double-count and
+                # a genuinely failed one should fail the audit).
+                self.failed_stages.append(
+                    f"stage {s['stageId']}.{s['attemptId']} ({s.get('name', '?')})"
+                )
                 continue
             out["stages"] += 1
             for f in self.FIELDS:
@@ -150,7 +169,9 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    violations: list[str] = []
+    violations: list[str] = [
+        f"FAILED stage during audit: {s}" for s in meter.failed_stages
+    ]
     by_name = {r["name"]: r for r in rows}
     for r in rows:
         if r["tag"] == "map_only" and r["shuffleWriteBytes"] > 0:
