@@ -50,7 +50,7 @@ from pyspark.sql.types import StructType
 
 #: Internal column names used by the union-merge; asserted absent from
 #: both inputs (ADVICE r5 #2 — silent collision would corrupt results).
-_RESERVED = ("__t", "__side", "__r", "__m", "__b", "__co", "__carry")
+_RESERVED = ("__t", "__side", "__r", "__m", "__b", "__co", "__carry", "__rn")
 
 
 def asof_join(
@@ -91,9 +91,14 @@ def asof_join(
     task: the merge window partitions on (key, bucket) and a
     bucket-granular carry pass (one row per non-empty bucket) supplies
     the latest right row from earlier buckets. Bit-identical to the
-    unbucketed plan (pinned by tests + a hot-key fuzz fixture); costs
-    one extra small exchange, so leave it off unless a key's timeline
-    outgrows a task (~10⁷ rows).
+    unbucketed plan — pinned by the equivalence tests
+    (tests/test_asof.py), the hash-gated `asof_last_purchase_bucketed`
+    oracle twin (incl. `make_fuzz_fixtures.py --hotkey` seeds), and a
+    digest-certified 10⁷-row-hot-key run (`tools/asof_hotkey_bench.py`:
+    13 M events, one user holding 10 M — bucketed 5.3 s vs 46.7 s
+    unbucketed on local[32], 8.9×; the carry frames broadcast back,
+    pinned in tests/test_plans.py). Costs ~3 extra small exchanges, so
+    leave it off unless one key's timeline outgrows a task (~10⁶+ rows).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")

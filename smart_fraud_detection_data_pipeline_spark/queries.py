@@ -418,15 +418,55 @@ def q_category_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.category_trends(tx, exact=True)
 
 
-@_register("user_spend_trends_approx", None)  # A3: HLL++ is approximate → rows-only
+@_register(
+    "user_spend_trends_approx",
+    _SQL_TRENDS.format(
+        key_out="user_id", key_in="user_id", sum_alias="total_spent"
+    ).rstrip()
+    .replace(
+        "COUNT(DISTINCT event_id) AS num_transactions",
+        "COUNT(DISTINCT event_id) AS num_transactions,\n       TRUE AS within_rsd",
+    ),
+)
 def q_user_spend_trends_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 faithful mode: approx_count_distinct (HyperLogLog++, rsd 0.05).
+    """A3 faithful mode: approx_count_distinct (HyperLogLog++, rsd 0.05),
+    SELF-CHECKING (VERDICT r6 #2, pattern from the KMeans recall gate):
+    the sketch estimate itself is not cross-engine hashable, so the
+    query computes BOTH counts in one grouped pass and emits a
+    ``within_rsd`` boolean — |approx − exact| ≤ max(2, 15% of exact),
+    i.e. 3σ of the rsd=0.05 sketch plus an absolute floor for tiny
+    groups (HLL++ is exact in sparse mode anyway). The oracle recomputes
+    the exact side and asserts TRUE, so a sketch drifting out of its
+    guarantee flips the hash gate. HLL++ is hash-deterministic per
+    dataset — the boolean cannot flake between runs.
 
-    Not oracle-hashable by construction (SURVEY §2 A3) — sketches merge
-    associatively, which is the point at 100 TB: one shuffle, bounded
-    memory, no expand-distinct blowup.
+    The 1-exchange/no-expand HLL plan story (the 100 TB reason for A3)
+    stays pinned on the OPERATOR in tests/test_plans.py::
+    test_trends_shuffle_budget — this registry entry deliberately pays
+    the expand-distinct twice to carry its own correctness gate.
     """
-    return T.user_spend_trends(_transactions(spark, sf_dir), exact=False)
+    from smart_fraud_detection_data_pipeline_spark.functions.timeutil import (
+        minute_window,
+        stringify_window,
+    )
+
+    tx = _transactions(spark, sf_dir)
+    agg = tx.groupBy(minute_window(F.col("timestamp"), "1 minute"), F.col("user_id")).agg(
+        exact_sum_double("amount").alias("total_spent"),
+        F.count_distinct(F.col("transaction_id")).alias("num_transactions"),
+        F.approx_count_distinct(F.col("transaction_id")).alias("approx_n"),
+    )
+    out = stringify_window(agg)
+    err = F.abs(F.col("approx_n") - F.col("num_transactions"))
+    tol = F.greatest(F.lit(2.0), F.col("num_transactions") * F.lit(0.15))
+    return out.select(
+        "user_id",
+        "total_spent",
+        "num_transactions",
+        "window_start",
+        "window_end",
+        (err <= tol).alias("within_rsd"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1995,6 +2035,70 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "asof_last_purchase_bucketed",
+    """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT e.event_id, e.user_id, e.ts, p.purchase_id, p.purchase_ts, p.purchase_value,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY p.purchase_ts DESC NULLS LAST, p.purchase_id DESC NULLS LAST
+         ) AS rn
+  FROM e LEFT JOIN p
+    ON p.user_id = e.user_id AND p.purchase_ts <= e.ts
+)
+SELECT event_id, user_id, ts, purchase_id AS last_purchase_id,
+       purchase_ts AS last_purchase_ts, purchase_value AS last_purchase_value
+FROM j WHERE rn = 1
+""",
+)
+def q_asof_last_purchase_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_last_purchase through the opt-in ``bucket_seconds`` hot-key
+    time-split (VERDICT r6 #1: the bucketed code path must face the hash
+    gate, not only unit tests). Same oracle SQL as the unbucketed twin —
+    the split is REQUIRED to be bit-identical. 6-hour buckets over the
+    ~30-day events span ≈ 120 buckets: most buckets hold no purchase for
+    a given user, so the cross-bucket carry pass does real work at
+    sf0.01 and on every fuzz seed (incl. `--hotkey` fixtures)."""
+    from smart_fraud_detection_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    purchases = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        ev,
+        purchases,
+        on=["user_id"],
+        left_key="event_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        tie_break="purchase_id",
+        bucket_seconds=6 * 3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("purchase_id").alias("last_purchase_id"),
+        F.col("purchase_ts").alias("last_purchase_ts"),
+        F.col("purchase_value").alias("last_purchase_value"),
+    )
+
+
+@_register(
     "error_burst_window",
     """
 WITH e AS (
@@ -2197,19 +2301,69 @@ def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("value_quantiles_approx", None)  # sketch-based → approximate
+@_register(
+    "value_quantiles_approx",
+    """
+SELECT event_type, COUNT(value) AS n_values,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type
+""",
+)
 def q_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile twin of value_quantiles: the KLL-sketch path that
+    """approx_percentile twin of value_quantiles: the sketch path that
     replaces the sort-based exact percentile at 100 TB (single pass,
-    mergeable state, bounded memory). Rows-only by construction."""
-    return (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.approx_percentile("value", 0.5, 10000).alias("p50"),
-            F.approx_percentile("value", 0.9, 10000).alias("p90"),
-            F.approx_percentile("value", 0.99, 10000).alias("p99"),
+    mergeable state, bounded memory). SELF-CHECKING (VERDICT r6 #2):
+    the sketch VALUE is engine-local, but its rank-error contract is
+    checkable with exact integer arithmetic — approx_percentile(p,
+    acc=10000) must return a dataset element whose 1-based rank range
+    [count(<v)+1, count(<=v)] intersects [p·m − m/10000 − 1,
+    p·m + m/10000 + 1] (±1 absorbs the rank-definition boundary; m =
+    non-NULL count). The query joins the per-group sketch results back
+    (broadcast, null-safe on the group key so a NULL event_type group
+    survives — see CLAUDE.md NULL-safe-routing rule) and recounts; the
+    oracle asserts TRUE per group, so a sketch outside its guarantee
+    flips the hash gate. All-NULL groups: approx returns NULL, which is
+    what the check then requires."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    sk = ev.groupBy("event_type").agg(
+        F.approx_percentile("value", 0.5, 10000).alias("p50"),
+        F.approx_percentile("value", 0.9, 10000).alias("p90"),
+        F.approx_percentile("value", 0.99, 10000).alias("p99"),
+        F.count("value").alias("m"),
+    )
+    j = ev.alias("e").join(
+        F.broadcast(sk).alias("s"),
+        F.col("e.event_type").eqNullSafe(F.col("s.event_type")),
+    )
+    aggs = [
+        F.first(f"s.{c}").alias(c) for c in ("m", "p50", "p90", "p99")
+    ]
+    for p in ("p50", "p90", "p99"):
+        aggs.append(
+            F.sum(F.when(F.col("e.value") < F.col(f"s.{p}"), 1).otherwise(0)).alias(f"lo_{p}")
         )
+        aggs.append(
+            F.sum(F.when(F.col("e.value") <= F.col(f"s.{p}"), 1).otherwise(0)).alias(f"hi_{p}")
+        )
+    g = j.groupBy(F.col("s.event_type").alias("event_type")).agg(*aggs)
+
+    def _ok(p: float, col: str) -> Column:
+        target = F.lit(p) * F.col("m")
+        tol = F.col("m") / F.lit(10000.0) + F.lit(1.0)
+        in_window = (
+            (F.col(f"lo_{col}") + F.lit(1) <= target + tol)
+            & (F.col(f"hi_{col}") >= target - tol)
+        )
+        return F.when(F.col("m") == 0, F.col(col).isNull()).otherwise(
+            F.col(col).isNotNull() & in_window
+        )
+
+    return g.select(
+        "event_type",
+        F.col("m").alias("n_values"),
+        _ok(0.5, "p50").alias("p50_ok"),
+        _ok(0.9, "p90").alias("p90_ok"),
+        _ok(0.99, "p99").alias("p99_ok"),
     )
 
 

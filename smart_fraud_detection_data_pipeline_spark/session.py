@@ -107,9 +107,19 @@ def s3a_conf(
     if endpoint:
         conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
         if ssl is None:
+            # Only an explicit https:// scheme turns SSL on; a bare
+            # host:port (MinIO style) or http:// defaults to false —
+            # matching the reference's explicit false for MinIO. Without
+            # an endpoint the key is omitted and Hadoop's default
+            # (SSL on) applies, which is right for real AWS S3.
             ssl = endpoint.startswith("https://")
     if ssl is not None:
         conf["spark.hadoop.fs.s3a.connection.ssl.enabled"] = str(ssl).lower()
+    if bool(access_key) != bool(secret_key):
+        raise ValueError(
+            "s3a_conf: access_key and secret_key must be provided together "
+            "(got exactly one; check AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY)"
+        )
     if access_key and secret_key:
         conf["spark.hadoop.fs.s3a.access.key"] = access_key
         conf["spark.hadoop.fs.s3a.secret.key"] = secret_key

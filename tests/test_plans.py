@@ -36,14 +36,22 @@ def test_scan_filter_pushdown_and_pruning(spark, sf_dir):
 
 def test_trends_shuffle_budget(spark, sf_dir):
     """Windowed trends: the exact-distinct variant pays exactly the
-    2-shuffle expand plan (per-id pre-agg + final), the HLL variant
+    2-shuffle expand plan (per-id pre-agg + final), the HLL OPERATOR
     exactly 1 shuffle — the reason approx is the default in streaming
-    and the 100 TB path."""
+    and the 100 TB path. The pin targets the operator directly: the
+    REGISTERED user_spend_trends_approx is now the self-checking gate
+    (VERDICT r6 #2) and deliberately pays the expand a second time to
+    compare sketch vs exact."""
+    from smart_fraud_detection_data_pipeline_spark.operators import trends as T
+    from smart_fraud_detection_data_pipeline_spark.queries import _transactions
+
     exact = X.plan_counts(Q["user_spend_trends"](spark, sf_dir))
     assert exact["exchange"] == 2
     assert exact["hash_aggregate"] >= 3  # partial, per-id merge, final
 
-    approx = X.plan_counts(Q["user_spend_trends_approx"](spark, sf_dir))
+    approx = X.plan_counts(
+        T.user_spend_trends(_transactions(spark, sf_dir), exact=False)
+    )
     assert approx["exchange"] == 1
     assert approx["hash_aggregate"] == 2  # partial + final, sketches merge
 
@@ -622,3 +630,29 @@ def test_txn_velocity_single_exchange_range_frame(spark, sf_dir):
     c = X.plan_counts(Q["user_txn_velocity"](spark, sf_dir))
     assert c["exchange"] == 1
     assert c["sort_merge_join"] == 0 and c["broadcast_hash_join"] == 0
+
+
+def test_asof_merge_single_exchange(spark, sf_dir):
+    """Unbucketed as-of union-merge: the whole operator is ONE hash
+    exchange on the equi-key (union both sides, sort the timeline,
+    carry with last(ignorenulls)) — no join node, no pair
+    materialization."""
+    c = X.plan_counts(Q["asof_last_purchase"](spark, sf_dir))
+    assert c["exchange"] == 1
+    assert c["sort_merge_join"] == 0 and c["broadcast_hash_join"] == 0
+    assert c["nested_loop_join"] == 0
+
+
+def test_asof_bucketed_carry_broadcasts(spark, sf_dir):
+    """bucket_seconds hot-key split: the merge window repartitions on
+    (key, bucket) and the bucket-granular carry frames — one row per
+    non-empty bucket, tiny by construction — must BROADCAST back onto
+    the fact, never sort-merge-join it; total exchanges stay bounded
+    (fact on (key,bucket), carry-out, carry-in window, distinct
+    buckets), none of them a second full-fact reshuffle on the bare
+    key."""
+    c = X.plan_counts(Q["asof_last_purchase_bucketed"](spark, sf_dir))
+    assert c["broadcast_hash_join"] == 2  # carry-out->carries, carries->fact
+    assert c["sort_merge_join"] == 0
+    assert c["nested_loop_join"] == 0
+    assert c["exchange"] <= 4

@@ -48,14 +48,28 @@ def test_windows_are_60s_apart(spark, sf_dir):
 
 
 def test_approx_mode_close_to_exact(spark, sf_dir):
+    """The registered query is now the self-checking gate (VERDICT r6
+    #2): every (user, window) group's HLL estimate must sit within the
+    rsd bound of the exact count — the within_rsd column it hashes
+    against the oracle must be all-true. The raw operator's aggregate
+    estimate is additionally checked against the exact total (the old
+    pre-gate assertion, kept on the operator so exact=False itself
+    stays covered)."""
+    from smart_fraud_detection_data_pipeline_spark.operators import trends as T
     from smart_fraud_detection_data_pipeline_spark.queries import (
+        _transactions,
         q_user_spend_trends,
         q_user_spend_trends_approx,
     )
 
+    gate = q_user_spend_trends_approx(spark, sf_dir)
+    assert gate.where(~F.col("within_rsd")).count() == 0
+
     exact = q_user_spend_trends(spark, sf_dir).agg(F.sum("num_transactions")).collect()[0][0]
     approx = (
-        q_user_spend_trends_approx(spark, sf_dir).agg(F.sum("num_transactions")).collect()[0][0]
+        T.user_spend_trends(_transactions(spark, sf_dir), exact=False)
+        .agg(F.sum("num_transactions"))
+        .collect()[0][0]
     )
     assert abs(approx - exact) / exact < 0.1  # HLL++ rsd 0.05
 

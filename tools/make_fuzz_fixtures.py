@@ -32,14 +32,23 @@ The point is parity, not plausibility: `tools/oracle_check.py
 failure is a real cross-engine semantics bug on inputs the fixed
 fixtures never produce.
 
-Usage: python tools/make_fuzz_fixtures.py SEED [out_dir] [--scale N]
-Default out dir: /tmp/sf_fuzz_<SEED>
+Usage: python tools/make_fuzz_fixtures.py SEED [out_dir] [--scale N] [--hotkey]
+Default out dir: /tmp/sf_fuzz_<SEED> (suffix `_x<N>` / `_hot` as flagged)
 
 `--scale N` multiplies the fact-table row-count draws (orders,
 lineitem, events, documents, embeddings) — a scaled seed pushes every
 partition across engine vector/batch boundaries (DuckDB's 2048-row
 vectors, Spark's columnar batches), where chunk-edge bugs like the
 v1.0.0 NULL-partition window split live.
+
+`--hotkey` concentrates 50-70% (per-seed draw) of events onto ONE
+user_id — the hot-key shape that breaks per-key windows (as-of
+union-merge: one key's timeline = one sorted task). At default scale
+the full oracle gate still runs (the hot key is a few hundred rows);
+at --scale 700+ it is the ~10⁶-row-hot-key stress fixture for
+`tools/asof_hotkey_bench.py` (the join-based oracle SQL cannot run
+there — DuckDB materializes |L_k|×|R_k| pairs — so certification at
+that scale is bucketed-vs-unbucketed bit-equality, Spark vs Spark).
 """
 
 from __future__ import annotations
@@ -93,7 +102,7 @@ def _ts_us(rng: np.random.Generator, n: int, start: str, span_days: float) -> np
     return base + offs.astype("timedelta64[us]")
 
 
-def build_tables(seed: int, scale: int = 1) -> dict[str, pa.Table]:
+def build_tables(seed: int, scale: int = 1, hotkey: bool = False) -> dict[str, pa.Table]:
     rng = np.random.default_rng(seed)
     tables: dict[str, pa.Table] = {}
 
@@ -288,6 +297,13 @@ def build_tables(seed: int, scale: int = 1) -> dict[str, pa.Table]:
     ev_id = np.arange(n_ev) + 1
     n_users = int(rng.integers(20, 60))
     ev_user = (rng.zipf(zipf_a, n_ev) % n_users) + 1
+    if hotkey:
+        # Route a per-seed 50-70% slice of events to user 1: one key's
+        # timeline dominates every per-user window/as-of merge. The
+        # remaining rows keep their Zipf draw so the fixture still has
+        # a long tail of ordinary keys.
+        hot = rng.random(n_ev) < rng.uniform(0.5, 0.7)
+        ev_user[hot] = 1
     ev_user_null = _null_mask(rng, n_ev, _rate(rng, 0.1))
     # per-user session anchor + small offsets -> natural session clusters
     anchors = _ts_us(rng, n_users, "2024-01-01", 29.0)
@@ -461,6 +477,10 @@ def build_tables(seed: int, scale: int = 1) -> dict[str, pa.Table]:
 def main() -> int:
     argv = list(sys.argv[1:])
     scale = 1
+    hotkey = False
+    if "--hotkey" in argv:
+        hotkey = True
+        argv.remove("--hotkey")
     if "--scale" in argv:
         i = argv.index("--scale")
         if i + 1 >= len(argv) or not argv[i + 1].isdigit():
@@ -473,10 +493,12 @@ def main() -> int:
         return 2
     seed = int(argv[0])
     out = argv[1] if len(argv) > 1 else (
-        f"/tmp/sf_fuzz_{seed}" if scale == 1 else f"/tmp/sf_fuzz_{seed}_x{scale}"
+        f"/tmp/sf_fuzz_{seed}"
+        + ("" if scale == 1 else f"_x{scale}")
+        + ("_hot" if hotkey else "")
     )
     os.makedirs(out, exist_ok=True)
-    for name, table in build_tables(seed, scale=scale).items():
+    for name, table in build_tables(seed, scale=scale, hotkey=hotkey).items():
         pq.write_table(table, os.path.join(out, f"{name}.parquet"))
         print(f"{name}: {table.num_rows} rows -> {out}/{name}.parquet")
     return 0
