@@ -628,10 +628,19 @@ def winnow_pairs(
     ever exist), then an inverted index on the fingerprint groups doc
     ids per fingerprint and emits each co-occurring pair once via
     in-row combinations — a self-join would materialize both orders.
-    One shuffle on the 32-char fingerprint, one on the (doc_a, doc_b)
-    pair. `max_df` bounds the C(df,2) blowup of a fingerprint shared
-    by many documents (boilerplate headers), same lever as the Jaccard
-    path.
+    One shuffle on the fingerprint, one on the (doc_a, doc_b) pair.
+    `max_df` bounds the C(df,2) blowup of a fingerprint shared by many
+    documents (boilerplate headers), same lever as the Jaccard path.
+
+    The SELECTION runs over md5 strings (lexicographic window-min —
+    the engine-portable scheme doc_winnow's oracle reproduces), but the
+    exchange key is xxhash64 of the selected fingerprint: 8 bytes
+    instead of a 32-char hex string (VERDICT r5 #4/r6 #3 — measured
+    7.5 MB → 3.3 MB shuffle write on doc_winnow_pairs at sf0.1).
+    Grouping by an injective-modulo-2^-64 image of the fingerprint
+    yields identical groups, so the PAIRS — the part the oracle
+    hash-checks — are unchanged; the same collision budget as the
+    Jaccard count path's hashed keys applies.
     """
     from smart_fraud_detection_data_pipeline_spark.operators.textstats import kgram_hashes, winnow
 
@@ -639,7 +648,12 @@ def winnow_pairs(
     hashed = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), kgram_hashes(F.col(text_col), k).alias("__h")
     )
-    fps = hashed.select("id", F.explode(winnow(F.col("__h"), w)).alias("fp"))
+    fps = hashed.select(
+        "id",
+        F.explode(
+            F.transform(winnow(F.col("__h"), w), lambda s: F.xxhash64(s))
+        ).alias("fp"),
+    )
     groups = (
         fps.groupBy("fp")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))

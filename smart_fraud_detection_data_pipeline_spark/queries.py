@@ -1432,6 +1432,42 @@ def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_byte_features(MM.attach_binary_payload(docs))
 
 
+@_register(
+    "multimodal_image_decode",
+    """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h
+  FROM documents WHERE doc_id IS NOT NULL
+),
+ch AS (
+  SELECT doc_id, w, h, (doc_id * 31 + k) % 256 AS r
+  FROM d, LATERAL unnest(generate_series(0, w * h - 1)) AS t(k)
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS img_w,
+       CAST(h AS INTEGER) AS img_h,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM((r + 85) % 256) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM((r + 170) % 256) AS DOUBLE) / (w * h) AS mean_b,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt
+FROM ch GROUP BY doc_id, w, h
+""",
+)
+def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the hash gate (VERDICT r6 #4): synthesize
+    a deterministic BMP (even doc_id) or PPM (odd) per document —
+    widths 1..13 so every BMP row-padding residue occurs — then parse
+    the bytes with the pure-Python decoders (headers, bottom-up rows,
+    BGR order, 4-byte padding) and emit dimensions + per-channel pixel
+    means. The oracle recomputes the DECODED features from the pixel
+    arithmetic alone (no parsing), so any parser bug — wrong stride,
+    swapped channels, off-by-one offset — shifts a mean and fails the
+    hash. Channel means are exact int-sum / int-count IEEE divisions on
+    both engines; no quantization needed."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    return MM.decode_image_features(MM.synthesize_images(docs))
+
+
 # ---------------------------------------------------------------------------
 # Streaming parity: the Structured Streaming path must equal the batch oracle
 # ---------------------------------------------------------------------------

@@ -297,3 +297,97 @@ def test_injected_decoder_keeps_feature_schema(spark, sf_dir):
         assert rows[t.doc_id].byte_mean == pytest.approx(float(b[0]))
         assert rows[t.doc_id].byte_entropy_proxy == 0.5
         assert rows[t.doc_id].n_bytes == len(b)
+
+
+# ---------------------------------------------------------------------------
+# Real image decode (round 7): pure-Python BMP/PPM parsers
+# ---------------------------------------------------------------------------
+
+def _spec_bmp() -> bytes:
+    """Hand-built canonical 2x2 24-bit BMP (the textbook spec example:
+    54-byte headers + 16-byte pixel array, two rows of 6 pixel bytes +
+    2 padding each; bottom-up storage, BGR order). Pins the PARSER
+    against the format spec independently of this repo's encoder — if
+    encoder and decoder shared the same mistake, the round-trip tests
+    would still pass but this fixture would not."""
+    import struct
+
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 2835, 2835, 0, 0)
+    )
+    # pixel array, bottom-up, BGR, rows padded to 4 bytes:
+    #   stored row 0 = IMAGE BOTTOM row: red, green
+    #   stored row 1 = IMAGE TOP row:    blue, white
+    pixel_array = bytes.fromhex("0000ff00ff000000") + bytes.fromhex("ff0000ffffff0000")
+    return header + pixel_array
+
+
+def test_decode_bmp_spec_fixture():
+    """Decode the canonical 2x2 spec file: top-down RGB order must come
+    out (blue, white, red, green) — exercises bottom-up flip, BGR→RGB,
+    and the 2-byte row padding in one fixture."""
+    w, h, px = MM.decode_bmp(_spec_bmp())
+    assert (w, h) == (2, 2)
+    assert px == [(0, 0, 255), (255, 255, 255), (255, 0, 0), (0, 255, 0)]
+
+
+def test_decode_bmp_top_down_and_rejects():
+    import struct
+
+    # negative biHeight = top-down storage: same bytes now mean the
+    # FIRST stored row is the top row.
+    td = bytearray(_spec_bmp())
+    td[22:26] = struct.pack("<i", -2)
+    w, h, px = MM.decode_bmp(bytes(td))
+    assert (w, h) == (2, 2)
+    assert px == [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+
+    with pytest.raises(ValueError):
+        MM.decode_bmp(b"notabmp")
+    bad_bpp = bytearray(_spec_bmp())
+    bad_bpp[28:30] = struct.pack("<H", 8)
+    with pytest.raises(NotImplementedError):
+        MM.decode_bmp(bytes(bad_bpp))
+
+
+def test_decode_ppm_comments_and_truncation():
+    body = bytes((1, 2, 3, 4, 5, 6))
+    payload = b"P6\n# a comment\n2 1\n# another\n255\n" + body
+    w, h, px = MM.decode_ppm(payload)
+    assert (w, h, px) == (2, 1, [(1, 2, 3), (4, 5, 6)])
+    with pytest.raises(ValueError):
+        MM.decode_ppm(b"P6\n2 1\n255\n\x01\x02")  # truncated raster
+    with pytest.raises(NotImplementedError):
+        MM.decode_ppm(b"P6\n1 1\n65535\n\x01\x02\x03")
+
+
+def test_codec_roundtrip_all_padding_residues():
+    """encode→decode is the identity for every BMP stride residue
+    (w mod 4 ∈ {0,1,2,3}) and for PPM."""
+    for w in (1, 2, 3, 4, 5, 13):
+        h = 3
+        px = [((i * 7) % 256, (i * 11) % 256, (i * 13) % 256) for i in range(w * h)]
+        assert MM.decode_bmp(MM.encode_bmp(w, h, px)) == (w, h, px)
+        assert MM.decode_ppm(MM.encode_ppm(w, h, px)) == (w, h, px)
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG\r\n")  # real codecs still absent
+
+
+def test_image_decode_features_distributed(spark, sf_dir):
+    """The hash-gated query's operator chain over Spark: synthesized
+    BMP/PPM payloads decode to the arithmetic ground truth."""
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    out = MM.decode_image_features(MM.synthesize_images(docs))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 40
+    for doc_id, r in rows.items():
+        w, h = 1 + doc_id % 13, 1 + doc_id % 7
+        n = w * h
+        reds = [(doc_id * 31 + k) % 256 for k in range(n)]
+        assert (r.img_w, r.img_h) == (w, h)
+        assert r.fmt == ("bmp" if doc_id % 2 == 0 else "ppm")
+        assert r.mean_r == sum(reds) / n
+        assert r.mean_g == sum((v + 85) % 256 for v in reds) / n
+        assert r.mean_b == sum((v + 170) % 256 for v in reds) / n
