@@ -136,6 +136,41 @@ def cosine_dup_pairs(
 
 # --- IVF-flat (ANN scale path, cluster-routed) ------------------------------
 
+def _sql_dlit(v: float) -> str:
+    """A double literal in SQL text. repr() is the shortest decimal that
+    round-trips to the same IEEE double in both Python and Spark's
+    parser, so values are bit-identical to the former F.lit path."""
+    return repr(float(v)) + "D"
+
+
+def _sql_dot(vec_sql: str, arr_sql: str) -> str:
+    """`_dot` as SQL text — the SAME sequential left fold, so sums are
+    bit-identical to the Column form (and to every oracle twin)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr_sql}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def centroid_dist_array(vec_sql: str, centroids: list[list[float]]) -> Column:
+    """array< ‖x−c‖² for each centroid >, expanded as ‖x‖²+‖c‖²−2·x·c,
+    built as ONE SQL expression string. The former Column builder
+    created k×dim F.lit JVM handles plus 2 Python-lambda HOF bridges
+    per centroid — at 16×64 that was ~2 s of pure DRIVER time per call
+    (measured round 7, same finding as srp_bucket); the generated
+    expression tree and its evaluation order are identical, only the
+    construction path changed. ‖x‖² re-evaluates per element exactly as
+    the reused Column object did (Catalyst inlines at every reference —
+    CLAUDE.md CSE rule), so runtime cost is unchanged too."""
+    xsq = _sql_dot(vec_sql, vec_sql)
+    elems = []
+    for c in centroids:
+        csq = sum(v * v for v in c)
+        arr = "array(" + ",".join(_sql_dlit(v) for v in c) + ")"
+        elems.append(f"{xsq} + {_sql_dlit(csq)} - 2.0D * {_sql_dot(vec_sql, arr)}")
+    return F.expr("array(" + ",".join(elems) + ")")
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -154,15 +189,7 @@ def ivf_assign(
     lowest centroid index (array_position finds the first minimum) —
     deterministic.
     """
-    xsq = _dot(F.col(vec_col), F.col(vec_col))
-    dists = F.array(
-        *[
-            xsq
-            + F.lit(sum(v * v for v in c))
-            - F.lit(2.0) * _dot(F.col(vec_col), F.array(*[F.lit(v) for v in c]))
-            for c in centroids
-        ]
-    )
+    dists = centroid_dist_array(vec_col, centroids)
     cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     return corpus.withColumn(out_col, cluster)
 
@@ -254,15 +281,7 @@ def ivf_ann_topk(
         F.col(query_id_col), as_double_array(F.col(vec_col)).alias("__qvec")
     )
     # nprobe nearest centroids per query: small cross product (|Q| × k)
-    qsq = _dot(F.col("__qvec"), F.col("__qvec"))
-    dists = F.array(
-        *[
-            qsq
-            + F.lit(sum(v * v for v in cent))
-            - F.lit(2.0) * _dot(F.col("__qvec"), F.array(*[F.lit(v) for v in cent]))
-            for cent in cents
-        ]
-    )
+    dists = centroid_dist_array("__qvec", cents)
     ranked_cells = F.slice(
         F.transform(
             F.array_sort(
@@ -311,16 +330,27 @@ def srp_planes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
-def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """LSH bucket id = integer of sign bits of ⟨vec, plane_p⟩."""
-    bucket = F.lit(0).cast("long")
+def srp_bucket(vec_sql: str, planes: list[list[float]]) -> Column:
+    """LSH bucket id = integer of sign bits of ⟨vec, plane_p⟩.
+
+    ``vec_sql`` is the vector column as SQL text (a column name). The
+    whole bucket is built as ONE SQL expression string — a single
+    py4j/parse round trip. The former Column-builder created 64 F.lit
+    JVM handles per plane plus two Python-lambda HOF bridges per dot:
+    ~1.4 s of pure DRIVER time at 6 planes × 64 dims (measured round 7;
+    execution time unchanged, this was query-construction cost). Each
+    dot keeps `_dot`'s exact sequential fold order, so bucket values —
+    and the oracle SQL twin generated from the same constants — stay
+    bit-identical."""
+    terms = []
     for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
-        bit = F.when(_dot(vec, plane_col) >= 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        arr = ",".join(f"{v:.1f}D" for v in plane)
+        dot = (
+            f"aggregate(zip_with({vec_sql}, array({arr}), (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
         )
-        bucket = bucket + bit
-    return bucket
+        terms.append(f"(CASE WHEN {dot} >= 0.0D THEN {1 << p}L ELSE 0L END)")
+    return F.expr(" + ".join(terms)).cast("long")
 
 
 def srp_ann_topk(
@@ -385,10 +415,10 @@ def srp_ann_topk(
     planes = srp_planes(dim, n_planes)
     c = corpus.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")
-    ).withColumn("__bucket", srp_bucket(F.col("__cvec"), planes))
+    ).withColumn("__bucket", srp_bucket("__cvec", planes))
     q = queries.select(
         F.col(query_id_col), as_double_array(F.col(vec_col)).alias("__qvec")
-    ).withColumn("__bucket", srp_bucket(F.col("__qvec"), planes))
+    ).withColumn("__bucket", srp_bucket("__qvec", planes))
     if probe_hamming >= 1:
         # Probe the home bucket plus every bucket within the hamming
         # radius (bit flips of the sign signature).
