@@ -127,91 +127,61 @@ _SLOW = frozenset({
 #: new queries made it into the 50-entry driver artifact). Refresh this
 #: set each round.
 _FRESH = frozenset({
-    # implementation changed in round 5
-    "observed_quality",     # observe folded into the returned frame's action
-    "user_robust_zscore",   # null-iv guard (ADVICE r5 #1)
-    # round-5 adversarial-sweep semantics pins (NULL ts/keys/measures/
-    # text/vectors, JSON guards, hex digests, zero-emission streams)
-    "user_spend_trends", "category_trends", "user_spend_trends_incremental",
-    "sliding_window_trends", "session_windows", "session_windows_streaming",
-    "user_spend_trends_streaming", "event_type_trimmed_mean",
-    "user_value_lag_delta", "customer_order_seq", "events_json_props",
-    "events_props_map", "events_variant_props", "doc_ngram_jaccard",
-    "doc_ngram_jaccard_capped", "doc_minhash_lsh", "doc_simhash",
-    "doc_simhash_pairs", "doc_repetition", "doc_winnow", "doc_winnow_pairs",
-    "doc_dup_components", "multimodal_byte_features",
-    "multimodal_frame_sample", "multimodal_resize", "embed_ivf_ann",
-    "embed_ivf_kmeans_ann", "user_running_totals_streaming",
-    "user_event_type_unpivot", "stream_stream_join",
-    "stream_stream_left_join", "fraud_enrich_streaming", "dedup_streaming",
-    "stream_windowed_rollup",
-    # round-5 empty-input hardening (grand-total rows, empty ANN/ML
-    # corpora, zero-emission reemit streams, empty partitioned writes)
-    "orders_cube", "orders_rollup", "orders_grouping_sets",
-    "embed_srp_ann", "warehouse_load", "fraud_ml_score",
-    # round-5 fuzz-sweep fixes (seeded-random fixtures, see
-    # tools/make_fuzz_fixtures.py): try_cast on JSON-extracted values,
-    # try_variant_get, CJK branch in the lang_id oracle, NULL-safe
-    # partition routing in the incremental-load oracle; NULL-ts
-    # sequence semantics (NULLS FIRST pins, asof NULL-ts rights,
-    # stream-stream outer left side, OHLC untimed-row exclusion)
-    "lang_id_confusion", "user_value_ewma", "asof_last_purchase",
-    "asof_next_error", "user_value_ohlc", "user_scd2_intervals",
-    "user_event_transitions",
-    # seed 808: round()->floor-quantize on the unigram-LM transcendental
-    "doc_unigram_logprob",
+    # round 7: new or changed implementations / oracles
+    "asof_last_purchase_bucketed",  # NEW: bucket_seconds under the hash gate
+    "multimodal_image_decode",      # NEW: real BMP/PPM decode query
+    "user_spend_trends_approx",     # rows-only -> self-checking hash gate
+    "value_quantiles_approx",       # rows-only -> rank-error hash gate
+    "doc_winnow", "doc_winnow_pairs",  # int64 fingerprint exchange key
+    "embed_srp_ann", "embed_ivf_ann", "embed_ivf_kmeans_ann",  # SQL-string exprs
 })
 
-#: Registry rotation (VERDICT r4 task 1): the driver's correctness run
-#: caps at 50 queries, and after 4 rounds these 47 names had never
-#: appeared in any CORRECTNESS_r*.json (the _FRESH front-loading kept
-#: re-checking each round's changes instead). Order them FIRST — ahead
-#: of even _FRESH — so round 5's driver artifact finally hashes them.
-#: The 5 _SLOW members among them still sort last *within* this block
-#: so the cheap majority is verified before streaming/warehouse
-#: machinery spends the time budget. Refresh (or empty) this set each
-#: round as driver coverage accumulates.
+#: Registry rotation (VERDICT r6 #7): the r5 and r6 driver runs
+#: certified the IDENTICAL 50 names, so this round's block is the 50
+#: the driver should hash NOW — the 9 round-7-changed queries first,
+#: then never-r5/r6-certified names: 27 cheap ones plus the 14 _SLOW
+#: ones the verdict called out (streaming family, doc_dup_components,
+#: warehouse loads, ML fits) which sort last *within* the block so the
+#: cheap majority certifies before the micro-batch machinery spends the
+#: budget. ~31 further uncovered names roll to round 8's rotation.
 _DRIVER_UNCHECKED = frozenset({
-    "brand_basket_revenue", "brand_supplier_counts", "cohort_retention",
-    "corpus_training_export", "customer_order_distribution",
-    "doc_chunk_overlap", "doc_sample_stratified", "doc_winnow",
-    "doc_winnow_pairs", "embed_label_centroid_dist",
-    "event_type_trimmed_mean", "events_jsonl_roundtrip",
-    "events_orc_roundtrip", "events_pii_redact", "events_variant_props",
-    "forecast_revenue_change", "idle_rich_customers",
-    "important_part_value", "kafka_serde_roundtrip",
-    "large_volume_customers", "min_cost_suppliers",
-    "multi_distinct_stats", "multimodal_frame_sample",
-    "multimodal_resize", "nation_market_share",
-    "nation_top_customers_lateral", "nation_trade_volume",
-    "nation_year_profit", "not_in_null_semantics",
-    "order_priority_late_ship", "orders_cube", "part_hierarchy_walk",
-    "prolific_red_part_suppliers", "promo_revenue_pct",
-    "regional_revenue", "returned_item_losses",
-    "returnflag_priority_mix", "salted_user_join", "shipping_priority",
-    "small_quantity_revenue", "stream_stream_join",
-    "stream_stream_left_join", "stream_windowed_rollup", "user_funnel",
-    "user_spend_trends_incremental", "user_value_lag_delta",
-    "zorder_layout_scan",
+    # round-7-changed (also in _FRESH; ordered first via _FRESH_PRIORITY)
+    "asof_last_purchase_bucketed", "multimodal_image_decode",
+    "user_spend_trends_approx", "value_quantiles_approx",
+    "doc_winnow", "doc_winnow_pairs", "embed_srp_ann",
+    "embed_ivf_ann", "embed_ivf_kmeans_ann",
+    # never certified by the r5/r6 driver runs — cheap
+    "fraud_enrich", "scan_filter_project", "pricing_summary",
+    "category_trends", "user_spend_trends", "session_windows",
+    "sliding_window_trends", "doc_profile", "doc_dedup_exact",
+    "doc_ngram_jaccard", "doc_ngram_jaccard_capped", "doc_simhash",
+    "doc_simhash_pairs", "doc_repetition", "doc_unigram_logprob",
+    "doc_tfidf", "doc_tfidf_cosine_pairs", "doc_decontaminate",
+    "doc_bigram_coverage", "doc_split_assign", "doc_pack_sequences",
+    "lang_id_confusion", "user_robust_zscore", "user_value_ohlc",
+    "user_scd2_intervals", "user_event_transitions", "events_json_props",
+    "value_drift_chi2", "amount_benford", "doc_minhash_lsh",
+    # never certified — _SLOW members (streaming family +
+    # doc_dup_components per VERDICT r6 #7, warehouse loads, ML fits)
+    "fraud_enrich_streaming", "dedup_streaming",
+    "user_spend_trends_streaming", "user_running_totals_streaming",
+    "session_windows_streaming", "doc_dup_components",
+    "doc_clean_corpus", "merge_upsert", "warehouse_load",
+    "warehouse_load_incremental", "fraud_ml_score",
 })
 
 
-#: Within _FRESH, the names whose SEMANTICS changed this round (the
-#: fuzz-sweep fixes), ordered by risk: after the ~47-entry
-#: _DRIVER_UNCHECKED block, the driver's 50-query budget has only a few
-#: slots left, and they should hash the riskiest changed queries — not
-#: whichever _FRESH member happens to sit first in insertion order.
+#: Within the _DRIVER_UNCHECKED block, the round-7-changed names ride
+#: first (riskiest first) so a budget-truncated run still hashes every
+#: changed query before re-certifying stable ones.
 _FRESH_PRIORITY = (
-    "asof_last_purchase",       # operator REWRITTEN (union-merge as-of)
-    "asof_next_error",
-    "events_props_map",         # oracle conformance rewritten to mirror from_json
-    "doc_unigram_logprob",      # quantization scheme changed (round->floor)
-    "user_value_ohlc",          # Spark-side NULL-ts exclusion added
-    "user_value_ewma",
-    "user_scd2_intervals",
-    "user_event_transitions",
-    "lang_id_confusion",
-    "events_json_props",
+    "multimodal_image_decode",      # brand-new operator + oracle
+    "asof_last_purchase_bucketed",  # new code path under the gate
+    "user_spend_trends_approx",     # new self-check contract
+    "value_quantiles_approx",       # new rank-error contract
+    "doc_winnow_pairs",             # exchange key changed
+    "embed_srp_ann",                # expression construction changed
+    "doc_winnow",
 )
 
 
