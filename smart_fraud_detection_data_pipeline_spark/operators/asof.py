@@ -248,16 +248,55 @@ def interval_join(
     right_ts: str,
     lower: str = "0 seconds",
     upper: str = "10 minutes",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Pairs where right_ts ∈ (left_ts + lower, left_ts + upper].
 
     Strict lower bound excludes the anchor row itself when left and
     right are the same table.
-    """
+
+    Default plan: equi-join on the keys with the range conjunct inside
+    the join condition — pairs stream through the join, but each key
+    still ENUMERATES |L_k|×|R_k| combinations before the range filter,
+    which serializes on a hot key exactly like the as-of sort did.
+    ``bucket_seconds`` (opt-in) joins on (key, time-bucket) instead:
+    each left row probes only the ⌈(upper−lower)/bucket⌉+1 buckets its
+    window can touch (an in-row sequence explode), each right row lands
+    in exactly ONE bucket — so every qualifying pair is produced exactly
+    once (no dedup pass) and per-task fan-out is bounded by per-(key,
+    bucket) products, not per-key. Same output bit-for-bit (pinned by
+    tests + the shared-oracle `error_burst_window_bucketed` query).
+    Measured (SCALING.md): a 200k-row single hot key ground the default
+    plan past 560 s (one task, ~8×10⁹ enumerated combos) where the
+    bucketed plan returns the identical 1.85 M pairs in 4.6 s.
+    Pick bucket_seconds ≈ the window width: much smaller multiplies
+    probe rows, much larger stops splitting the hot key.
+    Untimed rows never pair (NULL ts has no bucket — both engines'
+    inequality semantics already exclude them in the default plan)."""
     lo = F.col(left_ts) + F.expr(f"INTERVAL {lower}")
     hi = F.col(left_ts) + F.expr(f"INTERVAL {upper}")
-    return left.join(
-        right,
-        on=list(on),
-        how="inner",
-    ).where((F.col(right_ts) > lo) & (F.col(right_ts) <= hi))
+    if bucket_seconds is None:
+        return left.join(
+            right,
+            on=list(on),
+            how="inner",
+        ).where((F.col(right_ts) > lo) & (F.col(right_ts) <= hi))
+    if "__b" in left.columns or "__b" in right.columns:
+        raise ValueError("column name '__b' is reserved by interval_join")
+    step = float(bucket_seconds)
+    lo_b = F.floor(lo.cast("timestamp").cast("double") / F.lit(step)).cast("long")
+    hi_b = F.floor(hi.cast("timestamp").cast("double") / F.lit(step)).cast("long")
+    probes = left.where(F.col(left_ts).isNotNull()).withColumn(
+        "__b", F.explode(F.sequence(lo_b, hi_b))
+    )
+    rb = right.withColumn(
+        "__b",
+        F.floor(
+            F.col(right_ts).cast("timestamp").cast("double") / F.lit(step)
+        ).cast("long"),
+    ).where(F.col("__b").isNotNull())
+    return (
+        probes.join(rb, [*on, "__b"], how="inner")
+        .where((F.col(right_ts) > lo) & (F.col(right_ts) <= hi))
+        .drop("__b")
+    )

@@ -134,6 +134,7 @@ _FRESH = frozenset({
     "value_quantiles_approx",       # rows-only -> rank-error hash gate
     "doc_winnow", "doc_winnow_pairs",  # int64 fingerprint exchange key
     "embed_srp_ann", "embed_ivf_ann", "embed_ivf_kmeans_ann",  # SQL-string exprs
+    "error_burst_window_bucketed",  # NEW: interval-join bucket split
 })
 
 #: Registry rotation (VERDICT r6 #7): the r5 and r6 driver runs
@@ -149,7 +150,7 @@ _DRIVER_UNCHECKED = frozenset({
     "asof_last_purchase_bucketed", "multimodal_image_decode",
     "user_spend_trends_approx", "value_quantiles_approx",
     "doc_winnow", "doc_winnow_pairs", "embed_srp_ann",
-    "embed_ivf_ann", "embed_ivf_kmeans_ann",
+    "embed_ivf_ann", "embed_ivf_kmeans_ann", "error_burst_window_bucketed",
     # never certified by the r5/r6 driver runs — cheap
     "fraud_enrich", "scan_filter_project", "pricing_summary",
     "category_trends", "user_spend_trends", "session_windows",
@@ -160,7 +161,7 @@ _DRIVER_UNCHECKED = frozenset({
     "doc_bigram_coverage", "doc_split_assign", "doc_pack_sequences",
     "lang_id_confusion", "user_robust_zscore", "user_value_ohlc",
     "user_scd2_intervals", "user_event_transitions", "events_json_props",
-    "value_drift_chi2", "amount_benford", "doc_minhash_lsh",
+    "value_drift_chi2", "doc_minhash_lsh",
     # never certified — _SLOW members (streaming family +
     # doc_dup_components per VERDICT r6 #7, warehouse loads, ML fits)
     "fraud_enrich_streaming", "dedup_streaming",
@@ -177,6 +178,7 @@ _DRIVER_UNCHECKED = frozenset({
 _FRESH_PRIORITY = (
     "multimodal_image_decode",      # brand-new operator + oracle
     "asof_last_purchase_bucketed",  # new code path under the gate
+    "error_burst_window_bucketed",  # new code path under the gate
     "user_spend_trends_approx",     # new self-check contract
     "value_quantiles_approx",       # new rank-error contract
     "doc_winnow_pairs",             # exchange key changed
@@ -2153,6 +2155,53 @@ def q_error_burst_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "event_id", "left")
         .fillna(0, ["n_follow", "n_follow_errors"])
     )
+
+
+@_register("error_burst_window_bucketed", None)  # oracle attached below
+def q_error_burst_window_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """error_burst_window through the opt-in interval_join
+    ``bucket_seconds`` hot-key split (round 7, twin of the as-of
+    bucketed gate): joins on (user, 10-minute time bucket) — each error
+    probes the 2 buckets its window can touch, each follower lands in
+    exactly one — so per-task fan-out is bounded by per-(key, bucket)
+    products instead of |L_k|×|R_k| per key. Same oracle SQL as the
+    default plan; output is required to be bit-identical."""
+    from smart_fraud_detection_data_pipeline_spark.operators.asof import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    follows = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("f_id"),
+        F.col("ts").alias("f_ts"),
+        F.col("event_type").alias("f_type"),
+    )
+    pairs = interval_join(
+        errors, follows, on=["user_id"], left_ts="ts", right_ts="f_ts",
+        lower="0 seconds", upper="10 minutes", bucket_seconds=600,
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count("f_id").alias("n_follow"),
+        F.sum(F.when(F.col("f_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_follow_errors"),
+    )
+    return (
+        errors.select("event_id")
+        .join(counts, "event_id", "left")
+        .fillna(0, ["n_follow", "n_follow_errors"])
+    )
+
+
+# the bucketed plan must equal the default plan, so the oracle SQL is
+# shared verbatim (same contract as the streaming twins below)
+_REGISTRY[-1] = dataclasses.replace(
+    _REGISTRY[-1], oracle=_spec("error_burst_window").oracle
+)
 
 
 @_register("user_spend_trends_streaming", None)  # oracle attached below

@@ -211,3 +211,45 @@ def test_interval_join_bounds(spark):
         lower="0 seconds", upper="10 minutes",
     )
     assert {r.r_id for r in out.collect()} == {11, 12}
+
+
+def test_interval_join_bucketed_equals_default(spark):
+    """The opt-in time-bucket plan must reproduce the default equi-join
+    + range plan pair-for-pair: seeded random timelines with duplicate
+    and NULL timestamps on both sides, several bucket widths (narrower,
+    equal, and wider than the window)."""
+    import random
+
+    rng = random.Random(707)
+    lefts, rights = [], []
+    for i in range(150):
+        k = rng.choice(["a", "b", "c"])
+        ts = None if rng.random() < 0.05 else _m(rng.randrange(0, 600))
+        lefts.append(Row(id=i, k=k, ts=ts))
+    for j in range(200):
+        k = rng.choice(["a", "b", "c", "d"])
+        ts = None if rng.random() < 0.05 else _m(rng.randrange(0, 600))
+        rights.append(Row(k=k, r_id=j, r_ts=ts))
+    left = spark.createDataFrame(lefts)
+    right = spark.createDataFrame(rights)
+    kw = dict(on=["k"], left_ts="ts", right_ts="r_ts",
+              lower="0 seconds", upper="10 minutes")
+    base = sorted(
+        (r.id, r.r_id)
+        for r in interval_join(left, right, **kw).collect()
+    )
+    assert base  # the fixture must actually produce pairs
+    for secs in (120, 600, 3600):
+        got = sorted(
+            (r.id, r.r_id)
+            for r in interval_join(left, right, bucket_seconds=secs, **kw).collect()
+        )
+        assert got == base, secs
+
+
+def test_interval_join_bucketed_reserved_column(spark):
+    left = spark.createDataFrame([Row(id=1, k="a", ts=_m(0), __b=1)])
+    right = spark.createDataFrame([Row(k="a", r_id=1, r_ts=_m(1))])
+    with pytest.raises(ValueError, match="reserved"):
+        interval_join(left, right, on=["k"], left_ts="ts", right_ts="r_ts",
+                      bucket_seconds=600)
