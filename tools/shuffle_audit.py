@@ -78,6 +78,16 @@ HEADLINE: dict[str, tuple[str, str]] = {
     "salted_category_totals": ("partial_agg", "salted two-stage agg"),
     "warehouse_load": ("composite", "full-prefix rescan (reference contract)"),
     "warehouse_load_incremental": ("composite", "partition-pruned incremental"),
+    # round 7
+    "multimodal_image_decode": ("map_only", "Arrow decode; payload never shuffles"),
+    "asof_last_purchase_bucketed": (
+        "keyed_shuffle",
+        "(key,bucket) merge + bucket-granular broadcast carry (hot-key split)",
+    ),
+    "error_burst_window_bucketed": (
+        "bounded_candidates",
+        "(key,bucket) interval join; pair output inherent, fan-out bounded per bucket",
+    ),
 }
 
 
