@@ -656,3 +656,13 @@ def test_asof_bucketed_carry_broadcasts(spark, sf_dir):
     assert c["sort_merge_join"] == 0
     assert c["nested_loop_join"] == 0
     assert c["exchange"] <= 4
+
+
+def test_interval_bucketed_no_nested_loop(spark, sf_dir):
+    """Bucketed interval join: the (key, bucket) equi-join must stay a
+    hash/sort join (never BroadcastNestedLoopJoin — the plan a pure
+    range predicate degenerates to), with the range conjunct applied
+    inside/after it; exchange count bounded."""
+    c = X.plan_counts(Q["error_burst_window_bucketed"](spark, sf_dir))
+    assert c["nested_loop_join"] == 0
+    assert c["exchange"] <= 3
