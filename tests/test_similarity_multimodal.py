@@ -391,3 +391,32 @@ def test_image_decode_features_distributed(spark, sf_dir):
         assert r.mean_r == sum(reds) / n
         assert r.mean_g == sum((v + 85) % 256 for v in reds) / n
         assert r.mean_b == sum((v + 170) % 256 for v in reds) / n
+
+
+def test_decode_np_equals_list_form():
+    """The vectorized decoder (what the Arrow UDF runs) must agree with
+    the readable list-based spec form pixel-for-pixel on both formats,
+    both BMP storage orders, and every padding residue."""
+    import struct
+
+    import numpy as np
+
+    codecs = MM.make_image_codecs()
+    dnp = codecs["decode_image_np"]
+    for w in (1, 2, 3, 4, 5, 13):
+        h = 4
+        px = [((i * 7) % 256, (i * 11) % 256, (i * 13) % 256) for i in range(w * h)]
+        for payload in (MM.encode_bmp(w, h, px), MM.encode_ppm(w, h, px)):
+            wn, hn, raster = dnp(payload)
+            assert (wn, hn) == (w, h)
+            assert [tuple(int(c) for c in p) for p in raster.reshape(-1, 3)] == px
+    # top-down BMP through the np path
+    td = bytearray(_spec_bmp())
+    td[22:26] = struct.pack("<i", -2)
+    _, _, raster = dnp(bytes(td))
+    assert [tuple(map(int, p)) for p in raster.reshape(-1, 3)] == [
+        (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)
+    ]
+    with pytest.raises(ValueError):
+        dnp(MM.encode_ppm(2, 2, [(1, 2, 3)] * 4)[:-1])  # truncated raster
+    assert isinstance(raster, np.ndarray) and raster.dtype == np.uint8
