@@ -556,3 +556,90 @@ def label_centroid_distance(
             )
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    n_clusters: int = 16,
+    threshold: float = 0.6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication" — public arXiv 2303.09540): cluster
+    the corpus with a coarse quantizer, then prune near-duplicates
+    WITHIN each cluster by cosine similarity, keeping one representative
+    per duplicate neighborhood.
+
+    Deterministic contract (hash-gate-portable, no RNG): a vector is
+    REMOVED iff some lower-id vector in the SAME cluster has
+    6-dp-rounded cosine >= `threshold`; `dup_of` is the smallest such
+    id, NULL for survivors. Clusters come from the sampled coarse
+    quantizer (`sample_centroids` + `ivf_assign`, lowest-index argmin
+    tie-break) unless `centroids` overrides them (e.g. KMeans cells
+    from operators.ml). NULL vectors are excluded up front (no cluster,
+    no pair — the ANN family's NULL rule); zero-norm vectors have NULL
+    cosine to everything and therefore always survive.
+
+    Scale: assignment is a map-only projection (k folds per row, no
+    shuffle); the only shuffle is the equi-join on the cluster id, so
+    pair cost is Σ cluster² not n² — and since k is chosen ~n/target
+    cluster size at ingest (SemDeDup's own regime: fixed-size cells as
+    the corpus grows), per-task fan-out stays bounded. Output is one
+    row per non-NULL input vector: (id, cluster, dup_of, keep).
+    """
+    base = corpus.where(F.col(vec_col).isNotNull())
+    if centroids is None:
+        centroids = sample_centroids(base, n_clusters, id_col=id_col, vec_col=vec_col)
+    if not centroids:
+        # all-NULL / empty corpus → no cells → empty result with the
+        # output schema (F.array() of zero centroids is untyped and
+        # breaks the assignment expression — empty-fixture sweep rule)
+        spark = corpus.sparkSession
+        id_t = dict(corpus.dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"{id_col} {id_t}, cluster int, dup_of {id_t}, keep boolean"
+        )
+    assigned = ivf_assign(
+        base.select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")
+        ),
+        centroids,
+        vec_col="__cvec",
+        out_col="__cluster",
+    ).withColumn("__n", _norm(F.col("__cvec")))
+    # Norms/assignments are per-row projections BELOW the join (Catalyst
+    # keeps them there via column pruning — same shape as
+    # cosine_dup_pairs); only the dot product runs per candidate pair.
+    left = assigned.select(
+        F.col(id_col).alias("__id_a"), "__cluster",
+        F.col("__cvec").alias("__va"), F.col("__n").alias("__na"),
+    )
+    right = assigned.select(
+        F.col(id_col).alias("__id_b"), "__cluster",
+        F.col("__cvec").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    sim = F.round(
+        F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0),
+            _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        ),
+        ROUND_DP,
+    )
+    dups = (
+        left.join(right, "__cluster")
+        .where(F.col("__id_b") < F.col("__id_a"))
+        .where(sim >= F.lit(threshold))
+        .groupBy("__id_a")
+        .agg(F.min("__id_b").alias("dup_of"))
+    )
+    return (
+        assigned.select(F.col(id_col), F.col("__cluster").alias("cluster"))
+        .join(dups, F.col(id_col) == F.col("__id_a"), "left")
+        .select(
+            id_col, "cluster", "dup_of", F.col("dup_of").isNull().alias("keep")
+        )
+    )

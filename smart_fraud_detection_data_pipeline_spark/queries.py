@@ -135,6 +135,7 @@ _FRESH = frozenset({
     "doc_winnow", "doc_winnow_pairs",  # int64 fingerprint exchange key
     "embed_srp_ann", "embed_ivf_ann", "embed_ivf_kmeans_ann",  # SQL-string exprs
     "error_burst_window_bucketed",  # NEW: interval-join bucket split
+    "embed_semantic_dedup",         # NEW: SemDeDup keep/remove decision
 })
 
 #: Registry rotation (VERDICT r6 #7): the r5 and r6 driver runs
@@ -2437,6 +2438,22 @@ def q_embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, queries, k=10, n_clusters=16, nprobe=4)
 
 
+@_register("embed_semantic_dedup", None)  # oracle attached below (shared assign CTE)
+def q_embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (public arXiv 2303.09540): sampled-
+    centroid clustering, then within-cluster cosine pruning — a vector
+    is removed iff a lower-id cluster-mate sits at 6-dp cosine ≥ 0.35,
+    `dup_of` the smallest such id. The keep/remove DECISION is the
+    training-data operation (embed_cosine_dups emits the raw pairs);
+    pair cost is Σ cluster², and the oracle recomputes centroid
+    selection, argmin assignment, and the pruning rule from the table
+    alone, so the full compose sits under the hash gate."""
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_clusters=16, threshold=0.35)
+
+
 @_register(
     "user_running_totals_streaming",
     """
@@ -3299,16 +3316,21 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 3
         )
 
 
-def _ivf_oracle_sql(k: int = 10, n_clusters: int = 16, nprobe: int = 4) -> str:
-    """Oracle twin of the sampled-centroid IVF query: centroid selection
-    (every n/k-th vector by id), squared-L2 argmin assignment with
-    lowest-index tie-break, nprobe cell routing, candidate scoring and
-    ranking — all recomputed from the table in SQL."""
-    dist = (
-        "list_sum(list_transform({v}, x -> x*x))"
-        " + list_sum(list_transform(cents.cv, x -> x*x))"
-        " - 2 * list_sum(list_transform(list_zip({v}, cents.cv), z -> z[1]*z[2]))"
-    )
+#: Squared-L2 distance template shared by every sampled-centroid oracle
+#: (expanded ‖x‖²+‖c‖²−2·x·c, mirroring centroid_dist_array).
+_IVF_DIST = (
+    "list_sum(list_transform({v}, x -> x*x))"
+    " + list_sum(list_transform(cents.cv, x -> x*x))"
+    " - 2 * list_sum(list_transform(list_zip({v}, cents.cv), z -> z[1]*z[2]))"
+)
+
+
+def _ivf_assign_cte(n_clusters: int) -> str:
+    """The c/cents/assign CTE block shared by every sampled-centroid
+    oracle (embed_ivf_ann, embed_semantic_dedup): centroid selection
+    (every n/k-th vector by id) and squared-L2 argmin assignment with
+    lowest-index tie-break. ONE builder so the assignment semantics can
+    never drift between oracles (fuzz-sweep shared-branch rule)."""
     return f"""
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE embedding IS NOT NULL),
@@ -3322,11 +3344,19 @@ assign AS (
   SELECT vec_id, v, cidx FROM (
     SELECT c.vec_id, c.v, cents.cidx,
            row_number() OVER (
-             PARTITION BY c.vec_id ORDER BY {dist.format(v='c.v')}, cents.cidx
+             PARTITION BY c.vec_id ORDER BY {_IVF_DIST.format(v='c.v')}, cents.cidx
            ) AS rn
     FROM c CROSS JOIN cents
   ) WHERE rn = 1
-),
+)"""
+
+
+def _ivf_oracle_sql(k: int = 10, n_clusters: int = 16, nprobe: int = 4) -> str:
+    """Oracle twin of the sampled-centroid IVF query: the shared
+    centroid-assignment CTEs plus nprobe cell routing, candidate scoring
+    and ranking — all recomputed from the table in SQL."""
+    dist = _IVF_DIST
+    return f"""{_ivf_assign_cte(n_clusters)},
 q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
 qprobe AS (
   SELECT query_id, qv, cidx FROM (
@@ -3361,6 +3391,40 @@ SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
 for _i, _s in enumerate(_REGISTRY):
     if _s.name == "embed_ivf_ann":
         _REGISTRY[_i] = QuerySpec("embed_ivf_ann", _s.spark_fn, _ivf_oracle_sql())
+        break
+
+
+def _semantic_dedup_oracle_sql(n_clusters: int = 16, threshold: str = "0.35e0") -> str:
+    """Oracle twin of embed_semantic_dedup: the SAME c/cents/assign CTEs
+    as the IVF oracle (one builder — shared-branch rule), then the
+    pruning rule itself: smallest lower-id cluster-mate at
+    6-dp-rounded cosine >= threshold, NULL-cosine (zero-norm) pairs
+    never matching. The threshold literal carries e0 so the comparison
+    is DOUBLE on both engines."""
+    return f"""{_ivf_assign_cte(n_clusters)},
+normed AS (
+  SELECT vec_id, v, cidx,
+         sqrt(list_sum(list_transform(v, x -> x*x))) AS nv
+  FROM assign
+),
+dups AS (
+  SELECT a.vec_id AS vec_id, MIN(b.vec_id) AS dup_of
+  FROM normed a JOIN normed b ON a.cidx = b.cidx AND b.vec_id < a.vec_id
+  WHERE round(CASE WHEN a.nv > 0 AND b.nv > 0
+              THEN list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
+                   / (a.nv * b.nv) END, 6) >= {threshold}
+  GROUP BY a.vec_id
+)
+SELECT n.vec_id, n.cidx AS cluster, d.dup_of, d.dup_of IS NULL AS keep
+FROM normed n LEFT JOIN dups d ON d.vec_id = n.vec_id
+"""
+
+
+for _i, _s in enumerate(_REGISTRY):
+    if _s.name == "embed_semantic_dedup":
+        _REGISTRY[_i] = QuerySpec(
+            "embed_semantic_dedup", _s.spark_fn, _semantic_dedup_oracle_sql()
+        )
         break
 
 

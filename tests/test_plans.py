@@ -666,3 +666,16 @@ def test_interval_bucketed_no_nested_loop(spark, sf_dir):
     c = X.plan_counts(Q["error_burst_window_bucketed"](spark, sf_dir))
     assert c["nested_loop_join"] == 0
     assert c["exchange"] <= 3
+
+
+def test_semantic_dedup_is_cluster_equijoin(spark, sf_dir):
+    """SemDeDup's pair generation must be an EQUI-join on the cluster id
+    (cost Σ cluster², shuffled on the cluster key) — never a nested-loop
+    all-pairs scan — and the survivor join back is broadcastable (the
+    dup list is at most one row per removed vector). Assignment itself
+    is a map-only projection, so the exchange budget stays at the pair
+    join + the per-vector min aggregation."""
+    c = X.plan_counts(Q["embed_semantic_dedup"](spark, sf_dir))
+    assert c["nested_loop_join"] == 0
+    assert c["sort_merge_join"] + c["broadcast_hash_join"] >= 1
+    assert c["exchange"] <= 3

@@ -420,3 +420,45 @@ def test_decode_np_equals_list_form():
     with pytest.raises(ValueError):
         dnp(MM.encode_ppm(2, 2, [(1, 2, 3)] * 4)[:-1])  # truncated raster
     assert isinstance(raster, np.ndarray) and raster.dtype == np.uint8
+
+
+def test_semantic_dedup_contract(spark):
+    """SemDeDup keep/remove decision on a hand-built corpus with explicit
+    centroids: exact/scaled duplicates collapse to the lowest id, the
+    cross-threshold neighbor survives, NULL vectors are excluded, and a
+    zero-norm vector always survives (NULL cosine matches nothing)."""
+    rows = [
+        (1, [1.0, 0.0]),          # cluster 0 representative
+        (2, [1.0, 0.0]),          # exact dup of 1 -> removed, dup_of=1
+        (3, [2.0, 0.0]),          # scaled dup (cosine 1.0) -> dup_of=1
+        (4, [0.6, 0.8]),          # cluster 0? no: nearer [0,1] -> cluster 1
+        (5, [0.0, 1.0]),          # cluster 1; cos(4,5)=0.8 < 0.99 -> both kept
+        (6, [0.0, 0.0]),          # zero norm -> NULL cosine -> kept
+        (7, None),                # NULL vector -> excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.semantic_dedup(
+        df, threshold=0.99, centroids=[[1.0, 0.0], [0.0, 1.0]]
+    ).orderBy("vec_id")
+    got = {r.vec_id: (r.cluster, r.dup_of, r.keep) for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}  # NULL vector dropped
+    assert got[1] == (0, None, True)
+    assert got[2] == (0, 1, False)
+    assert got[3] == (0, 1, False)
+    assert got[4][0] == 1 and got[4][1:] == (None, True)
+    assert got[5] == (1, None, True)
+    assert got[6][1:] == (None, True)  # zero vector survives any threshold
+    # dup_of/keep are two views of one decision
+    assert all((d is None) == k for _, d, k in got.values())
+
+
+def test_semantic_dedup_empty_and_all_null(spark):
+    """Empty / all-NULL corpora short-circuit to an empty frame with the
+    output schema (the assignment expression cannot type an empty
+    centroid array — empty-fixture sweep rule)."""
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = SIM.semantic_dedup(df)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "cluster", "dup_of", "keep"]
+    allnull = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    assert SIM.semantic_dedup(allnull).count() == 0
