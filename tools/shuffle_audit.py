@@ -88,6 +88,10 @@ HEADLINE: dict[str, tuple[str, str]] = {
         "bounded_candidates",
         "(key,bucket) interval join; pair output inherent, fan-out bounded per bucket",
     ),
+    "embed_semantic_dedup": (
+        "bounded_candidates",
+        "cluster equi-join: pair cost Σ cluster², assignment map-only",
+    ),
 }
 
 
