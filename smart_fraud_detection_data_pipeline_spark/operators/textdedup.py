@@ -353,6 +353,49 @@ def minhash_signatures(
     return base.select(F.col(id_col), *sig_cols)
 
 
+def _salted_band_buckets(
+    sets: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """(id, band, key) LSH bucket table from a (id, sh) shingle-set frame.
+
+    ONE builder for every LSH consumer (one-shot pairs AND the
+    incremental index/probe paths) so the salted-md5 signature and band
+    derivation can never drift between them — the Spark-side twin of
+    the oracle's shared-branch rule. Map-only: two chained projections
+    plus a bands-wide explode, no shuffle.
+    """
+    rows = num_perm // bands
+
+    def perm_hash(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"p{i}|"), s).cast("binary"))
+
+    sigs = sets.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("sh"), perm_hash(i))).alias(f"sig_{i}")
+            for i in range(num_perm)
+        ],
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).cast("binary")
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band"), F.col("bk.key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -373,7 +416,6 @@ def minhash_lsh_pairs(
     output deterministic & engine-portable: LSH only decides WHICH
     pairs get scored.
     """
-    rows = num_perm // bands
     # The shingle sets feed BOTH signature generation and candidate
     # verification; without materialization Spark recomputes the
     # tokenize+shingle subtree on each side (measured 10.9s → 6.5s at
@@ -385,34 +427,7 @@ def minhash_lsh_pairs(
         F.col(id_col), F.col("__sh").alias("sh")
     ).localCheckpoint()
 
-    def perm_hash(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"p{i}|"), s).cast("binary"))
-
-    sigs = sets.select(
-        F.col(id_col),
-        *[
-            F.array_min(F.transform(F.col("sh"), perm_hash(i))).alias(f"sig_{i}")
-            for i in range(num_perm)
-        ],
-    )
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).cast("binary")
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(F.col(id_col), *band_cols)
-    bucket = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(F.col(id_col), F.col("bk.band"), F.col("bk.key"))
+    bucket = _salted_band_buckets(sets, id_col, num_perm, bands)
     a = bucket.toDF("id_a", "band", "key")
     b = bucket.toDF("id_b", "band", "key")
     candidates = (
@@ -433,6 +448,118 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_SHINGLE,
+    num_perm: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistent dedup index of a corpus: (buckets, shingle_sets).
+
+    `buckets` is the (id, band, key) LSH table, `shingle_sets` the
+    (id, sh) sets used for exact verification. In production both are
+    written once (partitioned/bucketed by (band, key) resp. id) and
+    re-read for every incoming delta — the index is built O(corpus)
+    ONCE, not per batch; `incremental_minhash_dedup` only ever joins
+    against it.
+    """
+    # an id-less document cannot key an index entry (and could never be
+    # reported as dup_of) — excluded, like NULL text is by the shingler
+    sets = _staged_shingles(
+        df.where(F.col(id_col).isNotNull()), text_col, id_col, n
+    ).select(F.col(id_col), F.col("__sh").alias("sh"))
+    return _salted_band_buckets(sets, id_col, num_perm, bands), sets
+
+
+def incremental_minhash_dedup(
+    base: DataFrame,
+    delta: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_SHINGLE,
+    num_perm: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Cross-snapshot incremental dedup: admit or reject a DELTA batch
+    against an existing corpus index without ever re-pairing the base.
+
+    The production flow at 100 TB: the corpus is deduped once, its
+    MinHash index persisted (`minhash_index`), and each incoming batch
+    is probed against it — work per batch is O(delta) signature
+    generation plus candidate-bounded verification, never O(corpus²)
+    or even O(corpus) re-shuffle (the bucket join streams only the
+    matching (band, key) groups of the index).
+
+    Deterministic contract (hash-gate-portable): a delta document is
+    REJECTED iff some base document, or some LOWER-id delta document,
+    has exact word-n-gram Jaccard >= threshold among its LSH
+    candidates; `dup_of` is the smallest such id, NULL for admitted
+    docs. Base/delta ids must be disjoint. NULL-text delta docs are
+    excluded entirely (no shingles, no membership — the text-op entry
+    rule). Output: one row per non-NULL-text delta doc
+    (id, dup_of, keep).
+
+    ``index`` overrides the internally-built (buckets, sets) pair with
+    a pre-persisted one; ``base`` is ignored when given.
+    """
+    if index is None:
+        index = minhash_index(
+            base, text_col=text_col, id_col=id_col, n=n,
+            num_perm=num_perm, bands=bands,
+        )
+    base_buckets, base_sets = index
+    # Delta sets feed signatures AND verification (same CSE hazard as
+    # the one-shot path) — materialize once. NULL-id delta docs are
+    # excluded like the index side: without a key there is nothing to
+    # admit or reject deterministically.
+    delta_sets = _staged_shingles(
+        delta.where(F.col(id_col).isNotNull()), text_col, id_col, n
+    ).select(F.col(id_col), F.col("__sh").alias("sh")).localCheckpoint()
+    delta_buckets = _salted_band_buckets(delta_sets, id_col, num_perm, bands)
+
+    d = delta_buckets.toDF("id_d", "band", "key")
+    others = base_buckets.toDF("id_o", "band", "key").withColumn(
+        "side", F.lit(0)
+    ).unionByName(
+        delta_buckets.toDF("id_o", "band", "key").withColumn("side", F.lit(1))
+    )
+    candidates = (
+        d.join(others, ["band", "key"])
+        # every base match counts; delta-internal matches only earlier ids
+        .where((F.col("side") == 0) | (F.col("id_o") < F.col("id_d")))
+        .select("id_d", "id_o")
+        .distinct()
+    )
+    sd = delta_sets.toDF("id_d", "sh_d")
+    so = base_sets.select(F.col(id_col), F.col("sh")).unionByName(
+        delta_sets
+    ).toDF("id_o", "sh_o")
+    inter = F.size(F.array_intersect("sh_d", "sh_o"))
+    dups = (
+        candidates.join(sd, "id_d")
+        .join(so, "id_o")
+        .withColumn("__inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.size("sh_d") + F.size("sh_o") - F.col("__inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .groupBy("id_d")
+        .agg(F.min("id_o").alias("dup_of"))
+    )
+    return (
+        delta_sets.select(F.col(id_col))
+        .join(dups, F.col(id_col) == F.col("id_d"), "left")
+        .select(id_col, "dup_of", F.col("dup_of").isNull().alias("keep"))
     )
 
 

@@ -136,6 +136,8 @@ _FRESH = frozenset({
     "embed_srp_ann", "embed_ivf_ann", "embed_ivf_kmeans_ann",  # SQL-string exprs
     "error_burst_window_bucketed",  # NEW: interval-join bucket split
     "embed_semantic_dedup",         # NEW: SemDeDup keep/remove decision
+    "doc_dedup_incremental",        # NEW: cross-snapshot index probe
+    "doc_minhash_lsh",              # bucket derivation refactored (shared builder)
 })
 
 #: Registry rotation (VERDICT r6 #7): the r5 and r6 driver runs
@@ -786,8 +788,12 @@ def q_doc_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql(num_perm: int, bands: int, threshold: float) -> str:
-    """DuckDB twin of minhash_lsh_pairs, generated from the same constants."""
+def _minhash_bucket_ctes(num_perm: int, bands: int) -> str:
+    """The sigs/banded/buckets CTE block shared by the one-shot and
+    incremental MinHash oracles (ONE builder — shared-branch rule): the
+    salted-md5 signatures, band hashes, and the exploded (doc, band,
+    key) bucket table, generated from the same constants as the Spark
+    side's _salted_band_buckets."""
     rows = num_perm // bands
     sig_exprs = ",\n         ".join(
         f"min(md5('p{i}|' || shingle)) AS sig_{i}" for i in range(num_perm)
@@ -799,9 +805,7 @@ def _minhash_sql(num_perm: int, bands: int, threshold: float) -> str:
     bucket_union = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, band_{b} AS key FROM banded" for b in range(bands)
     )
-    return f"""
-WITH {_SQL_SHINGLE_CTES},
-sigs AS (
+    return f"""sigs AS (
   SELECT doc_id,
          {sig_exprs}
   FROM sh GROUP BY doc_id
@@ -813,7 +817,14 @@ banded AS (
 ),
 buckets AS (
 {bucket_union}
-),
+)"""
+
+
+def _minhash_sql(num_perm: int, bands: int, threshold: float) -> str:
+    """DuckDB twin of minhash_lsh_pairs, generated from the same constants."""
+    return f"""
+WITH {_SQL_SHINGLE_CTES},
+{_minhash_bucket_ctes(num_perm, bands)},
 candidates AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b
@@ -837,6 +848,60 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return TD.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def _minhash_incremental_sql(num_perm: int, bands: int, threshold: float) -> str:
+    """Oracle twin of doc_dedup_incremental: the SAME shingle and
+    sigs/banded/buckets CTEs as the one-shot oracle (one builder each),
+    then the incremental contract — a delta doc (doc_id % 5 = 0,
+    null-safely FALSE for NULL ids) is rejected iff an LSH candidate
+    that is a base doc or a lower-id delta doc verifies at exact
+    Jaccard >= threshold. `jacc` holds every ordered pair once
+    (id_a < id_b), so candidate pairs look up via least/greatest."""
+    return f"""
+WITH {_SQL_SHINGLE_CTES},
+{_minhash_bucket_ctes(num_perm, bands)},
+delta AS (
+  SELECT doc_id FROM documents
+  WHERE COALESCE(doc_id % 5 = 0, FALSE) AND text IS NOT NULL
+),
+candidates AS (
+  SELECT DISTINCT d.doc_id AS id_d, o.doc_id AS id_o
+  FROM buckets d
+  JOIN delta dd ON d.doc_id = dd.doc_id
+  JOIN buckets o ON o.band = d.band AND o.key = d.key AND o.doc_id <> d.doc_id
+  WHERE NOT COALESCE(o.doc_id % 5 = 0, FALSE) OR o.doc_id < d.doc_id
+),
+dups AS (
+  SELECT c.id_d, MIN(c.id_o) AS dup_of
+  FROM candidates c
+  JOIN jacc j ON j.id_a = least(c.id_d, c.id_o)
+             AND j.id_b = greatest(c.id_d, c.id_o)
+  WHERE j.jaccard >= {threshold}
+  GROUP BY c.id_d
+)
+SELECT dd.doc_id, dups.dup_of, dups.dup_of IS NULL AS keep
+FROM delta dd LEFT JOIN dups ON dups.id_d = dd.doc_id
+"""
+
+
+@_register(
+    "doc_dedup_incremental",
+    _minhash_incremental_sql(TD.DEFAULT_PERMS, TD.DEFAULT_BANDS, 0.5),
+)
+def q_doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: the 20% of documents with
+    doc_id % 5 = 0 arrive as a DELTA batch and are admitted/rejected
+    against the MinHash index of the other 80% (plus earlier delta
+    docs) — the production flow where the corpus is indexed ONCE and
+    every incoming batch costs O(delta), never a corpus re-pair. The
+    split predicate is null-safe on both engines (NULL doc_id routes
+    to base; NULL-safe-routing rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.coalesce((F.col("doc_id") % 5) == 0, F.lit(False))
+    return TD.incremental_minhash_dedup(
+        docs.where(~is_delta), docs.where(is_delta), threshold=0.5
     )
 
 

@@ -679,3 +679,16 @@ def test_semantic_dedup_is_cluster_equijoin(spark, sf_dir):
     assert c["nested_loop_join"] == 0
     assert c["sort_merge_join"] + c["broadcast_hash_join"] >= 1
     assert c["exchange"] <= 3
+
+
+def test_incremental_dedup_probe_shape(spark, sf_dir):
+    """Incremental dedup must stay candidate-bounded: the probe is an
+    EQUI-join on (band, key) — never a nested loop — and the whole
+    admit/reject decision fits a bounded exchange budget (delta
+    buckets + candidate dedup + verification joins). The base corpus
+    is never self-paired; its only appearance is as the probed side of
+    the bucket join."""
+    c = X.plan_counts(Q["doc_dedup_incremental"](spark, sf_dir))
+    assert c["nested_loop_join"] == 0
+    assert c["sort_merge_join"] + c["broadcast_hash_join"] >= 2
+    assert c["exchange"] <= 5

@@ -268,3 +268,57 @@ def test_tfidf_cosine_pairs_semantics(spark):
     assert out[(1, 2)] == 1.0
     assert 0.1 <= out[(1, 3)] < 1.0 and out[(1, 3)] == out[(2, 3)]
     assert all(4 not in p for p in out)
+
+
+def test_incremental_dedup_contract(spark):
+    """Incremental admit/reject against a base index: a delta doc that
+    near-dups a base doc is rejected with dup_of = that base id; a
+    delta doc that near-dups only a LATER delta doc survives while the
+    later one is rejected against it; base docs never appear in the
+    output; NULL-text and NULL-id delta docs are excluded."""
+    base = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=20, text="entirely unrelated base content about spark engines"),
+            Row(doc_id=None, text="the quick brown fox jumps over the lazy dog"),
+        ]
+    )
+    delta = spark.createDataFrame(
+        [
+            # exact copy of base 10 -> rejected, dup_of=10
+            Row(doc_id=31, text="the quick brown fox jumps over the lazy dog"),
+            # novel -> admitted
+            Row(doc_id=32, text="completely fresh delta document with new words"),
+            # copy of 32 (a LOWER delta id) -> rejected, dup_of=32
+            Row(doc_id=33, text="completely fresh delta document with new words"),
+            Row(doc_id=34, text=None),   # NULL text -> excluded
+            Row(doc_id=None, text="id-less delta doc"),  # NULL id -> excluded
+        ]
+    )
+    out = TD.incremental_minhash_dedup(base, delta, threshold=0.5)
+    got = {r.doc_id: (r.dup_of, r.keep) for r in out.collect()}
+    assert set(got) == {31, 32, 33}
+    assert got[31] == (10, False)   # base match wins (not the NULL-id copy)
+    assert got[32] == (None, True)
+    assert got[33] == (32, False)   # earlier-delta match
+    assert all((d is None) == k for d, k in got.values())
+
+
+def test_incremental_dedup_prebuilt_index_and_empty_delta(spark):
+    """The prebuilt-index path must equal the build-from-base path (the
+    production flow persists the index once), and an empty delta yields
+    an empty frame with the output schema."""
+    base = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta epsilon zeta")]
+    )
+    delta = spark.createDataFrame(
+        [Row(doc_id=2, text="alpha beta gamma delta epsilon zeta")]
+    )
+    idx = TD.minhash_index(base)
+    via_index = TD.incremental_minhash_dedup(None, delta, index=idx)
+    via_base = TD.incremental_minhash_dedup(base, delta)
+    assert via_index.collect() == via_base.collect()
+    empty = delta.limit(0)
+    out = TD.incremental_minhash_dedup(base, empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "dup_of", "keep"]

@@ -92,6 +92,10 @@ HEADLINE: dict[str, tuple[str, str]] = {
         "bounded_candidates",
         "cluster equi-join: pair cost Σ cluster², assignment map-only",
     ),
+    "doc_dedup_incremental": (
+        "bounded_candidates",
+        "(band,key) index probe: delta-side work only, base never re-paired",
+    ),
 }
 
 
