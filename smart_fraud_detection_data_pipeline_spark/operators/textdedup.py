@@ -488,6 +488,7 @@ def incremental_minhash_dedup(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     index: tuple[DataFrame, DataFrame] | None = None,
+    within_delta: bool = True,
 ) -> DataFrame:
     """Cross-snapshot incremental dedup: admit or reject a DELTA batch
     against an existing corpus index without ever re-pairing the base.
@@ -510,6 +511,11 @@ def incremental_minhash_dedup(
 
     ``index`` overrides the internally-built (buckets, sets) pair with
     a pre-persisted one; ``base`` is ignored when given.
+    ``within_delta=False`` restricts rejection to BASE matches only —
+    the contract for batch-split-independent streaming ingest, where
+    each micro-batch is probed against the index in isolation (a
+    delta-internal rule would make the output depend on where the
+    micro-batch boundary fell).
     """
     if index is None:
         index = minhash_index(
@@ -527,11 +533,11 @@ def incremental_minhash_dedup(
     delta_buckets = _salted_band_buckets(delta_sets, id_col, num_perm, bands)
 
     d = delta_buckets.toDF("id_d", "band", "key")
-    others = base_buckets.toDF("id_o", "band", "key").withColumn(
-        "side", F.lit(0)
-    ).unionByName(
-        delta_buckets.toDF("id_o", "band", "key").withColumn("side", F.lit(1))
-    )
+    others = base_buckets.toDF("id_o", "band", "key").withColumn("side", F.lit(0))
+    if within_delta:
+        others = others.unionByName(
+            delta_buckets.toDF("id_o", "band", "key").withColumn("side", F.lit(1))
+        )
     candidates = (
         d.join(others, ["band", "key"])
         # every base match counts; delta-internal matches only earlier ids
@@ -540,9 +546,10 @@ def incremental_minhash_dedup(
         .distinct()
     )
     sd = delta_sets.toDF("id_d", "sh_d")
-    so = base_sets.select(F.col(id_col), F.col("sh")).unionByName(
-        delta_sets
-    ).toDF("id_o", "sh_o")
+    so = base_sets.select(F.col(id_col), F.col("sh"))
+    if within_delta:
+        so = so.unionByName(delta_sets)
+    so = so.toDF("id_o", "sh_o")
     inter = F.size(F.array_intersect("sh_d", "sh_o"))
     dups = (
         candidates.join(sd, "id_d")

@@ -137,6 +137,7 @@ _FRESH = frozenset({
     "error_burst_window_bucketed",  # NEW: interval-join bucket split
     "embed_semantic_dedup",         # NEW: SemDeDup keep/remove decision
     "doc_dedup_incremental",        # NEW: cross-snapshot index probe
+    "dedup_incremental_streaming",  # NEW: streaming ingest probe
     "doc_minhash_lsh",              # bucket derivation refactored (shared builder)
 })
 
@@ -150,6 +151,8 @@ _FRESH = frozenset({
 #: budget. ~31 further uncovered names roll to round 8's rotation.
 _DRIVER_UNCHECKED = frozenset({
     # round-7-changed (also in _FRESH; ordered first via _FRESH_PRIORITY)
+    "embed_semantic_dedup", "doc_dedup_incremental",
+    "dedup_incremental_streaming",
     "asof_last_purchase_bucketed", "multimodal_image_decode",
     "user_spend_trends_approx", "value_quantiles_approx",
     "doc_winnow", "doc_winnow_pairs", "embed_srp_ann",
@@ -179,6 +182,9 @@ _DRIVER_UNCHECKED = frozenset({
 #: first (riskiest first) so a budget-truncated run still hashes every
 #: changed query before re-certifying stable ones.
 _FRESH_PRIORITY = (
+    "embed_semantic_dedup",         # brand-new operator + oracle
+    "doc_dedup_incremental",        # brand-new operator + oracle
+    "dedup_incremental_streaming",  # brand-new streaming flow
     "multimodal_image_decode",      # brand-new operator + oracle
     "asof_last_purchase_bucketed",  # new code path under the gate
     "error_burst_window_bucketed",  # new code path under the gate
@@ -851,14 +857,20 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_incremental_sql(num_perm: int, bands: int, threshold: float) -> str:
-    """Oracle twin of doc_dedup_incremental: the SAME shingle and
-    sigs/banded/buckets CTEs as the one-shot oracle (one builder each),
-    then the incremental contract — a delta doc (doc_id % 5 = 0,
-    null-safely FALSE for NULL ids) is rejected iff an LSH candidate
-    that is a base doc or a lower-id delta doc verifies at exact
-    Jaccard >= threshold. `jacc` holds every ordered pair once
-    (id_a < id_b), so candidate pairs look up via least/greatest."""
+def _minhash_incremental_sql(
+    num_perm: int, bands: int, threshold: float, within_delta: bool = True
+) -> str:
+    """Oracle twin of doc_dedup_incremental (+ its streaming variant):
+    the SAME shingle and sigs/banded/buckets CTEs as the one-shot oracle
+    (one builder each), then the incremental contract — a delta doc
+    (doc_id % 5 = 0, null-safely FALSE for NULL ids) is rejected iff an
+    LSH candidate that is a base doc or (within_delta) a lower-id delta
+    doc verifies at exact Jaccard >= threshold. `jacc` holds every
+    ordered pair once (id_a < id_b), so candidate pairs look up via
+    least/greatest."""
+    other_pred = "NOT COALESCE(o.doc_id % 5 = 0, FALSE)"
+    if within_delta:
+        other_pred += " OR o.doc_id < d.doc_id"
     return f"""
 WITH {_SQL_SHINGLE_CTES},
 {_minhash_bucket_ctes(num_perm, bands)},
@@ -871,7 +883,7 @@ candidates AS (
   FROM buckets d
   JOIN delta dd ON d.doc_id = dd.doc_id
   JOIN buckets o ON o.band = d.band AND o.key = d.key AND o.doc_id <> d.doc_id
-  WHERE NOT COALESCE(o.doc_id % 5 = 0, FALSE) OR o.doc_id < d.doc_id
+  WHERE {other_pred}
 ),
 dups AS (
   SELECT c.id_d, MIN(c.id_o) AS dup_of
@@ -903,6 +915,83 @@ def q_doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.incremental_minhash_dedup(
         docs.where(~is_delta), docs.where(is_delta), threshold=0.5
     )
+
+
+@_register(
+    "dedup_incremental_streaming",
+    _minhash_incremental_sql(TD.DEFAULT_PERMS, TD.DEFAULT_BANDS, 0.5, within_delta=False),
+)
+def q_dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup ingest flow through Structured Streaming:
+    the corpus index is persisted ONCE to parquet (the production
+    shape), then delta documents arrive as a 2-file stream and every
+    micro-batch is probed against the re-read index inside foreachBatch
+    — the same candidate-bounded batch operator, base-only rejection
+    (within_delta=False) so the appended output is independent of where
+    the micro-batch boundary falls and equals one batch probe of the
+    full delta. At 100 TB the index read is a bucketed table and each
+    batch costs O(batch); nothing ever re-pairs the corpus."""
+    import os
+
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.coalesce((F.col("doc_id") % 5) == 0, F.lit(False))
+    delta = docs.where(is_delta)
+    out_schema = "doc_id bigint, dup_of bigint, keep boolean"
+    if delta.isEmpty():
+        # nothing arrives: a zero-row staged write would leave a dir
+        # that fails schema inference (empty-fixture sweep rule)
+        return spark.createDataFrame([], out_schema)
+    tmp = _scratch("inc_dedup_stream_")
+    # 1. persist the corpus index once (what production keeps on disk);
+    #    read_or_empty guards the all-delta corner where the base has
+    #    no indexable docs at all
+    buckets, sets = TD.minhash_index(docs.where(~is_delta))
+    if sets.isEmpty():
+        # all-delta corner: nothing to persist (a zero-row write leaves
+        # a footer-less dir that fails schema inference) — probe against
+        # the empty in-memory frames instead
+        index = (buckets, sets)
+    else:
+        bpath = os.path.join(tmp, "idx_buckets")
+        spath = os.path.join(tmp, "idx_sets")
+        buckets.coalesce(1).write.parquet(bpath)
+        sets.coalesce(1).write.parquet(spath)
+        index = (spark.read.parquet(bpath), spark.read.parquet(spath))
+    # 2. stage the delta as TWO files so availableNow takes two
+    #    micro-batches (multi-batch behavior, not a single-batch alias)
+    dsrc = os.path.join(tmp, "delta_src")
+    half = F.coalesce((F.col("doc_id") % 10) == 0, F.lit(False))
+    delta.where(half).coalesce(1).write.mode("append").parquet(dsrc)
+    delta.where(~half).coalesce(1).write.mode("append").parquet(dsrc)
+    schema = spark.read.parquet(dsrc).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dsrc)
+    )
+    out_path = os.path.join(tmp, "out")
+    write_batch = SK.parquet_batch_sink(out_path, partitions=None)
+
+    def probe(batch_df, batch_id):
+        write_batch(
+            TD.incremental_minhash_dedup(
+                None, batch_df, threshold=0.5, index=index, within_delta=False
+            ),
+            batch_id,
+        )
+
+    q = SK.start_foreach_batch(
+        stream,
+        probe,
+        os.path.join(tmp, "ckpt"),
+        output_mode="append",
+        available_now=True,
+        query_name="dedup_incremental_streaming",
+    )
+    SK.await_or_raise(q)
+    return SK.read_or_empty(spark, out_path, spark.createDataFrame([], out_schema))
 
 
 @_register("doc_simhash", None)  # hex→int (conv) has no DuckDB equivalent
