@@ -63,6 +63,87 @@ def split_assign(
     return df.withColumn("bucket", bucket).withColumn("split", split)
 
 
+MIX_RESOLUTION = 1_000_000
+
+
+def mix_bucket(id_col: Column, *, salt: str = "") -> Column:
+    """Deterministic 0..999999 bucket from md5 of the id (+ salt) — the
+    fine-grained twin of split_bucket for per-source sampling rates."""
+    digest = F.md5(F.concat(id_col.cast("string"), F.lit(salt)))
+    return F.pmod(
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint"),
+        F.lit(MIX_RESOLUTION),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    frac: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic temperature-weighted source mixing — the data-mixing
+    step of corpus assembly (multinomial temperature sampling as in
+    public multilingual-LM recipes: target share of source s ∝ n_s^alpha,
+    alpha<1 upsamples small sources relative to their natural share).
+
+    Realized by per-source SUBSAMPLING, no RNG: source s keeps a doc iff
+    md5-bucket(id) < thr_s, where thr_s encodes the acceptance rate
+    r_s = min(1, frac·N·p_s / n_s) with p_s = w_s / Σw and
+    w_s = pow(n_s, alpha). Engine-portability discipline: pow output is
+    6-dp-quantized (floor(x·1e6+0.5)/1e6 — the transcendental rule), Σw
+    runs in DECIMAL (order-independent), and the acceptance test is an
+    INTEGER comparison (bucket < floor(r·1e6+0.5)), so the keep set is
+    bit-identical across engines and runs.
+
+    Scale: one count aggregation (map-side partial), a handful-of-rows
+    rate table broadcast back — the corpus itself never shuffles; the
+    decision is a map-only projection. The join back is NULL-SAFE on
+    the source key (a NULL source is its own stratum; isin()/equi-join
+    would silently drop it — routing rule). NULL ids hash to NULL and
+    are never kept (no deterministic bucket to keep them by). Output:
+    (id, source, mix_thr, kept) for every input row.
+    """
+    counts = df.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = F.floor(
+        F.pow(F.col("__n").cast("double"), F.lit(alpha)) * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    wts = counts.withColumn("__w", w)
+    tot = wts.agg(
+        F.sum(F.col("__w").cast("decimal(28,6)")).cast("double").alias("__tw"),
+        F.sum("__n").cast("double").alias("__tn"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(frac) * F.col("__tn"))
+        * (F.col("__w") / F.col("__tw"))
+        / F.col("__n").cast("double"),
+    )
+    thr = F.floor(rate * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    rates = wts.crossJoin(F.broadcast(tot)).select(
+        "__src", thr.alias("mix_thr")
+    )
+    bucket = mix_bucket(F.col(id_col), salt=salt)
+    return (
+        df.join(
+            F.broadcast(rates),
+            F.col(source_col).eqNullSafe(F.col("__src")),
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col("mix_thr"),
+            F.coalesce(bucket < F.col("mix_thr"), F.lit(False)).alias("kept"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,

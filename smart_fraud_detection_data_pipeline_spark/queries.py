@@ -138,7 +138,9 @@ _FRESH = frozenset({
     "embed_semantic_dedup",         # NEW: SemDeDup keep/remove decision
     "doc_dedup_incremental",        # NEW: cross-snapshot index probe
     "dedup_incremental_streaming",  # NEW: streaming ingest probe
+    "doc_mix_temperature",          # NEW: temperature source mixing
     "doc_minhash_lsh",              # bucket derivation refactored (shared builder)
+    "doc_split_assign",             # bucket-fold oracle refactored (shared builder)
 })
 
 #: Registry rotation (VERDICT r6 #7): the r5 and r6 driver runs
@@ -152,7 +154,7 @@ _FRESH = frozenset({
 _DRIVER_UNCHECKED = frozenset({
     # round-7-changed (also in _FRESH; ordered first via _FRESH_PRIORITY)
     "embed_semantic_dedup", "doc_dedup_incremental",
-    "dedup_incremental_streaming",
+    "dedup_incremental_streaming", "doc_mix_temperature",
     "asof_last_purchase_bucketed", "multimodal_image_decode",
     "user_spend_trends_approx", "value_quantiles_approx",
     "doc_winnow", "doc_winnow_pairs", "embed_srp_ann",
@@ -185,6 +187,7 @@ _FRESH_PRIORITY = (
     "embed_semantic_dedup",         # brand-new operator + oracle
     "doc_dedup_incremental",        # brand-new operator + oracle
     "dedup_incremental_streaming",  # brand-new streaming flow
+    "doc_mix_temperature",          # brand-new operator + oracle
     "multimodal_image_decode",      # brand-new operator + oracle
     "asof_last_purchase_bucketed",  # new code path under the gate
     "error_burst_window_bucketed",  # new code path under the gate
@@ -1115,22 +1118,27 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_bucket_sql(id_expr: str, mod: int) -> str:
+    """The md5-prefix hash bucket as SQL text — the hex fold replaces
+    Spark's conv(), which DuckDB lacks. ONE builder for every bucket
+    consumer (split_assign's 0-99 buckets, temperature_mix's 0-999999
+    acceptance buckets) so the digit fold can never drift between
+    oracles (shared-branch rule)."""
+    return (
+        "CAST(list_sum(list_transform(generate_series(1, 8),\n"
+        "              i -> (strpos('0123456789abcdef',\n"
+        f"                           substr(md5(CAST({id_expr} AS VARCHAR)), i, 1)) - 1)\n"
+        f"                   * power(16.0e0, 8 - i))) AS BIGINT) % {mod}"
+    )
+
+
 @_register(
     "doc_split_assign",
-    """
+    f"""
 SELECT doc_id,
-       CAST(list_sum(list_transform(generate_series(1, 8),
-              i -> (strpos('0123456789abcdef',
-                           substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-                   * power(16.0e0, 8 - i))) AS BIGINT) % 100 AS bucket,
-       CASE WHEN CAST(list_sum(list_transform(generate_series(1, 8),
-                     i -> (strpos('0123456789abcdef',
-                                  substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-                          * power(16.0e0, 8 - i))) AS BIGINT) % 100 < 80 THEN 'train'
-            WHEN CAST(list_sum(list_transform(generate_series(1, 8),
-                     i -> (strpos('0123456789abcdef',
-                                  substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-                          * power(16.0e0, 8 - i))) AS BIGINT) % 100 < 90 THEN 'val'
+       {_md5_bucket_sql('doc_id', 100)} AS bucket,
+       CASE WHEN {_md5_bucket_sql('doc_id', 100)} < 80 THEN 'train'
+            WHEN {_md5_bucket_sql('doc_id', 100)} < 90 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
 """,
@@ -1143,6 +1151,46 @@ def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's conv(), which DuckDB lacks)."""
     docs = load_table(spark, sf_dir, "documents")
     return DS.split_assign(docs).select("doc_id", "bucket", "split")
+
+
+@_register(
+    "doc_mix_temperature",
+    f"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+wts AS (
+  SELECT source, n,
+         floor(pow(CAST(n AS DOUBLE), 0.5e0) * 1e6 + 0.5e0) / 1e6 AS w
+  FROM counts
+),
+tot AS (
+  SELECT CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS tw,
+         CAST(SUM(n) AS DOUBLE) AS tn
+  FROM wts
+),
+rates AS (
+  SELECT source,
+         CAST(floor(least(1.0e0, (0.5e0 * tn) * (w / tw) / CAST(n AS DOUBLE))
+                    * 1e6 + 0.5e0) AS BIGINT) AS mix_thr
+  FROM wts CROSS JOIN tot
+)
+SELECT d.doc_id, d.source, r.mix_thr,
+       COALESCE({_md5_bucket_sql('d.doc_id', 1000000)} < r.mix_thr, FALSE) AS kept
+FROM documents d LEFT JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
+""",
+)
+def q_doc_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (alpha=0.5, target half the
+    corpus): the corpus-assembly step that upsamples small sources
+    toward n^alpha shares, realized as deterministic per-source
+    md5-bucket subsampling — no RNG, bit-identical keep set across
+    engines (quantized pow, DECIMAL weight sum, integer acceptance
+    test). The rate table is a broadcast dim; the corpus never
+    shuffles. NULL source is its own stratum (null-safe join on both
+    sides — routing rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DS.temperature_mix(docs, alpha=0.5, frac=0.5)
 
 
 _PACK_BUDGET = 512

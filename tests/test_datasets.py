@@ -91,3 +91,47 @@ def test_split_is_map_only_and_packing_single_shuffle(spark, sf_dir):
     # one hash partition on shard; the (shard, bin_id) window reuses it
     assert pack["exchange"] == 1
     assert pack["sort_merge_join"] == 0
+
+
+def test_temperature_mix_upsamples_small_sources(spark):
+    """alpha=0.5 on a skewed corpus: the big source subsamples while the
+    small source saturates at keep-everything (rate>1 → thr 10^6). The
+    big source counts 17 rows (16 + a NULL-id row — strata count ALL
+    their rows): w=(√17,1,1)→tw≈6.123106, tn=19, rate_big =
+    9.5·(4.123106/6.123106)/17 = 0.3762935… → thr 376294. NULL id is
+    never kept (no deterministic bucket); NULL source is its own
+    stratum; every kept decision equals the bucket rule exactly."""
+    rows = [(i, "big") for i in range(1, 17)] + [(100, "small"), (None, "big"), (200, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = DS.temperature_mix(df, alpha=0.5, frac=0.5)
+    got = {(r.doc_id, r.source): (r.mix_thr, r.kept) for r in out.collect()}
+    assert len(got) == len(rows)
+    assert got[(100, "small")] == (1000000, True)   # saturated: always kept
+    assert got[(None, "big")][1] is False           # NULL id -> never kept
+    assert got[(200, None)][0] is not None          # NULL source has a rate
+    big_thr = got[(1, "big")][0]
+    assert big_thr == 376294
+    # the keep decision is exactly the integer bucket rule
+    kept_rule = {
+        r.doc_id: r.bucket < big_thr
+        for r in df.where("source = 'big' AND doc_id IS NOT NULL")
+        .select("doc_id", DS.mix_bucket(F.col("doc_id")).alias("bucket"))
+        .collect()
+    }
+    for (did, src), (_, kept) in got.items():
+        if src == "big" and did is not None:
+            assert kept == kept_rule[did]
+
+
+def test_temperature_mix_is_broadcast_only(spark, sf_dir):
+    """The corpus never shuffles: rates are a broadcast dim, the
+    decision a map-only projection — only the tiny count/total
+    aggregations exchange."""
+    from smart_fraud_detection_data_pipeline_spark.queries import registry
+
+    Q = {s.name: s.spark_fn for s in registry()}
+    c = X.plan_counts(Q["doc_mix_temperature"](spark, sf_dir))
+    assert c["broadcast_hash_join"] >= 1
+    # the one nested loop is the 1-row totals crossJoin — scalar and free
+    assert c["nested_loop_join"] <= 1
+    assert c["sort_merge_join"] == 0
