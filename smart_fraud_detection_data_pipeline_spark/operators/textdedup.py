@@ -478,7 +478,7 @@ def minhash_index(
 
 
 def incremental_minhash_dedup(
-    base: DataFrame,
+    base: DataFrame | None,
     delta: DataFrame,
     *,
     text_col: str = "text",
