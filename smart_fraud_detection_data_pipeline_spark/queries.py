@@ -139,6 +139,7 @@ _FRESH = frozenset({
     "doc_dedup_incremental",        # NEW: cross-snapshot index probe
     "dedup_incremental_streaming",  # NEW: streaming ingest probe
     "doc_mix_temperature",          # NEW: temperature source mixing
+    "user_distinct_sketch_rollup",  # rows-only -> self-checking hash gate
     "doc_minhash_lsh",              # bucket derivation refactored (shared builder)
     "doc_split_assign",             # bucket-fold oracle refactored (shared builder)
 })
@@ -155,6 +156,7 @@ _DRIVER_UNCHECKED = frozenset({
     # round-7-changed (also in _FRESH; ordered first via _FRESH_PRIORITY)
     "embed_semantic_dedup", "doc_dedup_incremental",
     "dedup_incremental_streaming", "doc_mix_temperature",
+    "user_distinct_sketch_rollup",
     "asof_last_purchase_bucketed", "multimodal_image_decode",
     "user_spend_trends_approx", "value_quantiles_approx",
     "doc_winnow", "doc_winnow_pairs", "embed_srp_ann",
@@ -188,6 +190,7 @@ _FRESH_PRIORITY = (
     "doc_dedup_incremental",        # brand-new operator + oracle
     "dedup_incremental_streaming",  # brand-new streaming flow
     "doc_mix_temperature",          # brand-new operator + oracle
+    "user_distinct_sketch_rollup",  # new self-check contract
     "multimodal_image_decode",      # brand-new operator + oracle
     "asof_last_purchase_bucketed",  # new code path under the gate
     "error_burst_window_bucketed",  # new code path under the gate
@@ -6278,7 +6281,18 @@ def q_user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("user_distinct_sketch_rollup", None)  # sketch-based → approximate
+@_register(
+    "user_distinct_sketch_rollup",
+    """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(DISTINCT CAST(ts AS DATE))
+         + CASE WHEN bool_or(ts IS NULL) THEN 1 ELSE 0 END AS n_days,
+       TRUE AS within_rsd
+FROM events
+GROUP BY event_type
+""",
+)
 def q_user_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count STATE (DataSketches HLL, Spark 4
     hll_sketch_agg / hll_union_agg): per-day sketches of distinct users
@@ -6287,20 +6301,43 @@ def q_user_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     COUNT(DISTINCT) recomputation at 100 TB (store a sketch per
     partition-day; a new day merges in O(sketch) instead of rescanning
     history; contrast user_spend_trends_incremental, which re-adds
-    exact counts only because its windows are disjoint). Rows-only:
-    DuckDB has no DataSketches twin; the merge-vs-direct contract is
-    pinned in tests/test_trends.py instead."""
+    exact counts only because its windows are disjoint).
+
+    SELF-CHECKING (the user_spend_trends_approx pattern, closing the
+    last convertible rows-only entry): the sketch estimate is not
+    cross-engine hashable, so the query ALSO computes the exact
+    distinct count and emits ``within_rsd`` — |union-estimate − exact|
+    ≤ max(2, 5% of exact) (3σ of lgK=12's ~1.6% rse plus an absolute
+    floor; HLL is exact in sparse mode anyway). The oracle recomputes
+    the exact side + the day count and asserts TRUE — a sketch or a
+    union drifting out of its guarantee flips the hash gate.
+    DataSketches is hash-deterministic per dataset, so the boolean
+    cannot flake. The merge-vs-direct estimate contract stays pinned in
+    tests/test_trends.py. NULL-ts rows form their own "day" bucket (the
+    rollup is a batch GROUP BY, not a time window — the oracle counts
+    that bucket explicitly); the event_type join is null-safe (routing
+    rule)."""
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.withColumn("day", F.to_date("ts"))
         .groupBy("event_type", "day")
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
     )
+    merged = daily.groupBy(F.col("event_type").alias("__et")).agg(
+        F.coalesce(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")), F.lit(0)
+        ).alias("__approx"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    err = F.abs(F.col("__approx") - F.col("exact_users"))
+    tol = F.greatest(F.lit(2.0), F.col("exact_users") * F.lit(0.05))
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_days"),
+        exact.join(merged, F.col("event_type").eqNullSafe(F.col("__et")))
+        .select(
+            "event_type", "exact_users", "n_days", (err <= tol).alias("within_rsd")
         )
     )
 
