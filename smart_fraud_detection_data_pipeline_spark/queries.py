@@ -161,15 +161,18 @@ _DRIVER_UNCHECKED = frozenset({
     "user_spend_trends_approx", "value_quantiles_approx",
     "doc_winnow", "doc_winnow_pairs", "embed_srp_ann",
     "embed_ivf_ann", "embed_ivf_kmeans_ann", "error_burst_window_bucketed",
-    # never certified by the r5/r6 driver runs — cheap
-    "fraud_enrich", "scan_filter_project", "pricing_summary",
-    "category_trends", "user_spend_trends", "session_windows",
-    "sliding_window_trends", "doc_profile", "doc_dedup_exact",
+    # never certified by the r5/r6 driver runs — cheap. (Five of the
+    # lowest-risk names — scan_filter_project, pricing_summary,
+    # category_trends, sliding_window_trends, user_value_ohlc — rolled
+    # to round 8 when the five round-7b entries joined the block, so
+    # the 50-query budget still reaches the _SLOW family below.)
+    "fraud_enrich", "user_spend_trends", "session_windows",
+    "doc_profile", "doc_dedup_exact",
     "doc_ngram_jaccard", "doc_ngram_jaccard_capped", "doc_simhash",
     "doc_simhash_pairs", "doc_repetition", "doc_unigram_logprob",
     "doc_tfidf", "doc_tfidf_cosine_pairs", "doc_decontaminate",
     "doc_bigram_coverage", "doc_split_assign", "doc_pack_sequences",
-    "lang_id_confusion", "user_robust_zscore", "user_value_ohlc",
+    "lang_id_confusion", "user_robust_zscore",
     "user_scd2_intervals", "user_event_transitions", "events_json_props",
     "value_drift_chi2", "doc_minhash_lsh",
     # never certified — _SLOW members (streaming family +
