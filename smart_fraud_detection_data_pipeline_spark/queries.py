@@ -3226,9 +3226,14 @@ GROUP BY user_id, sess_id
     "events_props_map",
     """
 WITH conforming AS (
+  -- the json_valid guard must be a CASE fence, not an AND conjunct:
+  -- DuckDB does not guarantee short-circuit order and at larger
+  -- cardinalities reorders the conjuncts, sending malformed props into
+  -- json_keys() which THROWS (fuzz seed 1999 --scale 64; the same seed
+  -- passed at default scale — the reorder is plan-dependent)
   SELECT props FROM events
-  WHERE json_valid(props)
-    AND list_aggregate(
+  WHERE CASE WHEN json_valid(props)
+    THEN list_aggregate(
           list_transform(json_keys(props),
             k -> json_type(props, '$.' || k) IN ('BIGINT', 'UBIGINT', 'NULL')
                  AND (json_type(props, '$.' || k) = 'NULL'
@@ -3237,6 +3242,7 @@ WITH conforming AS (
                              BETWEEN -2147483648 AND 2147483647,
                            FALSE))),
           'bool_and')
+    ELSE FALSE END
 )
 SELECT k AS prop_key,
        CAST(COUNT(*) AS BIGINT) AS n_events,
