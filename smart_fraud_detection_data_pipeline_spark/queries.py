@@ -140,6 +140,8 @@ _FRESH = frozenset({
     "dedup_incremental_streaming",  # NEW: streaming ingest probe
     "doc_mix_temperature",          # NEW: temperature source mixing
     "user_distinct_sketch_rollup",  # rows-only -> self-checking hash gate
+    "synthetic_transactions",       # rows-only -> domain-contract hash gate
+    "events_props_map",             # json_valid guard refenced (CASE)
     "doc_minhash_lsh",              # bucket derivation refactored (shared builder)
     "doc_split_assign",             # bucket-fold oracle refactored (shared builder)
 })
@@ -156,18 +158,20 @@ _DRIVER_UNCHECKED = frozenset({
     # round-7-changed (also in _FRESH; ordered first via _FRESH_PRIORITY)
     "embed_semantic_dedup", "doc_dedup_incremental",
     "dedup_incremental_streaming", "doc_mix_temperature",
-    "user_distinct_sketch_rollup",
+    "user_distinct_sketch_rollup", "synthetic_transactions",
+    "events_props_map",
     "asof_last_purchase_bucketed", "multimodal_image_decode",
     "user_spend_trends_approx", "value_quantiles_approx",
     "doc_winnow", "doc_winnow_pairs", "embed_srp_ann",
     "embed_ivf_ann", "embed_ivf_kmeans_ann", "error_burst_window_bucketed",
-    # never certified by the r5/r6 driver runs — cheap. (Five of the
+    # never certified by the r5/r6 driver runs — cheap. (Seven of the
     # lowest-risk names — scan_filter_project, pricing_summary,
-    # category_trends, sliding_window_trends, user_value_ohlc — rolled
-    # to round 8 when the five round-7b entries joined the block, so
+    # category_trends, sliding_window_trends, user_value_ohlc,
+    # fraud_enrich (hashed by driver r01-r04), doc_dedup_exact — rolled
+    # to round 8 when the seven round-7b entries joined the block, so
     # the 50-query budget still reaches the _SLOW family below.)
-    "fraud_enrich", "user_spend_trends", "session_windows",
-    "doc_profile", "doc_dedup_exact",
+    "user_spend_trends", "session_windows",
+    "doc_profile",
     "doc_ngram_jaccard", "doc_ngram_jaccard_capped", "doc_simhash",
     "doc_simhash_pairs", "doc_repetition", "doc_unigram_logprob",
     "doc_tfidf", "doc_tfidf_cosine_pairs", "doc_decontaminate",
@@ -194,6 +198,8 @@ _FRESH_PRIORITY = (
     "dedup_incremental_streaming",  # brand-new streaming flow
     "doc_mix_temperature",          # brand-new operator + oracle
     "user_distinct_sketch_rollup",  # new self-check contract
+    "synthetic_transactions",       # new domain-contract gate
+    "events_props_map",             # refenced oracle guard
     "multimodal_image_decode",      # brand-new operator + oracle
     "asof_last_purchase_bucketed",  # new code path under the gate
     "error_burst_window_bucketed",  # new code path under the gate
@@ -1780,13 +1786,72 @@ def q_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.read_or_empty(spark, os.path.join(tmp, "out"), deduped)
 
 
-@_register("synthetic_transactions", None)  # generator source — no oracle table
+@_register(
+    "synthetic_transactions",
+    """
+SELECT CAST(10000 AS BIGINT) AS n_rows,
+       TRUE AS ids_unique,
+       TRUE AS user_ids_in_domain,
+       TRUE AS product_ids_in_domain,
+       TRUE AS stores_in_domain,
+       TRUE AS amounts_in_range,
+       TRUE AS payments_in_domain,
+       TRUE AS countries_in_domain,
+       TRUE AS ts_cadence_ok
+""",
+)
 def q_synthetic_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: the seeded distributed transaction generator (spark.range +
-    seeded rand, reference domains). Rows-only: its input is no table."""
-    from smart_fraud_detection_data_pipeline_spark.sources.generator import synthetic_transactions
+    seeded rand, reference transaction_producer.py:12-22 domains),
+    CONTRACT-GATED (the self-check pattern): the generator's random
+    VALUES depend on Spark's per-partition RNG (not SQL-reproducible,
+    and partitioning-dependent across local[4]/local[32]/local-cluster),
+    but its domain contract is partition-independent — id uniqueness,
+    user 1-2000, product 1-500, stores S1-S5, amount [10,5000] at 2 dp,
+    the reference payment/country vocabularies, and the 2-rows/s
+    cadence spanning exactly [BASE_TS, BASE_TS+4999s] for 10000 rows.
+    The query aggregates the generated frame to ONE row of those
+    booleans; the oracle asserts the constants, so a generator edit
+    that breaks any reference domain flips the hash gate."""
+    from smart_fraud_detection_data_pipeline_spark.sources.generator import (
+        BASE_TS,
+        COUNTRIES,
+        PAYMENT_METHODS,
+        ROWS_PER_SECOND,
+        synthetic_transactions,
+    )
 
-    return synthetic_transactions(spark, 10000)
+    n = 10000
+    tx = synthetic_transactions(spark, n)
+    base = F.lit(BASE_TS).cast("timestamp_ntz")
+    last = F.timestamp_seconds(
+        F.unix_timestamp(base) + F.lit((n - 1) // ROWS_PER_SECOND)
+    ).cast("timestamp_ntz")
+    return tx.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count_distinct("transaction_id") == F.count(F.lit(1))).alias("ids_unique"),
+        F.bool_and(
+            (F.col("user_id") >= 1) & (F.col("user_id") <= 2000)
+        ).alias("user_ids_in_domain"),
+        F.bool_and(
+            (F.col("product_id") >= 1) & (F.col("product_id") <= 500)
+        ).alias("product_ids_in_domain"),
+        F.bool_and(
+            F.col("store_id").isin([f"S{i}" for i in range(1, 6)])
+        ).alias("stores_in_domain"),
+        F.bool_and(
+            (F.col("amount") >= 10.0) & (F.col("amount") <= 5000.0)
+        ).alias("amounts_in_range"),
+        F.bool_and(
+            F.col("payment_method").isin(list(PAYMENT_METHODS))
+        ).alias("payments_in_domain"),
+        F.bool_and(F.col("country").isin(list(COUNTRIES))).alias(
+            "countries_in_domain"
+        ),
+        ((F.min("timestamp") == base) & (F.max("timestamp") == last)).alias(
+            "ts_cadence_ok"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
