@@ -736,6 +736,101 @@ def cross_corpus_containment(
     )
 
 
+def bloom_contamination_flags(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_SHINGLE,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Map-only training-corpus decontamination via a Bloom filter:
+    flag every TRAIN document sharing at least one word n-gram with the
+    eval corpus. Returns (id, n_grams, bloom_hit).
+
+    The scale story this buys over `cross_corpus_containment`'s exact
+    broadcast semi-join: the broadcast payload is a FIXED m-bit bitmap
+    (default 2^18 bits = 32 KB) regardless of how many distinct eval
+    grams there are, and the train side needs no join at all — each
+    train partition probes the bitmap in-row (exists/forall HOFs inside
+    whole-stage codegen), so a 100 TB train scan stays a single map
+    stage with zero exchanges on its lineage. The trade: false
+    POSITIVES at rate ~(1 - e^(-k·G/m))^k per gram (G = distinct eval
+    grams); false negatives are impossible — any gram actually present
+    in the eval set has all k of its bits set by construction. Size
+    m_bits ≈ 10 bits per expected eval gram for ~1% FPR; the flagged
+    set is then re-verified exactly (eval grams only) or simply
+    dropped, the standard conservative choice for decontamination.
+
+    Build shape: eval grams hash to k = {k_hashes} bit positions
+    (xxhash64(gram, i) mod m); positions fold into 64-bit words with a
+    map-side `bit_or` partial agg, so the driver collects at most
+    m/64 rows (4096 longs at the default) — bounded by the filter
+    size, never by the eval corpus. The bitmap ships back as ONE
+    broadcast 1-row DataFrame (array<bigint>), not a literal tree: a
+    262144-bit literal would cost seconds of driver time in py4j
+    round-trips (see the ANN centroid rule), while a broadcast-
+    crossJoin is a single 32 KB exchange. The probe indexes that
+    projected attribute inside the lambda — per the staged-HOF rule,
+    an attribute slice is O(1) per element, no re-evaluation.
+
+    NULL text is excluded on BOTH sides by `_staged_shingles` (absent
+    content has no gram set); an empty eval corpus yields an all-zero
+    bitmap and flags nothing. Hash basis is xxhash64 (Spark-side only;
+    the oracle never recomputes positions — the registered query
+    certifies through the no-false-negative contract instead, the
+    sketch/ANN self-check pattern).
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    spark = train.sparkSession
+    n_words = m_bits // 64
+    # --- build: eval grams -> k positions -> 64-bit words (<= m/64 rows)
+    word_rows = (
+        _staged_shingles(eval_df, text_col, id_col, n)
+        .select(F.explode("__sh").alias("__g"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+                    lambda i: F.pmod(
+                        F.xxhash64(F.col("__g"), i), F.lit(m_bits)
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.shiftright(F.col("p"), 6).alias("w_idx"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))"
+            ).alias("word")
+        )
+        .collect()
+    )
+    by_idx = {int(r["w_idx"]): int(r["word"]) for r in word_rows}
+    words = [by_idx.get(i, 0) for i in range(n_words)]
+    bloom = spark.createDataFrame([(words,)], "__bw array<bigint>")
+    # --- probe: one hash per (gram, i), bit test against the attribute
+    probe = (
+        f"exists(__sh, g -> forall("
+        f"transform(sequence(0, {k_hashes - 1}),"
+        f" i -> pmod(xxhash64(g, i), {m_bits})),"
+        f" p -> ((element_at(__bw, CAST(shiftright(p, 6) AS INT) + 1)"
+        f" >> CAST(p % 64 AS INT)) & 1) = 1))"
+    )
+    return (
+        _staged_shingles(train, text_col, id_col, n)
+        .crossJoin(F.broadcast(bloom))
+        .select(
+            F.col(id_col),
+            F.size("__sh").cast("bigint").alias("n_grams"),
+            F.expr(probe).alias("bloom_hit"),
+        )
+    )
+
+
 def winnow_pairs(
     df: DataFrame,
     *,

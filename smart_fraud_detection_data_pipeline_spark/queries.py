@@ -128,6 +128,7 @@ _SLOW = frozenset({
 #: set each round.
 _FRESH = frozenset({
     # round 7: new or changed implementations / oracles
+    "doc_decontaminate_bloom",      # NEW: Bloom-filter decontamination
     "asof_last_purchase_bucketed",  # NEW: bucket_seconds under the hash gate
     "multimodal_image_decode",      # NEW: real BMP/PPM decode query
     "user_spend_trends_approx",     # rows-only -> self-checking hash gate
@@ -156,6 +157,7 @@ _FRESH = frozenset({
 #: budget. ~31 further uncovered names roll to round 8's rotation.
 _DRIVER_UNCHECKED = frozenset({
     # round-7-changed (also in _FRESH; ordered first via _FRESH_PRIORITY)
+    "doc_decontaminate_bloom",
     "embed_semantic_dedup", "doc_dedup_incremental",
     "dedup_incremental_streaming", "doc_mix_temperature",
     "user_distinct_sketch_rollup", "synthetic_transactions",
@@ -164,13 +166,14 @@ _DRIVER_UNCHECKED = frozenset({
     "user_spend_trends_approx", "value_quantiles_approx",
     "doc_winnow", "doc_winnow_pairs", "embed_srp_ann",
     "embed_ivf_ann", "embed_ivf_kmeans_ann", "error_burst_window_bucketed",
-    # never certified by the r5/r6 driver runs — cheap. (Seven of the
+    # never certified by the r5/r6 driver runs — cheap. (Eight of the
     # lowest-risk names — scan_filter_project, pricing_summary,
     # category_trends, sliding_window_trends, user_value_ohlc,
-    # fraud_enrich (hashed by driver r01-r04), doc_dedup_exact — rolled
-    # to round 8 when the seven round-7b entries joined the block, so
-    # the 50-query budget still reaches the _SLOW family below.)
-    "user_spend_trends", "session_windows",
+    # fraud_enrich, user_spend_trends (both hashed by driver r01-r04),
+    # doc_dedup_exact — rolled to round 8 when the round-7b entries and
+    # doc_decontaminate_bloom joined the block, so the 50-query budget
+    # still reaches the _SLOW family below.)
+    "session_windows",
     "doc_profile",
     "doc_ngram_jaccard", "doc_ngram_jaccard_capped", "doc_simhash",
     "doc_simhash_pairs", "doc_repetition", "doc_unigram_logprob",
@@ -193,6 +196,7 @@ _DRIVER_UNCHECKED = frozenset({
 #: first (riskiest first) so a budget-truncated run still hashes every
 #: changed query before re-certifying stable ones.
 _FRESH_PRIORITY = (
+    "doc_decontaminate_bloom",      # brand-new operator + contract gate
     "embed_semantic_dedup",         # brand-new operator + oracle
     "doc_dedup_incremental",        # brand-new operator + oracle
     "dedup_incremental_streaming",  # brand-new streaming flow
@@ -4490,6 +4494,73 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = docs.where(F.col("doc_id") % 10 != 0)
     return cross_corpus_containment(
         tr, ev, n=_DECON_N, threshold=_DECON_THRESHOLD
+    )
+
+
+@_register(
+    "doc_decontaminate_bloom",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {_DECON_N - 1}, 1)),
+           i -> array_to_string(t[i:i + {_DECON_N - 1}], ' '))) AS gs
+  FROM toks
+),
+ev AS (SELECT DISTINCT unnest(gs) AS shingle FROM grams WHERE doc_id % 10 = 0),
+tg AS (SELECT doc_id, unnest(gs) AS shingle FROM grams WHERE doc_id % 10 <> 0)
+SELECT tg.doc_id, COUNT(*) AS n_grams,
+       bool_or(ev.shingle IS NOT NULL) AS exact_hit,
+       TRUE AS bloom_caught_all
+FROM tg LEFT JOIN ev ON tg.shingle = ev.shingle
+GROUP BY tg.doc_id
+""",
+)
+def q_doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination of the TRAIN side (the flip of
+    `doc_decontaminate`, which scores the eval side): every 10th doc
+    plays the eval set, its distinct 8-gram shingles fold into a fixed
+    32 KB Bloom bitmap (2^18 bits, k=5), and each training document is
+    flagged in a single map-only probe — zero exchanges on the train
+    lineage, broadcast payload independent of the eval gram count
+    (operators/textdedup.bloom_contamination_flags; plan-pinned).
+
+    Certification is the sketch/ANN self-check pattern: the oracle
+    cannot recompute xxhash64 bit positions, so the query emits the
+    exactly-recomputable columns (per-doc distinct gram count and the
+    EXACT any-gram-shared flag, both hash-checked against DuckDB) plus
+    `bloom_caught_all` — the no-false-negative contract (exact_hit ⇒
+    bloom_hit, guaranteed by construction: a gram present in the eval
+    set has all k of its bits set). The oracle asserts it TRUE on every
+    row; a bitmap indexing/shift/endianness bug anywhere in the probe
+    or build would flip it. False positives are allowed by design
+    (that's the 32-KB-for-any-corpus trade) and bounded in the
+    operator docstring."""
+    from smart_fraud_detection_data_pipeline_spark.operators.textdedup import (
+        bloom_contamination_flags,
+        cross_corpus_containment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    tr = docs.where(F.col("doc_id") % 10 != 0)
+    bloom = bloom_contamination_flags(
+        tr, ev, n=_DECON_N, m_bits=1 << 18, k_hashes=5
+    )
+    # Exact side (verification harness, not the scale path): containment
+    # of each TRAIN doc's grams in the eval corpus via the proven
+    # broadcast-semi-join operator with the roles flipped.
+    exact = cross_corpus_containment(ev, tr, n=_DECON_N).select(
+        F.col("doc_id"), (F.col("n_hit") > 0).alias("exact_hit")
+    )
+    return bloom.join(exact, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "exact_hit",
+        (F.col("bloom_hit") | ~F.col("exact_hit")).alias("bloom_caught_all"),
     )
 
 

@@ -692,3 +692,27 @@ def test_incremental_dedup_probe_shape(spark, sf_dir):
     assert c["nested_loop_join"] == 0
     assert c["sort_merge_join"] + c["broadcast_hash_join"] >= 2
     assert c["exchange"] <= 5
+
+
+def test_bloom_decontaminate_train_lineage_is_map_only(spark, sf_dir):
+    """Bloom decontamination is THE map-only scale path: the returned
+    train-side frame must contain zero shuffle exchanges — only the
+    1-row bitmap broadcast (a BroadcastNestedLoopJoin, free). The
+    eval-side bitmap build runs as a separate bounded job before this
+    plan exists. (No codegen assertion: exists/forall HOFs evaluate
+    outside whole-stage codegen by design — still JVM-side, no Python.)"""
+    from pyspark.sql import functions as F
+
+    from smart_fraud_detection_data_pipeline_spark.operators.textdedup import (
+        bloom_contamination_flags,
+    )
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    tr = docs.where(F.col("doc_id") % 10 != 0)
+    df = bloom_contamination_flags(tr, ev)
+    c = X.plan_counts(df)
+    assert c["exchange"] == 0
+    assert c["sort_merge_join"] == 0
+    assert c["nested_loop_join"] == 1  # the 32 KB bitmap broadcast

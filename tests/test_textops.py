@@ -322,3 +322,38 @@ def test_incremental_dedup_prebuilt_index_and_empty_delta(spark):
     out = TD.incremental_minhash_dedup(base, empty)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["doc_id", "dup_of", "keep"]
+
+
+def test_bloom_contamination_no_false_negatives(spark):
+    """The Bloom decontamination flag must catch EVERY train doc that
+    exactly shares a gram with the eval corpus (false negatives are
+    impossible by construction — this pins the bit build/probe pair),
+    and at 2^18 bits / a handful of eval grams the false-positive
+    probability is ~1e-16, so the disjoint doc must stay unflagged."""
+    train = _docs(spark)  # docs 1-3 share 3-grams; doc 4 is disjoint
+    eval_df = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over the lazy dog")]
+    )
+    out = {r.doc_id: r for r in TD.bloom_contamination_flags(train, eval_df).collect()}
+    exact = {
+        r["doc_id"]: r.n_hit > 0
+        for r in TD.cross_corpus_containment(eval_df, train).collect()
+    }
+    assert exact[1] and exact[2] and exact[3] and not exact[4]
+    for doc_id, hit in exact.items():
+        if hit:
+            assert out[doc_id].bloom_hit, f"false negative on doc {doc_id}"
+    assert not out[4].bloom_hit
+    assert out[1].n_grams == 7  # 9 tokens -> 7 distinct 3-grams
+
+
+def test_bloom_contamination_empty_eval_and_null_text(spark):
+    """An empty eval corpus folds to an all-zero bitmap (flags nothing);
+    NULL-text train docs are excluded like every other text op."""
+    train = _docs(spark).union(
+        spark.createDataFrame([(9, None)], "doc_id bigint, text string")
+    )
+    empty_eval = _docs(spark).where(F.lit(False))
+    out = TD.bloom_contamination_flags(train, empty_eval).collect()
+    assert {r.doc_id for r in out} == {1, 2, 3, 4}  # NULL text absent
+    assert not any(r.bloom_hit for r in out)
