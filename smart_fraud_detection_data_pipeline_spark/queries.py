@@ -129,6 +129,7 @@ _SLOW = frozenset({
 _FRESH = frozenset({
     # round 7: new or changed implementations / oracles
     "doc_decontaminate_bloom",      # NEW: Bloom-filter decontamination
+    "vocab_heavy_hitters",          # NEW: Misra-Gries exact heavy hitters
     "asof_last_purchase_bucketed",  # NEW: bucket_seconds under the hash gate
     "multimodal_image_decode",      # NEW: real BMP/PPM decode query
     "user_spend_trends_approx",     # rows-only -> self-checking hash gate
@@ -157,7 +158,7 @@ _FRESH = frozenset({
 #: budget. ~31 further uncovered names roll to round 8's rotation.
 _DRIVER_UNCHECKED = frozenset({
     # round-7-changed (also in _FRESH; ordered first via _FRESH_PRIORITY)
-    "doc_decontaminate_bloom",
+    "doc_decontaminate_bloom", "vocab_heavy_hitters",
     "embed_semantic_dedup", "doc_dedup_incremental",
     "dedup_incremental_streaming", "doc_mix_temperature",
     "user_distinct_sketch_rollup", "synthetic_transactions",
@@ -166,15 +167,15 @@ _DRIVER_UNCHECKED = frozenset({
     "user_spend_trends_approx", "value_quantiles_approx",
     "doc_winnow", "doc_winnow_pairs", "embed_srp_ann",
     "embed_ivf_ann", "embed_ivf_kmeans_ann", "error_burst_window_bucketed",
-    # never certified by the r5/r6 driver runs — cheap. (Eight of the
+    # never certified by the r5/r6 driver runs — cheap. (Nine of the
     # lowest-risk names — scan_filter_project, pricing_summary,
     # category_trends, sliding_window_trends, user_value_ohlc,
-    # fraud_enrich, user_spend_trends (both hashed by driver r01-r04),
-    # doc_dedup_exact — rolled to round 8 when the round-7b entries and
-    # doc_decontaminate_bloom joined the block, so the 50-query budget
+    # fraud_enrich, user_spend_trends, doc_profile (all hashed by
+    # driver r01-r04), doc_dedup_exact — rolled to round 8 when the
+    # round-7b entries, doc_decontaminate_bloom, and
+    # vocab_heavy_hitters joined the block, so the 50-query budget
     # still reaches the _SLOW family below.)
     "session_windows",
-    "doc_profile",
     "doc_ngram_jaccard", "doc_ngram_jaccard_capped", "doc_simhash",
     "doc_simhash_pairs", "doc_repetition", "doc_unigram_logprob",
     "doc_tfidf", "doc_tfidf_cosine_pairs", "doc_decontaminate",
@@ -197,6 +198,7 @@ _DRIVER_UNCHECKED = frozenset({
 #: changed query before re-certifying stable ones.
 _FRESH_PRIORITY = (
     "doc_decontaminate_bloom",      # brand-new operator + contract gate
+    "vocab_heavy_hitters",          # brand-new operator + full hash gate
     "embed_semantic_dedup",         # brand-new operator + oracle
     "doc_dedup_incremental",        # brand-new operator + oracle
     "dedup_incremental_streaming",  # brand-new streaming flow
@@ -1499,6 +1501,44 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "ngram")
         .limit(_VOCAB_TOP_K)
     )
+
+
+_HH_INV = 64  # heavy-hitter threshold: tokens with count > N/64
+
+
+@_register(
+    "vocab_heavy_hitters",
+    f"""
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+tok AS (SELECT unnest(t) AS token FROM toks),
+tot AS (SELECT COUNT(*) AS n FROM tok)
+SELECT token, COUNT(*) AS n_occurrences
+FROM tok, tot
+GROUP BY token, tot.n
+HAVING COUNT(*) * {_HH_INV} > tot.n
+""",
+)
+def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (every token above 1/{inv} of total
+    occurrences) via the Misra-Gries two-pass plan: a map-only k-slot
+    summary per partition, then an exact recount of ONLY the candidate
+    set — the corpus-wide shuffle keys on at most k x #partitions
+    distinct tokens instead of the full vocabulary (the Zipf tail never
+    reaches an exchange; operators/vocab.heavy_hitter_tokens,
+    plan-pinned). Output is provably exact and partition-independent
+    (MG keeps every token above N/(k+1); the integer cross-multiply
+    threshold sits above that), so the oracle is a plain GROUP BY ...
+    HAVING over the same tokenization — a full hash gate, unlike the
+    sketch family's contract-style checks."""
+    from smart_fraud_detection_data_pipeline_spark.operators.vocab import (
+        heavy_hitter_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitter_tokens(docs, inv_threshold=_HH_INV)
 
 
 @_register(

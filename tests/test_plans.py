@@ -716,3 +716,26 @@ def test_bloom_decontaminate_train_lineage_is_map_only(spark, sf_dir):
     assert c["exchange"] == 0
     assert c["sort_merge_join"] == 0
     assert c["nested_loop_join"] == 1  # the 32 KB bitmap broadcast
+
+
+def test_heavy_hitters_shuffle_is_candidate_bounded(spark, sf_dir):
+    """The Misra-Gries vocabulary plan must never shuffle the full
+    token stream by token: the only exchanges are the candidate
+    distinct (<= slots x partitions rows), the 1-row total, and the
+    recount groupBy AFTER the broadcast semi-join prunes the stream to
+    candidate tokens. The semi-join itself must be broadcast (the
+    candidate set is filter-sized) — a SortMergeJoin here would be the
+    full-vocabulary shuffle this operator exists to avoid."""
+    from smart_fraud_detection_data_pipeline_spark.operators.vocab import (
+        heavy_hitter_tokens,
+    )
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = heavy_hitter_tokens(docs)
+    c = X.plan_counts(df)
+    assert c["sort_merge_join"] == 0
+    assert c["broadcast_hash_join"] == 1  # candidate semi-join
+    assert c["nested_loop_join"] == 1  # 1-row total broadcast
+    assert c["exchange"] <= 3
+    assert "LeftSemi" in X.executed_plan(df)

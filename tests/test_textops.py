@@ -357,3 +357,53 @@ def test_bloom_contamination_empty_eval_and_null_text(spark):
     out = TD.bloom_contamination_flags(train, empty_eval).collect()
     assert {r.doc_id for r in out} == {1, 2, 3, 4}  # NULL text absent
     assert not any(r.bloom_hit for r in out)
+
+
+def test_heavy_hitters_exact_and_partition_independent(spark):
+    """The Misra-Gries two-pass plan must equal the naive exact groupBy
+    under ANY partitioning (the summary is lossy per partition, but the
+    recount pass restores exactness) — including a single partition and
+    a partition count larger than the row count."""
+    from smart_fraud_detection_data_pipeline_spark.operators.vocab import (
+        heavy_hitter_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=("spark " * 5 + f"rare{i} unique{i}")) for i in range(20)]
+    )
+    naive = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .count()
+    )
+    n = naive.agg(F.sum("count")).first()[0]
+    expected = sorted(
+        (r.token, r["count"]) for r in naive.collect() if r["count"] * 8 > n
+    )
+    for parts in (1, 7, 32):
+        got = sorted(
+            (r.token, r.n_occurrences)
+            for r in heavy_hitter_tokens(
+                docs.repartition(parts), inv_threshold=8
+            ).collect()
+        )
+        assert got == expected, f"partitioning {parts} changed the result"
+    assert expected and expected[0][0] == "spark"
+
+
+def test_heavy_hitters_guards_and_empty(spark):
+    """slots below the threshold inverse breaks the survival guarantee
+    and must be rejected; an all-NULL/empty corpus yields zero rows."""
+    import pytest
+
+    from smart_fraud_detection_data_pipeline_spark.operators.vocab import (
+        heavy_hitter_tokens,
+    )
+
+    docs = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+    assert heavy_hitter_tokens(docs).count() == 0
+    assert heavy_hitter_tokens(docs.limit(0)).count() == 0
+    with pytest.raises(ValueError):
+        heavy_hitter_tokens(docs, inv_threshold=64, slots=32)
