@@ -182,3 +182,64 @@ def write_zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def dataset_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every data file under ``path``, via the Hadoop
+    FileSystem API — works for file://, hdfs:// and s3a:// alike, so
+    callers never shell out or assume a local filesystem. `_SUCCESS`/
+    hidden files are excluded (the same rule Spark's file index uses)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
+def compact_dataset(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite the parquet dataset at ``src`` to
+    ``dst`` in ~``target_bytes`` files. Returns the output file budget
+    n = max(1, ceil(total_bytes / target_bytes)).
+
+    Companion to ``quality.compact_parquet`` (the IN-PLACE variant with
+    the crash-recovering directory swap): that one owns the commit
+    discipline for compacting a live local dataset in place, this one
+    owns the portable rewrite — Hadoop-FS listing (file://, hdfs://,
+    s3a://) and a src→dst move the caller commits however their store
+    allows (rename, lakehouse metadata swap). They also differ in
+    rewrite shape by design: in-place uses ``repartition`` (re-balance
+    while paying the rewrite anyway), this uses ``coalesce``.
+
+    The ingest side of a 100 TB pipeline accretes small files (one per
+    micro-batch per partition); every later scan then pays file-open +
+    footer-read per file, and the driver pays listing. Compaction is
+    the standard fix (lakehouse OPTIMIZE). Shape: ``coalesce(n)`` —
+    a NARROW dependency, no shuffle (repartition would move every byte
+    through an exchange to achieve the same file count); input files
+    are bin-packed into the n output tasks. The trade: coalesce
+    inherits input-file skew into output-file skew, acceptable for
+    compaction where the goal is a file-count bound, not perfect
+    balance. At production scale this runs per Hive partition
+    (compact only partitions whose file count exceeds the budget) —
+    the per-call unit here IS one such directory.
+
+    Row content is untouched (the registered query hash-checks it
+    against the oracle over the original table; the file-count bound
+    is the contract column)."""
+    total = sum(sz for _, sz in dataset_files(spark, src))
+    n = max(1, -(-total // target_bytes))
+    spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dst)
+    return n

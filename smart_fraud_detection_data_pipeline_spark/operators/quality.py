@@ -57,7 +57,10 @@ def compact_parquet(
     """Rewrite a parquet directory into size-targeted files; returns the
     new file count. Sizing: total bytes / target (floor min_files) —
     at scale run per partition directory so rewrites stay bounded and
-    parallel.
+    parallel. Companion to ``loaders.compact_dataset`` (the src→dst
+    narrow-coalesce variant with Hadoop-FS listing, hash-gated by the
+    ``warehouse_compaction`` query); THIS variant owns in-place local
+    compaction and its crash-recovering swap discipline.
 
     Swap discipline: data is never half-compacted (the rewrite goes to a
     temp sibling), but POSIX cannot atomically swap directories, so

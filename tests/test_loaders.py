@@ -218,3 +218,49 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
             spark.conf.set(key, old)
     got = {r.day: r.v for r in spark.read.parquet(path).collect()}
     assert got == {"d1": 1, "d2": 22, "d3": 3}
+
+
+def test_compact_dataset_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction must hit the byte-budget file count without touching a
+    row, and the rewrite must be a NARROW coalesce — an Exchange in the
+    rewrite plan would mean every byte of a 100 TB compaction crosses
+    the network for a file-count goal that needs no co-location."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    df.repartition(24).write.parquet(src)
+    assert len(L.dataset_files(spark, src)) == 24
+    n = L.compact_dataset(spark, src, dst)
+    assert n == 1  # 10k tiny rows fit one 128 MB budget file
+    assert len(L.dataset_files(spark, dst)) == 1
+    assert spark.read.parquet(dst).count() == 10_000
+    assert (
+        spark.read.parquet(dst).exceptAll(df).count() == 0
+        and df.exceptAll(spark.read.parquet(dst)).count() == 0
+    )
+    plan = spark.read.parquet(src).coalesce(n)._jdf.queryExecution().executedPlan().toString()
+    assert "Coalesce" in plan and "Exchange" not in plan
+
+
+def test_compact_dataset_empty_input(spark, tmp_path):
+    """An empty dataset compacts to an empty-but-readable dataset (Spark
+    writes one schema-bearing file for an empty plan)."""
+    src, dst = str(tmp_path / "esrc"), str(tmp_path / "edst")
+    spark.range(5).where(F.lit(False)).write.parquet(src)
+    assert L.compact_dataset(spark, src, dst) == 1
+    assert spark.read.parquet(dst).count() == 0
+
+
+def test_merged_schema_scan_null_fills_old_files(spark, tmp_path):
+    """Files written before a column existed must read as constant-NULL
+    for that column under mergeSchema — the add-column half of schema
+    evolution, resolved at footer-merge time with no per-row work."""
+    src = str(tmp_path / "evolve")
+    spark.createDataFrame([Row(a=1, b="x")]).write.mode("append").parquet(src)
+    spark.createDataFrame([Row(a=2, b="y", c=3.5)]).write.mode("append").parquet(src)
+    got = {
+        r.a: (r.b, r.c)
+        for r in spark.read.option("mergeSchema", "true").parquet(src).collect()
+    }
+    assert got == {1: ("x", None), 2: ("y", 3.5)}

@@ -739,3 +739,18 @@ def test_heavy_hitters_shuffle_is_candidate_bounded(spark, sf_dir):
     assert c["nested_loop_join"] == 1  # 1-row total broadcast
     assert c["exchange"] <= 3
     assert "LeftSemi" in X.executed_plan(df)
+
+
+def test_schema_evolution_scan_is_pure_scan(spark, sf_dir):
+    """mergeSchema reconciliation happens at planning time (footer
+    merge): the evolved-dataset read must stay a plain parquet scan —
+    zero exchanges, no join, and the union schema (event_type included)
+    visible in ReadSchema."""
+    from smart_fraud_detection_data_pipeline_spark.queries import registry
+
+    q = {s.name: s.spark_fn for s in registry()}["schema_evolution_scan"]
+    df = q(spark, sf_dir)
+    c = X.plan_counts(df)
+    assert c["exchange"] == 0
+    assert c["broadcast_hash_join"] + c["sort_merge_join"] + c["nested_loop_join"] == 0
+    assert "event_type" in X.read_schema(df)
