@@ -431,20 +431,33 @@ def q_category_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).rstrip()
     .replace(
         "COUNT(DISTINCT event_id) AS num_transactions",
-        "COUNT(DISTINCT event_id) AS num_transactions,\n       TRUE AS within_rsd",
+        "COUNT(DISTINCT event_id) AS num_transactions,\n"
+        "       TRUE AS within_cap,\n       TRUE AS sketch_calibrated",
     ),
 )
 def q_user_spend_trends_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 faithful mode: approx_count_distinct (HyperLogLog++, rsd 0.05),
     SELF-CHECKING (VERDICT r6 #2, pattern from the KMeans recall gate):
     the sketch estimate itself is not cross-engine hashable, so the
-    query computes BOTH counts in one grouped pass and emits a
-    ``within_rsd`` boolean — |approx − exact| ≤ max(2, 15% of exact),
-    i.e. 3σ of the rsd=0.05 sketch plus an absolute floor for tiny
-    groups (HLL++ is exact in sparse mode anyway). The oracle recomputes
-    the exact side and asserts TRUE, so a sketch drifting out of its
-    guarantee flips the hash gate. HLL++ is hash-deterministic per
-    dataset — the boolean cannot flake between runs.
+    query computes BOTH counts in one grouped pass and certifies the
+    sketch against the exact side with TWO booleans the oracle asserts
+    TRUE. A single per-row 3σ band is the WRONG contract — fuzz seed
+    2311 (--scale 16) proved it: with 1510 groups, one landing outside
+    3σ is the expected Gaussian tail (Spark's HLL++ has no sparse mode,
+    so even a 24-distinct group carries register noise), and any
+    per-row bound tight enough to be informative fails on some fixture
+    by construction. So:
+
+    - ``within_cap`` (per row): |approx − exact| ≤ max(8, 50% of
+      exact) — a ~10σ hard cap. Sub-Gaussian register noise cannot
+      reach it (small n: linear-counting σ ≈ √(n²/2m) ≈ 0.75 at n=24,
+      m=512; large n: 10 × rsd); only an implementation bug can.
+    - ``sketch_calibrated`` (dataset-level, same value on every row):
+      the number of groups outside the 3σ band max(2, 15% of exact) is
+      ≤ max(2, 1% of groups). Keeps the 3σ signal (a mis-sized sketch
+      fails instantly) while tolerating the statistically guaranteed
+      stragglers. HLL++ is hash-deterministic per dataset, so neither
+      boolean can flake between runs on the same fixture.
 
     The 1-exchange/no-expand HLL plan story (the 100 TB reason for A3)
     stays pinned on the OPERATOR in tests/test_plans.py::
@@ -464,15 +477,24 @@ def q_user_spend_trends_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = stringify_window(agg)
     err = F.abs(F.col("approx_n") - F.col("num_transactions"))
-    tol = F.greatest(F.lit(2.0), F.col("num_transactions") * F.lit(0.15))
-    return out.select(
+    band_3s = F.greatest(F.lit(2.0), F.col("num_transactions") * F.lit(0.15))
+    cap = F.greatest(F.lit(8.0), F.col("num_transactions") * F.lit(0.5))
+    rows = out.select(
         "user_id",
         "total_spent",
         "num_transactions",
         "window_start",
         "window_end",
-        (err <= tol).alias("within_rsd"),
+        (err <= cap).alias("within_cap"),
+        (err > band_3s).cast("bigint").alias("__outlier"),
     )
+    calib = rows.agg(
+        (
+            F.coalesce(F.sum("__outlier"), F.lit(0))
+            <= F.greatest(F.lit(2.0), F.count(F.lit(1)) * F.lit(0.01))
+        ).alias("sketch_calibrated")
+    )
+    return rows.drop("__outlier").crossJoin(F.broadcast(calib))
 
 
 # ---------------------------------------------------------------------------
@@ -6584,7 +6606,8 @@ SELECT event_type,
        COUNT(DISTINCT user_id) AS exact_users,
        COUNT(DISTINCT CAST(ts AS DATE))
          + CASE WHEN bool_or(ts IS NULL) THEN 1 ELSE 0 END AS n_days,
-       TRUE AS within_rsd
+       TRUE AS within_cap,
+       TRUE AS sketch_calibrated
 FROM events
 GROUP BY event_type
 """,
@@ -6599,16 +6622,18 @@ def q_user_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     history; contrast user_spend_trends_incremental, which re-adds
     exact counts only because its windows are disjoint).
 
-    SELF-CHECKING (the user_spend_trends_approx pattern, closing the
-    last convertible rows-only entry): the sketch estimate is not
-    cross-engine hashable, so the query ALSO computes the exact
-    distinct count and emits ``within_rsd`` — |union-estimate − exact|
-    ≤ max(2, 5% of exact) (3σ of lgK=12's ~1.6% rse plus an absolute
-    floor; HLL is exact in sparse mode anyway). The oracle recomputes
-    the exact side + the day count and asserts TRUE — a sketch or a
+    SELF-CHECKING (the user_spend_trends_approx two-tier pattern —
+    a lone per-row 3σ band is statistically guaranteed to fail on some
+    fixture, fuzz seed 2311): ``within_cap`` per row caps the union
+    estimate at max(8, 16% of exact) — ~10σ of lgK=12's ~1.6% rse,
+    unreachable by register noise (DataSketches HLL is exact in sparse
+    mode anyway) — and ``sketch_calibrated`` (same value on every row)
+    allows at most ONE of the handful of event_type groups outside the
+    informative 3σ band max(2, 5% of exact). The oracle recomputes the
+    exact side + the day count and asserts both TRUE — a sketch or a
     union drifting out of its guarantee flips the hash gate.
-    DataSketches is hash-deterministic per dataset, so the boolean
-    cannot flake. The merge-vs-direct estimate contract stays pinned in
+    DataSketches is hash-deterministic per dataset, so neither boolean
+    can flake. The merge-vs-direct estimate contract stays pinned in
     tests/test_trends.py. NULL-ts rows form their own "day" bucket (the
     rollup is a batch GROUP BY, not a time window — the oracle counts
     that bucket explicitly); the event_type join is null-safe (routing
@@ -6629,13 +6654,23 @@ def q_user_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count_distinct("user_id").alias("exact_users")
     )
     err = F.abs(F.col("__approx") - F.col("exact_users"))
-    tol = F.greatest(F.lit(2.0), F.col("exact_users") * F.lit(0.05))
-    return (
-        exact.join(merged, F.col("event_type").eqNullSafe(F.col("__et")))
-        .select(
-            "event_type", "exact_users", "n_days", (err <= tol).alias("within_rsd")
+    band_3s = F.greatest(F.lit(2.0), F.col("exact_users") * F.lit(0.05))
+    cap = F.greatest(F.lit(8.0), F.col("exact_users") * F.lit(0.16))
+    rows = exact.join(
+        merged, F.col("event_type").eqNullSafe(F.col("__et"))
+    ).select(
+        "event_type",
+        "exact_users",
+        "n_days",
+        (err <= cap).alias("within_cap"),
+        (err > band_3s).cast("bigint").alias("__outlier"),
+    )
+    calib = rows.agg(
+        (F.coalesce(F.sum("__outlier"), F.lit(0)) <= F.lit(1)).alias(
+            "sketch_calibrated"
         )
     )
+    return rows.drop("__outlier").crossJoin(F.broadcast(calib))
 
 
 @_register(

@@ -49,12 +49,13 @@ def test_windows_are_60s_apart(spark, sf_dir):
 
 def test_approx_mode_close_to_exact(spark, sf_dir):
     """The registered query is now the self-checking gate (VERDICT r6
-    #2): every (user, window) group's HLL estimate must sit within the
-    rsd bound of the exact count — the within_rsd column it hashes
-    against the oracle must be all-true. The raw operator's aggregate
-    estimate is additionally checked against the exact total (the old
-    pre-gate assertion, kept on the operator so exact=False itself
-    stays covered)."""
+    #2, recalibrated two-tier after fuzz seed 2311): every group's HLL
+    estimate sits under the ~10σ hard cap (within_cap) and the number
+    of 3σ stragglers stays inside the calibration budget
+    (sketch_calibrated) — both columns hash against the oracle as
+    all-true. The raw operator's aggregate estimate is additionally
+    checked against the exact total (the old pre-gate assertion, kept
+    on the operator so exact=False itself stays covered)."""
     from smart_fraud_detection_data_pipeline_spark.operators import trends as T
     from smart_fraud_detection_data_pipeline_spark.queries import (
         _transactions,
@@ -63,7 +64,8 @@ def test_approx_mode_close_to_exact(spark, sf_dir):
     )
 
     gate = q_user_spend_trends_approx(spark, sf_dir)
-    assert gate.where(~F.col("within_rsd")).count() == 0
+    assert gate.where(~F.col("within_cap")).count() == 0
+    assert gate.where(~F.col("sketch_calibrated")).count() == 0
 
     exact = q_user_spend_trends(spark, sf_dir).agg(F.sum("num_transactions")).collect()[0][0]
     approx = (
