@@ -104,6 +104,14 @@ HEADLINE: dict[str, tuple[str, str]] = {
         "bounded_candidates",
         "MG summaries map-only; recount shuffle keys on <= slots x partitions tokens",
     ),
+    "schema_evolution_scan": (
+        "map_only",
+        "mergeSchema footer merge at planning time; evolved read is a pure scan",
+    ),
+    "warehouse_compaction": (
+        "composite",
+        "coalesce rewrite is narrow (no exchange); the read-back scan dominates",
+    ),
 }
 
 
