@@ -1005,3 +1005,64 @@ def tfidf_cosine_pairs(
         .select("doc_a", "doc_b", cos.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def repeated_passages(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact repeated-passage (boilerplate) detection: every ``length``-
+    token passage occurring in at least ``min_df`` distinct documents,
+    with exact counts — (passage, n_docs, n_occurrences). The corpus-
+    level counterpart of `winnow_pairs` (which finds PAIRS sharing
+    fingerprints): this names the shared strings themselves, the
+    report a training-data pipeline uses to strip headers/footers/
+    licence blocks before dedup (cf. Lee et al. 2021's repeated-
+    substring dedup, restricted to fixed-length windows so it stays
+    one aggregation instead of a suffix array).
+
+    Scale shape: passages are counted OCCURRENCE-wise (not per-doc
+    distinct — a footer repeated inside one doc still counts), and the
+    corpus-wide exchange carries xxhash64 keys, never strings (8 bytes
+    vs ~tens; the module's standard ~2^-64 collision budget, which the
+    DuckDB oracle would expose as a hash mismatch anyway). Passage
+    TEXT is recovered only for the qualifying set: the stats frame
+    (bounded by the boilerplate vocabulary, orders of magnitude
+    smaller than the corpus) broadcasts back onto a map-side join of
+    the gram stream, so the only strings that ever reach an exchange
+    are the QUALIFYING passages themselves — and map-side partial agg
+    collapses those to one row per (partition, passage) first. Docs
+    shorter than ``length`` contribute their whole token sequence as
+    one passage (the `shingles` convention); NULL text is excluded on
+    entry like every text op."""
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    t = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(length - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, length)),
+    )
+    stream = toks.select(F.col(id_col), F.explode(grams).alias("__g")).select(
+        F.col(id_col), F.col("__g"), F.xxhash64("__g").alias("__h")
+    )
+    stats = (
+        stream.groupBy("__h")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_df)
+    )
+    return (
+        stream.select("__g", "__h")
+        .join(F.broadcast(stats), "__h")
+        .groupBy("__g", "n_docs", "n_occurrences")
+        .agg(F.lit(1).alias("__one"))
+        .select(F.col("__g").alias("passage"), "n_docs", "n_occurrences")
+    )

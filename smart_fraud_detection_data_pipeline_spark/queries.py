@@ -132,9 +132,11 @@ _FRESH = frozenset({
     "vocab_heavy_hitters",          # NEW: Misra-Gries exact heavy hitters
     "warehouse_compaction",         # NEW: small-file compaction
     "schema_evolution_scan",        # NEW: mergeSchema add-column scan
+    "doc_repeated_passages",        # NEW: exact boilerplate report
+    "user_spend_trends_approx",     # recalibrated two-tier HLL contract
+    "user_distinct_sketch_rollup",  # recalibrated two-tier HLL contract
     "asof_last_purchase_bucketed",  # NEW: bucket_seconds under the hash gate
     "multimodal_image_decode",      # NEW: real BMP/PPM decode query
-    "user_spend_trends_approx",     # rows-only -> self-checking hash gate
     "value_quantiles_approx",       # rows-only -> rank-error hash gate
     "doc_winnow", "doc_winnow_pairs",  # int64 fingerprint exchange key
     "embed_srp_ann", "embed_ivf_ann", "embed_ivf_kmeans_ann",  # SQL-string exprs
@@ -143,7 +145,6 @@ _FRESH = frozenset({
     "doc_dedup_incremental",        # NEW: cross-snapshot index probe
     "dedup_incremental_streaming",  # NEW: streaming ingest probe
     "doc_mix_temperature",          # NEW: temperature source mixing
-    "user_distinct_sketch_rollup",  # rows-only -> self-checking hash gate
     "synthetic_transactions",       # rows-only -> domain-contract hash gate
     "events_props_map",             # json_valid guard refenced (CASE)
     "doc_minhash_lsh",              # bucket derivation refactored (shared builder)
@@ -162,6 +163,7 @@ _DRIVER_UNCHECKED = frozenset({
     # round-7-changed (also in _FRESH; ordered first via _FRESH_PRIORITY)
     "doc_decontaminate_bloom", "vocab_heavy_hitters",
     "warehouse_compaction", "schema_evolution_scan",
+    "doc_repeated_passages",
     "embed_semantic_dedup", "doc_dedup_incremental",
     "dedup_incremental_streaming", "doc_mix_temperature",
     "user_distinct_sketch_rollup", "synthetic_transactions",
@@ -170,15 +172,15 @@ _DRIVER_UNCHECKED = frozenset({
     "user_spend_trends_approx", "value_quantiles_approx",
     "doc_winnow", "doc_winnow_pairs", "embed_srp_ann",
     "embed_ivf_ann", "embed_ivf_kmeans_ann", "error_burst_window_bucketed",
-    # never certified by the r5/r6 driver runs — cheap. (Eleven of the
+    # never certified by the r5/r6 driver runs — cheap. (Twelve of the
     # lowest-risk names — scan_filter_project, pricing_summary,
     # category_trends, sliding_window_trends, user_value_ohlc,
     # fraud_enrich, user_spend_trends, doc_profile, doc_ngram_jaccard,
-    # doc_simhash (all hashed by driver r01-r04), doc_dedup_exact —
-    # rolled to round 8 as the four round-7c entries joined the block,
-    # so the 50-query budget still reaches the _SLOW family below.)
+    # doc_simhash, doc_ngram_jaccard_capped (all hashed by driver
+    # r01-r04), doc_dedup_exact — rolled to round 8 as the five
+    # round-7c entries joined the block, so the 50-query budget still
+    # reaches the _SLOW family below.)
     "session_windows",
-    "doc_ngram_jaccard_capped",
     "doc_simhash_pairs", "doc_repetition", "doc_unigram_logprob",
     "doc_tfidf", "doc_tfidf_cosine_pairs", "doc_decontaminate",
     "doc_bigram_coverage", "doc_split_assign", "doc_pack_sequences",
@@ -203,17 +205,18 @@ _FRESH_PRIORITY = (
     "vocab_heavy_hitters",          # brand-new operator + full hash gate
     "warehouse_compaction",         # brand-new operator + hash gate
     "schema_evolution_scan",        # brand-new scan mode + hash gate
+    "doc_repeated_passages",        # brand-new operator + full hash gate
+    "user_spend_trends_approx",     # recalibrated contract columns
+    "user_distinct_sketch_rollup",  # recalibrated contract columns
     "embed_semantic_dedup",         # brand-new operator + oracle
     "doc_dedup_incremental",        # brand-new operator + oracle
     "dedup_incremental_streaming",  # brand-new streaming flow
     "doc_mix_temperature",          # brand-new operator + oracle
-    "user_distinct_sketch_rollup",  # new self-check contract
     "synthetic_transactions",       # new domain-contract gate
     "events_props_map",             # refenced oracle guard
     "multimodal_image_decode",      # brand-new operator + oracle
     "asof_last_purchase_bucketed",  # new code path under the gate
     "error_burst_window_bucketed",  # new code path under the gate
-    "user_spend_trends_approx",     # new self-check contract
     "value_quantiles_approx",       # new rank-error contract
     "doc_winnow_pairs",             # exchange key changed
     "embed_srp_ann",                # expression construction changed
@@ -4735,6 +4738,46 @@ def q_doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_hit",
         (F.col("bloom_hit") | ~F.col("exact_hit")).alias("bloom_caught_all"),
     )
+
+
+_PASSAGE_LEN = 8  # tokens per repeated-passage window
+
+
+@_register(
+    "doc_repeated_passages",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(t) - {_PASSAGE_LEN - 1}, 1)),
+    i -> array_to_string(t[i:i + {_PASSAGE_LEN - 1}], ' '))) AS passage
+  FROM toks
+)
+SELECT passage, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM grams GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+def q_doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact boilerplate report: every {len}-token passage occurring in
+    ≥2 distinct documents, with exact doc and occurrence counts — the
+    strip-before-dedup pass (headers, footers, licence blocks) of a
+    training corpus, and the corpus-level counterpart of the winnowing
+    PAIR detector (operators/textdedup.repeated_passages, restricted to
+    fixed-length windows so it stays one aggregation instead of a
+    suffix array; cf. Lee et al. 2021). The corpus-wide exchange
+    carries xxhash64 keys, never strings; passage text is recovered
+    only for the qualifying set via a broadcast-back join. Full hash
+    gate — output is exact, occurrence-counted (a footer repeated
+    inside one doc still counts every occurrence)."""
+    from smart_fraud_detection_data_pipeline_spark.operators.textdedup import (
+        repeated_passages,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_passages(docs, length=_PASSAGE_LEN, min_df=2)
 
 
 _SAMPLE_K = 5

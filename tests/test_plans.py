@@ -754,3 +754,20 @@ def test_schema_evolution_scan_is_pure_scan(spark, sf_dir):
     assert c["exchange"] == 0
     assert c["broadcast_hash_join"] + c["sort_merge_join"] + c["nested_loop_join"] == 0
     assert "event_type" in X.read_schema(df)
+
+
+def test_repeated_passages_exchange_carries_hashes(spark, sf_dir):
+    """The corpus-wide aggregation must key on the xxhash64 column, and
+    passage strings may only appear in the candidate-bounded recovery
+    join (a broadcast) — never a SortMergeJoin over the gram stream."""
+    from smart_fraud_detection_data_pipeline_spark.operators.textdedup import (
+        repeated_passages,
+    )
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    df = repeated_passages(load_table(spark, sf_dir, "documents"))
+    c = X.plan_counts(df)
+    assert c["sort_merge_join"] == 0
+    assert c["broadcast_hash_join"] == 1  # stats broadcast back for text recovery
+    plan = X.executed_plan(df)
+    assert "xxhash64" in plan

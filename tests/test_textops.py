@@ -407,3 +407,37 @@ def test_heavy_hitters_guards_and_empty(spark):
     assert heavy_hitter_tokens(docs.limit(0)).count() == 0
     with pytest.raises(ValueError):
         heavy_hitter_tokens(docs, inv_threshold=64, slots=32)
+
+
+def test_repeated_passages_counts_and_short_docs(spark):
+    """Passage counts are occurrence-wise (a footer repeated inside one
+    doc counts each occurrence), df is distinct-doc-wise, and docs
+    shorter than the window contribute their whole token sequence as
+    one passage (the shingles convention)."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common footer text a b c unique1 common footer text a b c"),
+            Row(doc_id=2, text="prefix2 common footer text a b c suffix2"),
+            Row(doc_id=3, text="tiny doc"),
+            Row(doc_id=4, text="tiny doc"),
+            Row(doc_id=5, text=None),
+        ]
+    )
+    out = {
+        r.passage: (r.n_docs, r.n_occurrences)
+        for r in TD.repeated_passages(docs, length=6, min_df=2).collect()
+    }
+    assert out["common footer text a b c"] == (2, 3)  # twice in doc1, once in doc2
+    assert out["tiny doc"] == (2, 2)  # short docs -> whole-sequence passage
+    assert all("None" not in p for p in out)  # NULL text excluded
+
+
+def test_repeated_passages_min_df_and_exactness(spark, sf_dir):
+    """min_df is a hard exact filter (not a candidate heuristic): raising
+    it must produce exactly the subset with n_docs >= the new bar."""
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    at2 = {(r.passage, r.n_docs) for r in TD.repeated_passages(docs, length=8).collect()}
+    at3 = {(r.passage, r.n_docs) for r in TD.repeated_passages(docs, length=8, min_df=3).collect()}
+    assert at3 == {x for x in at2 if x[1] >= 3}
