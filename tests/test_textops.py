@@ -441,3 +441,101 @@ def test_repeated_passages_min_df_and_exactness(spark, sf_dir):
     at2 = {(r.passage, r.n_docs) for r in TD.repeated_passages(docs, length=8).collect()}
     at3 = {(r.passage, r.n_docs) for r in TD.repeated_passages(docs, length=8, min_df=3).collect()}
     assert at3 == {x for x in at2 if x[1] >= 3}
+
+
+def _random_corpus(seed, n_docs=40, vocab=30, max_len=30):
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    docs = []
+    for i in range(n_docs):
+        n = rng.randint(1, max_len)
+        docs.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    return docs
+
+
+def test_bloom_no_false_negatives_randomized(spark):
+    """Property, 3 seeds: on random corpora the Bloom flag must contain
+    the exact contamination set EXACTLY (no false negatives, ever) —
+    the same invariant the registered contract column gates, checked
+    here against a direct Python recompute instead of the oracle."""
+    for seed in (11, 23, 47):
+        docs = _random_corpus(seed)
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        ev = df.where(F.col("doc_id") % 5 == 0)
+        tr = df.where(F.col("doc_id") % 5 != 0)
+        got = {r.doc_id: r.bloom_hit for r in TD.bloom_contamination_flags(tr, ev, n=3).collect()}
+
+        def grams(text, n=3):
+            t = text.split()
+            if len(t) <= n:
+                return {" ".join(t)}
+            return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+        ev_grams = set().union(*(grams(t) for i, t in docs if i % 5 == 0))
+        for i, t in docs:
+            if i % 5 != 0 and grams(t) & ev_grams:
+                assert got[i], f"seed {seed}: false negative on doc {i}"
+
+
+def test_heavy_hitters_matches_bruteforce_randomized(spark):
+    """Property, 3 seeds x 2 partitionings: the MG two-pass plan equals
+    a pure-Python exact count on random skewed corpora (docs salted
+    with a few hot tokens so the threshold set is non-trivial)."""
+    import collections
+
+    for seed in (5, 17, 29):
+        docs = [
+            (i, f"hot{i % 2} " * (i % 3 + 1) + t)
+            for i, t in _random_corpus(seed, n_docs=30)
+        ]
+        counts = collections.Counter(
+            tok for _, t in docs for tok in t.strip().lower().split()
+        )
+        n = sum(counts.values())
+        expected = sorted((t, c) for t, c in counts.items() if c * 16 > n)
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        from smart_fraud_detection_data_pipeline_spark.operators.vocab import (
+            heavy_hitter_tokens,
+        )
+
+        for parts in (1, 13):
+            got = sorted(
+                (r.token, r.n_occurrences)
+                for r in heavy_hitter_tokens(
+                    df.repartition(parts), inv_threshold=16
+                ).collect()
+            )
+            assert got == expected, f"seed {seed} parts {parts}"
+
+
+def test_repeated_passages_matches_bruteforce_randomized(spark):
+    """Property, 3 seeds: repeated_passages equals a pure-Python window
+    count (occurrence-wise, whole-sequence fallback for short docs)."""
+    import collections
+
+    L = 4
+    for seed in (7, 19, 31):
+        docs = _random_corpus(seed, n_docs=25, vocab=8, max_len=12)
+        occ = collections.Counter()
+        by_doc = collections.defaultdict(set)
+        for i, t in docs:
+            toks = t.strip().split()
+            wins = (
+                [" ".join(toks)]
+                if len(toks) <= L
+                else [" ".join(toks[j : j + L]) for j in range(len(toks) - L + 1)]
+            )
+            for w in wins:
+                occ[w] += 1
+                by_doc[w].add(i)
+        expected = sorted(
+            (w, len(by_doc[w]), occ[w]) for w in occ if len(by_doc[w]) >= 2
+        )
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = sorted(
+            (r.passage, r.n_docs, r.n_occurrences)
+            for r in TD.repeated_passages(df, length=L).collect()
+        )
+        assert got == expected, f"seed {seed}"
