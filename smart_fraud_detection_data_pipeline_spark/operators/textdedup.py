@@ -708,7 +708,14 @@ def cross_corpus_containment(
     )
     ev_gram_set = ev_grams.select("shingle").distinct()
     hit_grams = (
-        train.select(F.split(F.trim(F.col(text_col)), "\\s+").alias("__toks"))
+        # NULL text contributes no grams — same exclusion _staged_shingles
+        # applies on the eval side. Without it, split(NULL) → slice →
+        # concat_ws manufactures the '' gram, so a NULL-text train doc
+        # spuriously "contains" every empty-string eval doc (fuzz seed
+        # 6007 caught the mirror-image hole in doc_decontaminate_bloom,
+        # whose exact side feeds the eval corpus through this argument).
+        train.where(F.col(text_col).isNotNull())
+        .select(F.split(F.trim(F.col(text_col)), "\\s+").alias("__toks"))
         .select(
             F.explode(
                 F.transform(

@@ -539,3 +539,29 @@ def test_repeated_passages_matches_bruteforce_randomized(spark):
             for r in TD.repeated_passages(df, length=L).collect()
         )
         assert got == expected, f"seed {seed}"
+
+
+def test_containment_null_corpus_text_never_matches_empty_docs(spark):
+    """Fuzz seed 6007: a NULL-text doc in the CONTAINMENT corpus must
+    contribute no grams. Before the fix, split(NULL) -> slice ->
+    concat_ws manufactured the '' gram on the corpus side of
+    cross_corpus_containment (its eval side was already filtered), so
+    an empty-string probe doc spuriously 'appeared' in the corpus —
+    flipping exact_hit in doc_decontaminate_bloom's exact harness and
+    with it the impossible-looking bloom_caught_all contract."""
+    corpus = spark.createDataFrame(
+        [(1, None), (2, "real words only here")], "doc_id bigint, text string"
+    )
+    probes = spark.createDataFrame(
+        [(10, ""), (11, "real words only"), (12, "unrelated stuff entirely")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r.n_hit for r in TD.cross_corpus_containment(corpus, probes).collect()}
+    assert got[10] == 0  # '' probe must NOT match the NULL-text corpus doc
+    assert got[11] > 0  # real containment still detected
+    assert got[12] == 0
+    flags = {
+        r.doc_id: r.bloom_hit
+        for r in TD.bloom_contamination_flags(probes, corpus).collect()
+    }
+    assert not flags[10]  # bloom agrees: NULL corpus text sets no bits
