@@ -194,12 +194,21 @@ def dataset_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     out: list[tuple[str, int]] = []
     it = fs.listFiles(jpath, True)
+    base = fs.makeQualified(jpath).toUri().getPath()
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
+        p = st.getPath()
+        # Hidden-path rule applies to EVERY segment below the listing
+        # root, not just the basename (ADVICE r7): a _temporary/ tree
+        # left by a crashed write must not inflate the byte total —
+        # Spark's InMemoryFileIndex excludes hidden segments at every
+        # level.
+        rel = p.toUri().getPath()
+        if rel.startswith(base):
+            rel = rel[len(base):]
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg):
             continue
-        out.append((st.getPath().toString(), int(st.getLen())))
+        out.append((p.toString(), int(st.getLen())))
     return out
 
 

@@ -491,6 +491,10 @@ def q_user_spend_trends_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         (err <= cap).alias("within_cap"),
         (err > band_3s).cast("bigint").alias("__outlier"),
     )
+    # rows feeds BOTH the calibration agg and the final select across a
+    # crossJoin; without persist the whole HLL groupBy executes twice
+    # (the repo's own materialize-reused-branches invariant — ADVICE r7).
+    rows = rows.persist()
     calib = rows.agg(
         (
             F.coalesce(F.sum("__outlier"), F.lit(0))
@@ -4630,7 +4634,12 @@ _DECON_THRESHOLD = 0.5
     "doc_decontaminate",
     f"""
 WITH toks AS (
+  -- explicit NULL-text exclusion (ADVICE r7): without it NULL docs only
+  -- drop because DuckDB 1.0.0 list_distinct strips the NULL gram that
+  -- array_to_string(NULL-slice) produces — emergent, not stated, and
+  -- the function family's NULL semantics changed in DuckDB >= 1.1.
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  WHERE text IS NOT NULL
 ),
 grams AS (
   SELECT doc_id,
@@ -4677,7 +4686,10 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_decontaminate_bloom",
     f"""
 WITH toks AS (
+  -- explicit NULL-text exclusion (ADVICE r7; same note as
+  -- doc_decontaminate's toks CTE).
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  WHERE text IS NOT NULL
 ),
 grams AS (
   SELECT doc_id,
@@ -6708,10 +6720,18 @@ def q_user_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         (err <= cap).alias("within_cap"),
         (err > band_3s).cast("bigint").alias("__outlier"),
     )
+    # Persist: rows feeds both the calibration agg and the final select
+    # (same ADVICE-r7 note as user_spend_trends_approx — without it the
+    # sketch-union UDAF + eqNullSafe join execute twice per run).
+    rows = rows.persist()
+    # Straggler budget max(2, 1% of groups) — the codified two-tier rule
+    # (CLAUDE.md); the previous hard <=1 could flip on a fuzz fixture
+    # with many distinct event_types landing 2 groups in the 3σ tail.
     calib = rows.agg(
-        (F.coalesce(F.sum("__outlier"), F.lit(0)) <= F.lit(1)).alias(
-            "sketch_calibrated"
-        )
+        (
+            F.coalesce(F.sum("__outlier"), F.lit(0))
+            <= F.greatest(F.lit(2.0), F.count(F.lit(1)) * F.lit(0.01))
+        ).alias("sketch_calibrated")
     )
     return rows.drop("__outlier").crossJoin(F.broadcast(calib))
 

@@ -264,3 +264,25 @@ def test_merged_schema_scan_null_fills_old_files(spark, tmp_path):
         for r in spark.read.option("mergeSchema", "true").parquet(src).collect()
     }
     assert got == {1: ("x", None), 2: ("y", 3.5)}
+
+
+def test_dataset_files_skips_hidden_directory_trees(spark, tmp_path):
+    """Hidden-path exclusion must apply to every segment below the
+    listing root, not just the basename (ADVICE r7): a _temporary/ tree
+    left by a crashed write would otherwise inflate the byte total and
+    the compaction file budget. Spark's own file index skips hidden
+    segments at every level."""
+    src = tmp_path / "hsrc"
+    spark.range(100).write.parquet(str(src))
+    visible = L.dataset_files(spark, str(src))
+    assert len(visible) >= 1
+    # a crashed-write leftover: data file under a hidden directory
+    tmp_tree = src / "_temporary" / "0" / "task_000"
+    tmp_tree.mkdir(parents=True)
+    (tmp_tree / "part-junk.parquet").write_bytes(b"x" * 4096)
+    # and a hidden dotted dir with a visibly-named file inside
+    dot_tree = src / ".staging"
+    dot_tree.mkdir()
+    (dot_tree / "part-junk2.parquet").write_bytes(b"y" * 4096)
+    after = L.dataset_files(spark, str(src))
+    assert sorted(after) == sorted(visible)
