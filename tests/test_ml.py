@@ -15,15 +15,15 @@ Q = {s.name: s.spark_fn for s in registry()}
 def test_fraud_ml_score_separates_classes(spark, sf_dir):
     """The LR scorer must rank rule-flagged transactions above clean ones
     (it's trained on that signal — this is a plumbing sanity check, not
-    a modeling claim)."""
+    a modeling claim). Exercises the per-transaction probability surface
+    (ml.score_transactions with passthrough columns — the registry query
+    now returns the contract report instead)."""
     enriched = Q["fraud_enrich"](spark, sf_dir)
-    scored = Q["fraud_ml_score"](spark, sf_dir)
-    joined = enriched.select("transaction_id", "fraud_score").join(
-        scored, "transaction_id"
-    )
+    model = ML.train_fraud_scorer(enriched)
+    scored = ML.score_transactions(model, enriched, keep=("fraud_score",))
     means = {
         r.flagged: r.mean_p
-        for r in joined.select(
+        for r in scored.select(
             (F.col("fraud_score") >= 0.5).alias("flagged"), "ml_fraud_probability"
         )
         .groupBy("flagged")
@@ -36,6 +36,28 @@ def test_fraud_ml_score_separates_classes(spark, sf_dir):
         (F.col("ml_fraud_probability") < 0) | (F.col("ml_fraud_probability") > 1)
     ).count()
     assert bad == 0
+
+
+def test_fraud_ml_contract_report(spark, sf_dir):
+    """The contract-gated registry query: per-month counts must match a
+    plain groupBy of the enrichment, all three model-contract booleans
+    must hold, and the report must carry every (tx_year, tx_month)
+    group including the NULL-timestamp one."""
+    enriched = Q["fraud_enrich"](spark, sf_dir)
+    report = Q["fraud_ml_score"](spark, sf_dir)
+    rows = report.collect()
+    assert all(r.auc_ok and r.accuracy_ok and r.calibration_monotone for r in rows)
+    want = {
+        (r.tx_year, r.tx_month, r.tx_day): (r.n, r.f)
+        for r in enriched.groupBy("tx_year", "tx_month", "tx_day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("fraud_score") >= 0.5).cast("int")).alias("f"),
+        )
+        .collect()
+    }
+    got = {(r.tx_year, r.tx_month, r.tx_day): (r.n_rows, r.n_flagged) for r in rows}
+    assert got == want
 
 
 def test_fraud_ml_score_deterministic(spark, sf_dir):
