@@ -1713,21 +1713,29 @@ SELECT doc_id,
        CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
        CAST(SUM((r + 85) % 256) AS DOUBLE) / (w * h) AS mean_g,
        CAST(SUM((r + 170) % 256) AS DOUBLE) / (w * h) AS mean_b,
-       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt
+       CASE WHEN doc_id % 3 = 0 THEN 'bmp'
+            WHEN doc_id % 3 = 1 THEN 'ppm'
+            ELSE 'png' END AS fmt
 FROM ch GROUP BY doc_id, w, h
 """,
 )
 def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode under the hash gate (VERDICT r6 #4): synthesize
-    a deterministic BMP (even doc_id) or PPM (odd) per document —
-    widths 1..13 so every BMP row-padding residue occurs — then parse
-    the bytes with the pure-Python decoders (headers, bottom-up rows,
-    BGR order, 4-byte padding) and emit dimensions + per-channel pixel
-    means. The oracle recomputes the DECODED features from the pixel
-    arithmetic alone (no parsing), so any parser bug — wrong stride,
-    swapped channels, off-by-one offset — shifts a mean and fails the
-    hash. Channel means are exact int-sum / int-count IEEE divisions on
-    both engines; no quantization needed."""
+    """REAL image decode under the hash gate (VERDICT r6 #4; PNG leg
+    r8 per VERDICT r7 #5): synthesize a deterministic BMP / PPM / PNG
+    per document round-robin on doc_id % 3 — widths 1..13 so every BMP
+    row-padding residue occurs, heights 1..7 so the PNG encoder's
+    row%5 filter cycle exercises ALL FIVE scanline filters — then
+    parse the bytes with the pure-Python decoders (BMP headers,
+    bottom-up rows, BGR order, 4-byte padding; PNG chunk CRCs, zlib
+    inflate, Sub/Up/Average/Paeth unfilter) and emit dimensions +
+    per-channel pixel means. The oracle recomputes the DECODED
+    features from the pixel arithmetic alone (no parsing), so any
+    parser bug — wrong stride, swapped channels, off-by-one offset,
+    bad predictor — shifts a mean and fails the hash. Channel means
+    are exact int-sum / int-count IEEE divisions on both engines; no
+    quantization needed. (Fixture contract doc_id >= 0, as the %256
+    pixel arithmetic already assumes — Python and DuckDB signed
+    modulo agree only there.)"""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     return MM.decode_image_features(MM.synthesize_images(docs))
 

@@ -365,29 +365,145 @@ def test_decode_ppm_comments_and_truncation():
 
 def test_codec_roundtrip_all_padding_residues():
     """encode→decode is the identity for every BMP stride residue
-    (w mod 4 ∈ {0,1,2,3}) and for PPM."""
+    (w mod 4 ∈ {0,1,2,3}), for PPM, and for PNG — where h >= 5 drives
+    the encoder's row%5 filter cycle through ALL FIVE scanline filter
+    types (None/Sub/Up/Average/Paeth)."""
     for w in (1, 2, 3, 4, 5, 13):
-        h = 3
+        h = 6
         px = [((i * 7) % 256, (i * 11) % 256, (i * 13) % 256) for i in range(w * h)]
         assert MM.decode_bmp(MM.encode_bmp(w, h, px)) == (w, h, px)
         assert MM.decode_ppm(MM.encode_ppm(w, h, px)) == (w, h, px)
+        assert MM.decode_png(MM.encode_png(w, h, px)) == (w, h, px)
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG\r\n")  # real codecs still absent
+        MM.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG: codec still absent
+
+
+def _spec_png() -> bytes:
+    """Hand-built canonical 2x2 RGB PNG: chunk stream assembled byte by
+    byte with explicit per-scanline filters (row 0: None, row 1: Up),
+    CRCs computed per spec. Pins the PARSER against the format spec
+    independently of this repo's encoder (same rationale as
+    _spec_bmp)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    scanlines = (
+        b"\x00" + bytes([1, 2, 3, 4, 5, 6])  # filter None
+        + b"\x02" + bytes([6] * 6)           # filter Up: raw - prior = 6
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_spec_fixture_and_rejects():
+    """Decode the canonical hand-built PNG (filters None + Up), then
+    the failure modes a real reader must catch: corrupted chunk CRC,
+    palette color type (honest scope boundary), interlacing, and
+    non-PNG bytes."""
+    import struct
+    import zlib
+
+    w, h, px = MM.decode_png(_spec_png())
+    assert (w, h) == (2, 2)
+    assert px == [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+
+    corrupt = bytearray(_spec_png())
+    corrupt[-17] ^= 0xFF  # flip a byte inside IDAT data → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        MM.decode_png(bytes(corrupt))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        MM.decode_png(pal)
+    adam7 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        MM.decode_png(adam7)
+    with pytest.raises(ValueError):
+        MM.decode_png(b"notapng")
+
+
+def test_decode_png_gray_and_rgba():
+    """Gray (color type 0) replicates to RGB; RGBA (type 6) drops
+    alpha — both through hand-built chunk streams."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    gray = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" + bytes([200, 100])))
+        + chunk(b"IEND", b"")
+    )
+    assert MM.decode_png(gray) == (2, 1, [(200, 200, 200), (100, 100, 100)])
+
+    rgba = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 2, 8, 6, 0, 0, 0))
+        + chunk(
+            b"IDAT",
+            zlib.compress(
+                b"\x00" + bytes([10, 20, 30, 255])
+                + b"\x00" + bytes([40, 50, 60, 0])
+            ),
+        )
+        + chunk(b"IEND", b"")
+    )
+    assert MM.decode_png(rgba) == (1, 2, [(10, 20, 30), (40, 50, 60)])
 
 
 def test_image_decode_features_distributed(spark, sf_dir):
     """The hash-gated query's operator chain over Spark: synthesized
-    BMP/PPM payloads decode to the arithmetic ground truth."""
+    BMP/PPM/PNG payloads decode to the arithmetic ground truth."""
     docs = load_table(spark, sf_dir, "documents").limit(40)
     out = MM.decode_image_features(MM.synthesize_images(docs))
     rows = {r.doc_id: r for r in out.collect()}
     assert len(rows) == 40
+    assert {r.fmt for r in rows.values()} == {"bmp", "ppm", "png"}
     for doc_id, r in rows.items():
         w, h = 1 + doc_id % 13, 1 + doc_id % 7
         n = w * h
         reds = [(doc_id * 31 + k) % 256 for k in range(n)]
         assert (r.img_w, r.img_h) == (w, h)
-        assert r.fmt == ("bmp" if doc_id % 2 == 0 else "ppm")
+        assert r.fmt == ("bmp", "ppm", "png")[doc_id % 3]
         assert r.mean_r == sum(reds) / n
         assert r.mean_g == sum((v + 85) % 256 for v in reds) / n
         assert r.mean_b == sum((v + 170) % 256 for v in reds) / n
@@ -395,8 +511,9 @@ def test_image_decode_features_distributed(spark, sf_dir):
 
 def test_decode_np_equals_list_form():
     """The vectorized decoder (what the Arrow UDF runs) must agree with
-    the readable list-based spec form pixel-for-pixel on both formats,
-    both BMP storage orders, and every padding residue."""
+    the readable list-based spec form pixel-for-pixel on all three
+    formats, both BMP storage orders, every padding residue, and all
+    five PNG filter types (h=6 cycles the encoder through them)."""
     import struct
 
     import numpy as np
@@ -404,12 +521,21 @@ def test_decode_np_equals_list_form():
     codecs = MM.make_image_codecs()
     dnp = codecs["decode_image_np"]
     for w in (1, 2, 3, 4, 5, 13):
-        h = 4
+        h = 6
         px = [((i * 7) % 256, (i * 11) % 256, (i * 13) % 256) for i in range(w * h)]
-        for payload in (MM.encode_bmp(w, h, px), MM.encode_ppm(w, h, px)):
+        for payload in (
+            MM.encode_bmp(w, h, px),
+            MM.encode_ppm(w, h, px),
+            MM.encode_png(w, h, px),
+        ):
             wn, hn, raster = dnp(payload)
             assert (wn, hn) == (w, h)
             assert [tuple(int(c) for c in p) for p in raster.reshape(-1, 3)] == px
+    # gray + RGBA PNGs through the np path (replicate / drop alpha)
+    _, _, gr = dnp(_spec_png())
+    assert [tuple(map(int, p)) for p in gr.reshape(-1, 3)] == [
+        (1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)
+    ]
     # top-down BMP through the np path
     td = bytearray(_spec_bmp())
     td[22:26] = struct.pack("<i", -2)
