@@ -128,9 +128,11 @@ def test_multimodal_features_match_python_reference(spark, sf_dir):
         assert r.format == "txt"
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_unknown_format_is_stubbed():
+    """BMP/PPM/PNG decode for real; codec-library formats (JPEG here)
+    remain the honest documented stub."""
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG")
+        MM.decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF")
 
 
 def test_ivf_ann_recall_vs_bruteforce(spark, emb):
@@ -588,3 +590,20 @@ def test_semantic_dedup_empty_and_all_null(spark):
     assert [f.name for f in out.schema.fields] == ["vec_id", "cluster", "dup_of", "keep"]
     allnull = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
     assert SIM.semantic_dedup(allnull).count() == 0
+
+
+def test_semantic_dedup_autosizes_quantizer(spark):
+    """With no explicit k or centroids the quantizer must scale with
+    the corpus (k = max(16, ceil(n/target_cell))) — a fixed default k
+    would re-quadratize the within-cell join as the corpus grows."""
+    df = spark.range(3000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 97).cast("double"),
+            (F.col("id") % 89).cast("double"),
+        ).alias("embedding"),
+    )
+    out = SIM.semantic_dedup(df, target_cell=100, threshold=1.01)
+    assert out.count() == 3000  # threshold > 1 -> nothing pruned
+    k_used = out.select("cluster").distinct().count()
+    assert 16 < k_used <= 30  # ceil(3000/100) = 30 cells, floor exceeded
