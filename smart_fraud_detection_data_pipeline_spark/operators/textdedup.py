@@ -1034,6 +1034,7 @@ def repeated_passages(
     id_col: str = "doc_id",
     length: int = 8,
     min_df: int = 2,
+    broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """Exact repeated-passage (boilerplate) detection: every ``length``-
     token passage occurring in at least ``min_df`` distinct documents,
@@ -1055,10 +1056,20 @@ def repeated_passages(
     smaller than the corpus) broadcasts back onto a map-side join of
     the gram stream, so the only strings that ever reach an exchange
     are the QUALIFYING passages themselves — and map-side partial agg
-    collapses those to one row per (partition, passage) first. Docs
-    shorter than ``length`` contribute their whole token sequence as
-    one passage (the `shingles` convention); NULL text is excluded on
-    entry like every text op."""
+    collapses those to one row per (partition, passage) first.
+
+    The broadcast is GUARDED (VERDICT r7 #7): a pathological corpus
+    (min_df=2 over near-unique long documents) can qualify a stats
+    frame far beyond any broadcast budget, so stats is persisted,
+    counted (one bounded scalar — the count materializes the persisted
+    agg the join then reuses, no duplicated work), and above
+    ``broadcast_limit`` rows the recovery join falls back to a shuffle
+    hash join on the 8-byte key instead of a driver-side OOM. Same
+    output either way.
+
+    Docs shorter than ``length`` contribute their whole token sequence
+    as one passage (the `shingles` convention); NULL text is excluded
+    on entry like every text op."""
     toks = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
@@ -1078,10 +1089,12 @@ def repeated_passages(
             F.count(F.lit(1)).alias("n_occurrences"),
         )
         .where(F.col("n_docs") >= min_df)
+        .persist()
     )
+    right = F.broadcast(stats) if stats.count() <= broadcast_limit else stats
     return (
         stream.select("__g", "__h")
-        .join(F.broadcast(stats), "__h")
+        .join(right, "__h")
         .groupBy("__g", "n_docs", "n_occurrences")
         .agg(F.lit(1).alias("__one"))
         .select(F.col("__g").alias("passage"), "n_docs", "n_occurrences")
