@@ -41,11 +41,21 @@ def merge_upsert(
     keys: Sequence[str],
     *,
     order_by: Sequence[str] | None = None,
+    delete_col: str | None = None,
 ) -> DataFrame:
     """Keyed upsert: target ⟕⟖ source on keys, source wins on match (A8/J3).
 
     Columns = target's columns (source must contain them all). When
     ``order_by`` is given the source is first deduped keep-last on it.
+
+    ``delete_col`` (round 8 — the ``WHEN MATCHED AND <flag> THEN
+    DELETE`` verb standard lakehouse MERGE has): a boolean tombstone
+    column on the SOURCE. A flagged source row deletes its matched
+    target row instead of updating it, and — per standard MERGE — a
+    flagged row with no match inserts nothing (deleting an absent key
+    is a no-op). NULL flags mean "not a tombstone" (upsert as usual);
+    the column is not part of the output. Same single full-outer-join
+    plan: the delete is a post-join filter, no extra exchange.
     """
     if order_by:
         source = dedup_keep_last(source, keys, order_by)
@@ -61,10 +71,17 @@ def merge_upsert(
     # keys; "source row present" therefore can't be inferred from key
     # nullness. A literal marker column is null exactly when the outer
     # join produced no source row.
-    s = source.select(*cols).withColumn("__src", F.lit(1)).alias("s")
+    extra = [delete_col] if delete_col else []
+    s = source.select(*cols, *extra).withColumn("__src", F.lit(1)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     joined = t.join(s, on=cond, how="full_outer")
     matched = F.col("s.__src").isNotNull()
+    if delete_col:
+        # One predicate covers both DELETE cases: a tombstone with a
+        # match drops the joined row (removing the target row), a
+        # tombstone without one suppresses the would-be insert.
+        tomb = matched & F.coalesce(F.col(f"s.{delete_col}"), F.lit(False))
+        joined = joined.where(~tomb)
     out_cols = [
         F.when(matched, F.col(f"s.{k}")).otherwise(F.col(f"t.{k}")).alias(k)
         for k in keys
@@ -119,6 +136,8 @@ def merge_into_sql(
     source_view: str,
     keys: Sequence[str],
     columns: Sequence[str],
+    *,
+    delete_predicate: str | None = None,
 ) -> str:
     """The lakehouse form of this module's upsert: an ANSI ``MERGE
     INTO`` statement with the loaders' exact WHEN structure (matched →
@@ -129,7 +148,14 @@ def merge_into_sql(
     copy-on-write for free, which is why this is the production door
     and `merge_upsert` the run-anywhere emulation of the same
     semantics. Key equality is null-safe (<=>), matching the
-    emulation's eqNullSafe."""
+    emulation's eqNullSafe.
+
+    ``delete_predicate`` (a SQL boolean over the ``s`` alias, e.g.
+    ``s.is_del``) emits the three-clause tombstone form — ``WHEN
+    MATCHED AND <pred> THEN DELETE`` before the update clause, and the
+    insert clause guarded with ``AND NOT <pred>`` so an unmatched
+    tombstone inserts nothing — mirroring merge_upsert's
+    ``delete_col`` emulation exactly."""
     non_keys = [c for c in columns if c not in keys]
     if not non_keys:
         raise ValueError("MERGE needs at least one non-key column to update")
@@ -137,10 +163,25 @@ def merge_into_sql(
     sets = ", ".join(f"t.{c} = s.{c}" for c in non_keys)
     cols = ", ".join(columns)
     vals = ", ".join(f"s.{c}" for c in columns)
+    # COALESCE fences on both clauses: a NULL tombstone flag must mean
+    # "not a tombstone" (update / insert as usual), exactly like the
+    # emulation's coalesce — a bare NULL predicate would silently
+    # swallow the insert under three-valued logic.
+    delete = (
+        f"WHEN MATCHED AND COALESCE({delete_predicate}, FALSE) THEN DELETE "
+        if delete_predicate
+        else ""
+    )
+    not_matched = (
+        f"WHEN NOT MATCHED AND NOT COALESCE({delete_predicate}, FALSE) THEN"
+        if delete_predicate
+        else "WHEN NOT MATCHED THEN"
+    )
     return (
         f"MERGE INTO {target_table} t USING {source_view} s ON {on} "
+        f"{delete}"
         f"WHEN MATCHED THEN UPDATE SET {sets} "
-        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        f"{not_matched} INSERT ({cols}) VALUES ({vals})"
     )
 
 

@@ -593,6 +593,76 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(target, source, ["o_custkey"])
 
 
+@_register(
+    "merge_upsert_delete",
+    """
+WITH t AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+         COUNT(*) AS num_orders
+  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01' GROUP BY o_custkey
+  UNION ALL
+  SELECT CAST(NULL AS BIGINT), 1.0e0, CAST(1 AS BIGINT)
+), s AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+         COUNT(*) AS num_orders,
+         COALESCE(o_custkey % 7 = 0, FALSE) AS is_del, 1 AS __src
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01' GROUP BY o_custkey
+  UNION ALL
+  SELECT CAST(NULL AS BIGINT), 99.0e0, CAST(9 AS BIGINT), FALSE, 1
+)
+SELECT CASE WHEN s.__src IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+       CASE WHEN s.__src IS NOT NULL THEN s.total_price ELSE t.total_price END AS total_price,
+       CASE WHEN s.__src IS NOT NULL THEN s.num_orders ELSE t.num_orders END AS num_orders
+FROM t FULL OUTER JOIN s ON t.o_custkey IS NOT DISTINCT FROM s.o_custkey
+WHERE NOT (s.__src IS NOT NULL AND s.is_del)
+""",
+)
+def q_merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tombstone-driven MERGE verb (VERDICT r7 #9 — ``WHEN MATCHED
+    AND flag THEN DELETE``): the new-period source carries a boolean
+    tombstone (every 7th customer key — `%` is dividend-signed on BOTH
+    engines per the routing rule, and the COALESCE fence routes a NULL
+    key's flag to FALSE deterministically). Flagged matched keys are
+    DELETED from the snapshot, flagged source-only keys insert nothing
+    (standard MERGE no-op), everything else upserts exactly as
+    merge_upsert — whose NULL-key eqNullSafe coverage this query keeps
+    (the injected NULL-key source row is a non-tombstone and must still
+    win). Oracle: the same full-outer-join CASE projection with the
+    tombstone anti-filter — the anti-join form of the verb."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp_ntz")
+
+    def totals(df):
+        return df.groupBy("o_custkey").agg(
+            exact_sum_double("o_totalprice").alias("total_price"),
+            F.count(F.lit(1)).alias("num_orders"),
+        )
+
+    target = totals(orders.where(F.col("o_orderdate") < cutoff)).unionByName(
+        spark.createDataFrame(
+            [(None, 1.0, 1)],
+            "o_custkey bigint, total_price double, num_orders bigint",
+        )
+    )
+    source = (
+        totals(orders.where(F.col("o_orderdate") >= cutoff))
+        .withColumn(
+            "is_del",
+            F.coalesce(F.col("o_custkey") % 7 == 0, F.lit(False)),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(None, 99.0, 9, False)],
+                "o_custkey bigint, total_price double, num_orders bigint, "
+                "is_del boolean",
+            )
+        )
+    )
+    return merge_upsert(target, source, ["o_custkey"], delete_col="is_del")
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage: scan/filter pushdown, agg, join, top-k
 # ---------------------------------------------------------------------------

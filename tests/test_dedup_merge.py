@@ -205,3 +205,47 @@ def test_merge_upsert_v2_executes_on_lakehouse_catalog(tmp_path):
     )
     assert proc.returncode == 0, f"\n--- stdout ---\n{proc.stdout}\n--- stderr ---\n{proc.stderr}"
     assert "MERGE OK" in proc.stdout
+
+
+def test_merge_upsert_delete_tombstones(spark):
+    """WHEN MATCHED AND flag THEN DELETE (round 8): a flagged source
+    row deletes its matched target row; a flagged row with no match
+    inserts nothing; a NULL flag means 'not a tombstone' (plain
+    upsert); the flag column never reaches the output."""
+    target = spark.createDataFrame(
+        [Row(k=1, v=10.0), Row(k=2, v=20.0), Row(k=3, v=30.0), Row(k=None, v=0.0)],
+        "k int, v double",
+    )
+    source = spark.createDataFrame(
+        [
+            Row(k=2, v=99.0, is_del=True),    # matched tombstone -> deleted
+            Row(k=3, v=33.0, is_del=None),    # NULL flag -> updates
+            Row(k=4, v=44.0, is_del=True),    # unmatched tombstone -> no-op
+            Row(k=5, v=55.0, is_del=False),   # unmatched -> inserted
+            Row(k=None, v=9.0, is_del=True),  # NULL-KEY tombstone: eqNullSafe
+                                              # match -> deletes the NULL row
+        ],
+        "k int, v double, is_del boolean",
+    )
+    merged = merge_upsert(target, source, ["k"], delete_col="is_del")
+    assert merged.columns == ["k", "v"]
+    out = {r.k: r.v for r in merged.collect()}
+    assert out == {1: 10.0, 3: 33.0, 5: 55.0}
+
+
+def test_merge_into_sql_delete_clause():
+    """The three-clause tombstone form: DELETE before UPDATE, and the
+    insert guarded so an unmatched tombstone inserts nothing — with
+    COALESCE fences so a NULL flag upserts (three-valued-logic rule)."""
+    from smart_fraud_detection_data_pipeline_spark.operators.merge import merge_into_sql
+
+    sql = merge_into_sql(
+        "wh.t", "stage", ["k"], ["k", "v"], delete_predicate="s.is_del"
+    )
+    assert sql == (
+        "MERGE INTO wh.t t USING stage s ON t.k <=> s.k "
+        "WHEN MATCHED AND COALESCE(s.is_del, FALSE) THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+        "WHEN NOT MATCHED AND NOT COALESCE(s.is_del, FALSE) THEN "
+        "INSERT (k, v) VALUES (s.k, s.v)"
+    )
