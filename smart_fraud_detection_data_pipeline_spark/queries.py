@@ -127,100 +127,66 @@ _SLOW = frozenset({
 #: new queries made it into the 50-entry driver artifact). Refresh this
 #: set each round.
 _FRESH = frozenset({
-    # round 7: new or changed implementations / oracles
-    "doc_decontaminate_bloom",      # NEW: Bloom-filter decontamination
-    "vocab_heavy_hitters",          # NEW: Misra-Gries exact heavy hitters
-    "warehouse_compaction",         # NEW: small-file compaction
-    "schema_evolution_scan",        # NEW: mergeSchema add-column scan
-    "doc_repeated_passages",        # NEW: exact boilerplate report
-    "user_spend_trends_approx",     # recalibrated two-tier HLL contract
-    "user_distinct_sketch_rollup",  # recalibrated two-tier HLL contract
-    "asof_last_purchase_bucketed",  # NEW: bucket_seconds under the hash gate
-    "multimodal_image_decode",      # NEW: real BMP/PPM decode query
-    "value_quantiles_approx",       # rows-only -> rank-error hash gate
-    "doc_winnow", "doc_winnow_pairs",  # int64 fingerprint exchange key
-    "embed_srp_ann", "embed_ivf_ann", "embed_ivf_kmeans_ann",  # SQL-string exprs
-    "error_burst_window_bucketed",  # NEW: interval-join bucket split
-    "embed_semantic_dedup",         # NEW: SemDeDup keep/remove decision
-    "doc_dedup_incremental",        # NEW: cross-snapshot index probe
-    "dedup_incremental_streaming",  # NEW: streaming ingest probe
-    "doc_mix_temperature",          # NEW: temperature source mixing
-    "synthetic_transactions",       # rows-only -> domain-contract hash gate
-    "events_props_map",             # json_valid guard refenced (CASE)
-    "doc_minhash_lsh",              # bucket derivation refactored (shared builder)
-    "doc_split_assign",             # bucket-fold oracle refactored (shared builder)
+    # round 8: new or changed implementations / oracles
+    "merge_upsert_delete",          # NEW: tombstone MERGE verb
+    "fraud_ml_score",               # rows-only -> model-contract hash gate
+    "multimodal_image_decode",      # PNG leg added (3-way format split)
+    "doc_tfidf_cosine_pairs",       # token exchanges now int64 xxhash64
+    "doc_repeated_passages",        # broadcast-size guard on text recovery
+    "user_distinct_sketch_rollup",  # straggler budget max(2,1%) + persist
+    "user_spend_trends_approx",     # persisted rows branch
+    "doc_decontaminate_bloom",      # oracle: explicit NULL-text exclusion
+    "doc_decontaminate",            # oracle: explicit NULL-text exclusion
+    "warehouse_compaction",         # hidden-tree file-listing filter
 })
 
-#: Registry rotation (VERDICT r6 #7): the r5 and r6 driver runs
-#: certified the IDENTICAL 50 names, so this round's block is the 50
-#: the driver should hash NOW — the 9 round-7-changed queries first,
-#: then never-r5/r6-certified names: 27 cheap ones plus the 14 _SLOW
-#: ones the verdict called out (streaming family, doc_dup_components,
-#: warehouse loads, ML fits) which sort last *within* the block so the
-#: cheap majority certifies before the micro-batch machinery spends the
-#: budget. ~31 further uncovered names roll to round 8's rotation.
+#: Registry rotation, round 8 (VERDICT r7 #2): the 10 round-8-changed
+#: names above ride first, then the 40 names whose LAST driver
+#: certification is r01-r04 — the reference-core surface the verdict
+#: called out (fraud_enrich, user_spend_trends, category_trends,
+#: pricing_summary, doc_ngram_jaccard, doc_dedup_exact, ...) plus the
+#: rest of the never-r5/r6/r7-certified tail. Four 4x-certified cheap
+#: names (dedup_keep_last — also judge-spot-checked r7 — top_customers,
+#: customers_no_big_order, customers_with_big_order) roll to round 9 so
+#: the block stays at exactly 50.
 _DRIVER_UNCHECKED = frozenset({
-    # round-7-changed (also in _FRESH; ordered first via _FRESH_PRIORITY)
-    "doc_decontaminate_bloom", "vocab_heavy_hitters",
-    "warehouse_compaction", "schema_evolution_scan",
-    "doc_repeated_passages",
-    "embed_semantic_dedup", "doc_dedup_incremental",
-    "dedup_incremental_streaming", "doc_mix_temperature",
-    "user_distinct_sketch_rollup", "synthetic_transactions",
-    "events_props_map",
-    "asof_last_purchase_bucketed", "multimodal_image_decode",
-    "user_spend_trends_approx", "value_quantiles_approx",
-    "doc_winnow", "doc_winnow_pairs", "embed_srp_ann",
-    "embed_ivf_ann", "embed_ivf_kmeans_ann", "error_burst_window_bucketed",
-    # never certified by the r5/r6 driver runs — cheap. (Twelve of the
-    # lowest-risk names — scan_filter_project, pricing_summary,
-    # category_trends, sliding_window_trends, user_value_ohlc,
-    # fraud_enrich, user_spend_trends, doc_profile, doc_ngram_jaccard,
-    # doc_simhash, doc_ngram_jaccard_capped (all hashed by driver
-    # r01-r04), doc_dedup_exact — rolled to round 8 as the five
-    # round-7c entries joined the block, so the 50-query budget still
-    # reaches the _SLOW family below.)
-    "session_windows",
-    "doc_simhash_pairs", "doc_repetition", "doc_unigram_logprob",
-    "doc_tfidf", "doc_tfidf_cosine_pairs", "doc_decontaminate",
-    "doc_bigram_coverage", "doc_split_assign", "doc_pack_sequences",
-    "lang_id_confusion", "user_robust_zscore",
-    "user_scd2_intervals", "user_event_transitions", "events_json_props",
-    "value_drift_chi2", "doc_minhash_lsh",
-    # never certified — _SLOW members (streaming family +
-    # doc_dup_components per VERDICT r6 #7, warehouse loads, ML fits)
-    "fraud_enrich_streaming", "dedup_streaming",
-    "user_spend_trends_streaming", "user_running_totals_streaming",
-    "session_windows_streaming", "doc_dup_components",
-    "doc_clean_corpus", "merge_upsert", "warehouse_load",
-    "warehouse_load_incremental", "fraud_ml_score",
+    # round-8-changed (also in _FRESH; ordered first via _FRESH_PRIORITY)
+    "merge_upsert_delete", "fraud_ml_score", "multimodal_image_decode",
+    "doc_tfidf_cosine_pairs", "doc_repeated_passages",
+    "user_distinct_sketch_rollup", "user_spend_trends_approx",
+    "doc_decontaminate_bloom", "doc_decontaminate", "warehouse_compaction",
+    # last driver cert r01-r04 — reference-core first
+    "fraud_enrich", "user_spend_trends", "category_trends",
+    "pricing_summary", "doc_ngram_jaccard", "doc_dedup_exact",
+    "scan_filter_project", "doc_ngram_jaccard_capped", "doc_simhash",
+    "doc_profile", "sliding_window_trends", "user_value_ohlc",
+    "time_layout_scan", "observed_quality", "user_value_trend",
+    "user_value_ewma", "vocab_top_ngrams", "value_winsorized",
+    "embed_cosine_topk", "multimodal_meta", "multimodal_byte_features",
+    "sql_pricing_summary", "orders_rollup", "customer_order_seq",
+    "salted_category_totals", "embed_cosine_dups", "error_burst_window",
+    "value_quantiles", "user_event_type_pivot", "user_event_type_unpivot",
+    "customer_activity_set_ops", "data_quality_report",
+    "late_shipment_orders", "late_sole_suppliers", "top_supplier_revenue",
+    "embed_quantized_topk", "orders_snapshot_diff", "user_txn_velocity",
+    "amount_benford", "orders_grouping_sets",
 })
 
 
-#: Within the _DRIVER_UNCHECKED block, the round-7-changed names ride
+#: Within the _DRIVER_UNCHECKED block, the round-8-changed names ride
 #: first (riskiest first) so a budget-truncated run still hashes every
-#: changed query before re-certifying stable ones.
+#: changed query before re-certifying stale ones.
 _FRESH_PRIORITY = (
-    "doc_decontaminate_bloom",      # brand-new operator + contract gate
-    "vocab_heavy_hitters",          # brand-new operator + full hash gate
-    "warehouse_compaction",         # brand-new operator + hash gate
-    "schema_evolution_scan",        # brand-new scan mode + hash gate
-    "doc_repeated_passages",        # brand-new operator + full hash gate
-    "user_spend_trends_approx",     # recalibrated contract columns
-    "user_distinct_sketch_rollup",  # recalibrated contract columns
-    "embed_semantic_dedup",         # brand-new operator + oracle
-    "doc_dedup_incremental",        # brand-new operator + oracle
-    "dedup_incremental_streaming",  # brand-new streaming flow
-    "doc_mix_temperature",          # brand-new operator + oracle
-    "synthetic_transactions",       # new domain-contract gate
-    "events_props_map",             # refenced oracle guard
-    "multimodal_image_decode",      # brand-new operator + oracle
-    "asof_last_purchase_bucketed",  # new code path under the gate
-    "error_burst_window_bucketed",  # new code path under the gate
-    "value_quantiles_approx",       # new rank-error contract
-    "doc_winnow_pairs",             # exchange key changed
-    "embed_srp_ann",                # expression construction changed
-    "doc_winnow",
+    "merge_upsert_delete",          # brand-new operator + oracle
+    "fraud_ml_score",               # brand-new contract gate
+    "multimodal_image_decode",      # new PNG decode path under the gate
+    "doc_tfidf_cosine_pairs",       # exchange keys changed
+    "doc_repeated_passages",        # join strategy changed
+    "user_distinct_sketch_rollup",  # contract threshold changed
+    "user_spend_trends_approx",     # plan changed (persist)
+    "doc_decontaminate_bloom",      # oracle text changed
+    "doc_decontaminate",            # oracle text changed
+    "warehouse_compaction",         # listing semantics changed
 )
 
 
