@@ -116,6 +116,7 @@ _SLOW = frozenset({
     "stream_stream_join", "stream_stream_left_join", "stream_windowed_rollup",
     "user_spend_trends_incremental", "warehouse_load", "warehouse_load_incremental",
     "fraud_ml_score", "embed_ivf_kmeans_ann", "embed_ivf_ann",
+    "embed_semantic_dedup_kmeans",
     "doc_dup_components", "doc_clean_corpus", "merge_upsert",
     "corpus_training_export",
 })
@@ -138,6 +139,7 @@ _FRESH = frozenset({
     "doc_decontaminate_bloom",      # oracle: explicit NULL-text exclusion
     "doc_decontaminate",            # oracle: explicit NULL-text exclusion
     "warehouse_compaction",         # hidden-tree file-listing filter
+    "embed_semantic_dedup_kmeans",  # NEW: learned-quantizer SemDeDup
 })
 
 #: Registry rotation, round 8 (VERDICT r7 #2): the 10 round-8-changed
@@ -145,13 +147,14 @@ _FRESH = frozenset({
 #: certification is r01-r04 — the reference-core surface the verdict
 #: called out (fraud_enrich, user_spend_trends, category_trends,
 #: pricing_summary, doc_ngram_jaccard, doc_dedup_exact, ...) plus the
-#: rest of the never-r5/r6/r7-certified tail. Four 4x-certified cheap
+#: rest of the never-r5/r6/r7-certified tail. Five 4x-certified cheap
 #: names (dedup_keep_last — also judge-spot-checked r7 — top_customers,
-#: customers_no_big_order, customers_with_big_order) roll to round 9 so
-#: the block stays at exactly 50.
+#: customers_no_big_order, customers_with_big_order, multimodal_meta)
+#: roll to round 9 so the block stays at exactly 50.
 _DRIVER_UNCHECKED = frozenset({
     # round-8-changed (also in _FRESH; ordered first via _FRESH_PRIORITY)
     "merge_upsert_delete", "fraud_ml_score", "multimodal_image_decode",
+    "embed_semantic_dedup_kmeans",
     "doc_tfidf_cosine_pairs", "doc_repeated_passages",
     "user_distinct_sketch_rollup", "user_spend_trends_approx",
     "doc_decontaminate_bloom", "doc_decontaminate", "warehouse_compaction",
@@ -162,7 +165,7 @@ _DRIVER_UNCHECKED = frozenset({
     "doc_profile", "sliding_window_trends", "user_value_ohlc",
     "time_layout_scan", "observed_quality", "user_value_trend",
     "user_value_ewma", "vocab_top_ngrams", "value_winsorized",
-    "embed_cosine_topk", "multimodal_meta", "multimodal_byte_features",
+    "embed_cosine_topk", "multimodal_byte_features",
     "sql_pricing_summary", "orders_rollup", "customer_order_seq",
     "salted_category_totals", "embed_cosine_dups", "error_burst_window",
     "value_quantiles", "user_event_type_pivot", "user_event_type_unpivot",
@@ -180,6 +183,7 @@ _FRESH_PRIORITY = (
     "merge_upsert_delete",          # brand-new operator + oracle
     "fraud_ml_score",               # brand-new contract gate
     "multimodal_image_decode",      # new PNG decode path under the gate
+    "embed_semantic_dedup_kmeans",  # brand-new learned-quantizer variant
     "doc_tfidf_cosine_pairs",       # exchange keys changed
     "doc_repeated_passages",        # join strategy changed
     "user_distinct_sketch_rollup",  # contract threshold changed
@@ -2953,6 +2957,34 @@ def q_embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, n_clusters=16, threshold=0.35)
+
+
+@_register("embed_semantic_dedup_kmeans", None)  # learned centroids → rows-only
+def q_embed_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with LEARNED (seeded KMeans) cells instead of sampled
+    ones (the optional variant from VERDICT r7 #6) — on real clustered
+    embedding corpora the learned quantizer packs near-duplicates into
+    the same cell far more reliably, which is what bounds the miss rate
+    of cell-local pruning. Rows-only for the same reason as
+    embed_ivf_kmeans_ann: MLlib centroids are not SQL-expressible, so
+    this entry is gated by tests instead — removal SOUNDNESS (every
+    dup_of is a genuinely-similar lower id, recomputed exactly) and
+    within-cell completeness plus full agreement with the exact
+    global near-dup pair set on a separated-cluster fixture
+    (tests/test_similarity_multimodal.py::test_semantic_dedup_kmeans_gate).
+    Same operator, same decision contract, same Σcell² plan — only the
+    quantizer differs."""
+    from smart_fraud_detection_data_pipeline_spark.operators import ml as ML
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if emb.where(F.col("embedding").isNotNull()).isEmpty():
+        # kmeans_centroids returns [] on an empty/all-NULL corpus; the
+        # operator's own empty path needs no centroids (empty-fixture
+        # sweep rule)
+        return semantic_dedup(emb, threshold=0.35, centroids=[])
+    cents = ML.kmeans_centroids(emb, k=16)
+    return semantic_dedup(emb, threshold=0.35, centroids=cents)
 
 
 @_register(

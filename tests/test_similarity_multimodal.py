@@ -607,3 +607,46 @@ def test_semantic_dedup_autosizes_quantizer(spark):
     assert out.count() == 3000  # threshold > 1 -> nothing pruned
     k_used = out.select("cluster").distinct().count()
     assert 16 < k_used <= 30  # ceil(3000/100) = 30 cells, floor exceeded
+
+
+def test_semantic_dedup_kmeans_gate(spark):
+    """The learned-quantizer SemDeDup variant's test gate (its registry
+    entry is rows-only — MLlib centroids are not SQL-expressible):
+    (a) removal soundness — every dup_of is a lower id whose exact
+    6-dp cosine clears the threshold; (b) completeness on a
+    separated-cluster corpus — every exact global near-dup pair is
+    caught by the cell-local prune (KMeans must recover clusters the
+    sampled quantizer can only hit by luck); (c) determinism."""
+    from smart_fraud_detection_data_pipeline_spark.operators import ml as ML
+
+    emb = _clustered_emb(spark, n_clusters=6, per_cluster=30)
+    cents = ML.kmeans_centroids(emb, k=6)
+    out = SIM.semantic_dedup(emb, threshold=0.9, centroids=cents)
+    rows = {r.vec_id: r for r in out.collect()}
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    removed = {i: r.dup_of for i, r in rows.items() if not r.keep}
+    assert removed, "fixture must produce removals"
+    for i, d in removed.items():
+        assert d < i
+        assert cos(vecs[i], vecs[d]) >= 0.9  # (a) soundness
+    # (b) completeness vs the exact global pair set (single block =
+    # true all-pairs baseline; fine at fixture size)
+    exact_pairs = SIM.cosine_dup_pairs(
+        emb.withColumn("one", F.lit(1)), threshold=0.9, block_col="one"
+    ).collect()
+    assert exact_pairs, "separated clusters must contain exact near-dups"
+    for p in exact_pairs:
+        assert not rows[max(p.id_a, p.id_b)].keep
+    # (c) seeded determinism
+    again = {r.vec_id: (r.dup_of, r.keep) for r in
+             SIM.semantic_dedup(emb, threshold=0.9,
+                                centroids=ML.kmeans_centroids(emb, k=6)).collect()}
+    assert again == {i: (r.dup_of, r.keep) for i, r in rows.items()}
