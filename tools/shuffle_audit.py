@@ -112,6 +112,18 @@ HEADLINE: dict[str, tuple[str, str]] = {
         "composite",
         "coalesce rewrite is narrow (no exchange); the read-back scan dominates",
     ),
+    "merge_upsert_delete": (
+        "keyed_shuffle",
+        "one full-outer join on the key; tombstone DELETE is a post-join filter",
+    ),
+    "fraud_ml_score": (
+        "composite",
+        "map-only JVM scoring; exact AUC side aggregates to per-score counts first",
+    ),
+    "embed_semantic_dedup_kmeans": (
+        "bounded_candidates",
+        "learned cells; within-cell equi-join, Sigma-cell^2 not n^2",
+    ),
 }
 
 
