@@ -186,11 +186,16 @@ def fraud_score_contract_report(enriched: DataFrame) -> DataFrame:
     wcum = Window.orderBy("ml_fraud_probability").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # per feeds BOTH the totals agg and the quartile-boundary agg —
+    # persist so the per-score groupBy + window run once (the
+    # materialize-reused-branches invariant; rows is persisted too, so
+    # without this the recompute would still be one extra aggregation
+    # over the fact frame).
     per = per_score.select(
         "*",
         F.coalesce(F.sum("__nn").over(wcum), F.lit(0)).alias("__neg_below"),
         F.coalesce(F.sum("__nt").over(wcum), F.lit(0)).alias("__cnt_below"),
-    )
+    ).persist()
     tot = per.agg(
         F.sum(
             F.col("__np") * (F.col("__neg_below") + F.col("__nn") / F.lit(2.0))
