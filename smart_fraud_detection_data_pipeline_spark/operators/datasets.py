@@ -144,6 +144,69 @@ def temperature_mix(
     )
 
 
+def budget_mix(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 100_000,
+    budgets: dict | None = None,
+) -> DataFrame:
+    """Token-budget source mixing — the quota-based sibling of
+    `temperature_mix` (rate-based): each source contributes documents
+    in deterministic ``id_col`` order until its TOKEN budget fills
+    (the composition recipe public LLM-data mixers express as
+    "x billion tokens from source s"). A document is kept iff the
+    tokens accumulated before it are still under the source's budget —
+    the straddling document is included, the same fill convention as
+    `pack_sequences`, so a budget is a floor, never undershot while
+    the source has data.
+
+    Deterministic, no RNG: one cumulative-sum window per source over
+    exact int64 token counts; the keep decision is an integer compare.
+    Rows with a NULL token count would ride the quota for free (SUM
+    skips NULLs) — filter them out first (documents with NULL text
+    have no token count; text-op entry rule).
+    ``budgets`` overrides the default per source (keyed by source
+    value; a None key sets the NULL-source stratum's budget — NULL is
+    its own stratum, as everywhere in the split/mix family).
+
+    Scale: ONE shuffle (hash partition on source) and a within-
+    partition sort — no global sort, no joins. A single hot source
+    serializes its own partition's cumsum; at real scale the order key
+    is time-like, so the standard fix is cutting the window at
+    ingest-partition boundaries and carrying the budget remainder —
+    the same hot-key note as asof_join's bucket_seconds. Output keeps
+    every input row with (cum_before, kept) so the caller can audit
+    what the quota excluded.
+    """
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.asc_nulls_first(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("bigint")
+    if budgets:
+        limit = F.lit(budget)
+        for src, amt in budgets.items():
+            cond = (
+                F.col(source_col).isNull()
+                if src is None
+                else F.col(source_col).eqNullSafe(F.lit(src))
+            )
+            limit = F.when(cond, F.lit(amt)).otherwise(limit)
+    else:
+        limit = F.lit(budget)
+    return df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col(tokens_col).cast("bigint").alias(tokens_col),
+        cum_before.alias("cum_before"),
+        (cum_before < limit).alias("kept"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,

@@ -653,3 +653,143 @@ def semantic_dedup(
             id_col, "cluster", "dup_of", F.col("dup_of").isNull().alias("keep")
         )
     )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_terms_col: str = "terms",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical top-k retrieval (Robertson/Sparck Jones; the
+    Lucene-practical form with IDF = ln((N - df + 0.5)/(df + 0.5) + 1))
+    — the keyword-search tier that complements `cosine_topk` (dense)
+    and `textdedup.tfidf_cosine_pairs` (all-pairs lexical): score
+    corpus documents against a small query set and return the top k
+    per query with ranks. In a training-data pipeline this is the
+    workhorse of targeted corpus inspection (find the documents a
+    benchmark question would retrieve) and of BM25-negative mining.
+
+    ``queries`` carries (query_id, terms: array<string>); duplicate
+    terms are deduped (set semantics — standard for short queries).
+
+    Cross-engine determinism (full hash gate): ln() is 1-ulp unstable
+    across libm/JVM, so the IDF is micro-quantized on output
+    (floor(x·1e6 + 0.5)/1e6 — the transcendental rule); every other
+    factor is an IEEE-deterministic expression of exact integers
+    (tf, dl, N) and pinned literals, with the SAME parse tree on both
+    engines; each per-term score is floor-quantized to micro-units and
+    summed as int64 (order-free — float summation order across terms
+    would flip hashes), and ranking orders by the INTEGER score with
+    doc-id tie-break (NULLS FIRST pinned). avgdl is total_tokens /
+    n_docs, both bounded driver scalars (the _table_count discipline).
+
+    Scale shape: tf and dl are two aggregations over the token stream
+    (the structural exchanges of any inverted index — the 100 TB
+    deployment precomputes/stores both, which this signature permits
+    by construction since they depend only on the corpus); the query
+    term table BROADCASTS into a map-side semi-join that bounds
+    everything downstream by documents sharing a query term; exchanges
+    key on xxhash64 tokens, never strings. NULL-text documents are
+    excluded on entry (text-op rule); NULL doc ids rank NULLS FIRST
+    deterministically on both engines.
+    """
+    toks = (
+        corpus.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: F.xxhash64(t),
+                )
+            ).alias("__tok"),
+        )
+    )
+    n_docs = corpus.where(F.col(text_col).isNotNull()).count()
+    total_tokens = toks.count()
+    if n_docs == 0:
+        spark = corpus.sparkSession
+        id_t = dict(corpus.dtypes)[id_col]
+        qid_t = dict(queries.dtypes)[query_id_col]
+        return spark.createDataFrame(
+            [], f"{query_id_col} {qid_t}, {id_col} {id_t}, bm25 double, rank bigint"
+        )
+    avgdl = total_tokens / n_docs
+
+    tf = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__f"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(F.col(query_terms_col))).alias("__term"),
+    ).select(F.col(query_id_col), F.xxhash64("__term").alias("__tok"))
+    # tf restricted to the query vocabulary FIRST (broadcast semi-join):
+    # document frequency is only needed for query terms, so the dft
+    # aggregation — and everything downstream — is bounded by documents
+    # sharing a query term, and the dft broadcast is bounded by the
+    # query vocabulary (a full-vocab dft stops broadcasting at corpus
+    # scale). tfq feeds both dft and the candidate join; localCheckpoint
+    # materializes it once (CSE invariant, the tfidf_cosine_pairs
+    # discipline — frees with the DF, nothing stays registered).
+    tfq = tf.join(
+        F.broadcast(qterms.select("__tok").distinct()), "__tok"
+    ).localCheckpoint()
+    dft = tfq.groupBy("__tok").agg(F.count(F.lit(1)).alias("__dft"))
+
+    # idf micro-quantized on output (transcendental rule); integer
+    # arithmetic stays integer until the explicit +0.5 promotion so the
+    # parse tree matches the oracle exactly.
+    idf = (
+        F.floor(
+            F.log(
+                (
+                    (F.lit(n_docs) - F.col("__dft") + F.lit(0.5))
+                    / (F.col("__dft") + F.lit(0.5))
+                )
+                + F.lit(1.0)
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    tf_part = (F.col("__f").cast("double") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("__f").cast("double")
+        + F.lit(k1)
+        * (
+            (F.lit(1.0) - F.lit(b))
+            + F.lit(b) * (F.col("__dl").cast("double") / F.lit(avgdl))
+        )
+    )
+    s_micro = F.floor(idf * tf_part * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+
+    cand = (
+        tfq.join(F.broadcast(qterms), "__tok")
+        .join(dl, id_col)
+        .join(F.broadcast(dft), "__tok")
+    )
+    scores = (
+        cand.select(query_id_col, id_col, s_micro.alias("__s"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__s").alias("__sm"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__sm"), F.asc_nulls_first(id_col)
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            (F.col("__sm").cast("double") / F.lit(1e6)).alias("bm25"),
+            "rank",
+        )
+    )

@@ -140,6 +140,8 @@ _FRESH = frozenset({
     "doc_decontaminate",            # oracle: explicit NULL-text exclusion
     "warehouse_compaction",         # hidden-tree file-listing filter
     "embed_semantic_dedup_kmeans",  # NEW: learned-quantizer SemDeDup
+    "doc_bm25_topk",                # NEW: BM25 lexical top-k retrieval
+    "doc_mix_token_budget",         # NEW: token-budget source mixing
 })
 
 #: Registry rotation, round 8 (VERDICT r7 #2): the 10 round-8-changed
@@ -147,14 +149,15 @@ _FRESH = frozenset({
 #: certification is r01-r04 — the reference-core surface the verdict
 #: called out (fraud_enrich, user_spend_trends, category_trends,
 #: pricing_summary, doc_ngram_jaccard, doc_dedup_exact, ...) plus the
-#: rest of the never-r5/r6/r7-certified tail. Five 4x-certified cheap
+#: rest of the never-r5/r6/r7-certified tail. Seven 4x-certified cheap
 #: names (dedup_keep_last — also judge-spot-checked r7 — top_customers,
-#: customers_no_big_order, customers_with_big_order, multimodal_meta)
-#: roll to round 9 so the block stays at exactly 50.
+#: customers_no_big_order, customers_with_big_order, multimodal_meta,
+#: embed_cosine_topk, multimodal_byte_features) roll to round 9 so the
+#: block stays at exactly 50.
 _DRIVER_UNCHECKED = frozenset({
     # round-8-changed (also in _FRESH; ordered first via _FRESH_PRIORITY)
     "merge_upsert_delete", "fraud_ml_score", "multimodal_image_decode",
-    "embed_semantic_dedup_kmeans",
+    "embed_semantic_dedup_kmeans", "doc_bm25_topk", "doc_mix_token_budget",
     "doc_tfidf_cosine_pairs", "doc_repeated_passages",
     "user_distinct_sketch_rollup", "user_spend_trends_approx",
     "doc_decontaminate_bloom", "doc_decontaminate", "warehouse_compaction",
@@ -165,7 +168,6 @@ _DRIVER_UNCHECKED = frozenset({
     "doc_profile", "sliding_window_trends", "user_value_ohlc",
     "time_layout_scan", "observed_quality", "user_value_trend",
     "user_value_ewma", "vocab_top_ngrams", "value_winsorized",
-    "embed_cosine_topk", "multimodal_byte_features",
     "sql_pricing_summary", "orders_rollup", "customer_order_seq",
     "salted_category_totals", "embed_cosine_dups", "error_burst_window",
     "value_quantiles", "user_event_type_pivot", "user_event_type_unpivot",
@@ -184,6 +186,8 @@ _FRESH_PRIORITY = (
     "fraud_ml_score",               # brand-new contract gate
     "multimodal_image_decode",      # new PNG decode path under the gate
     "embed_semantic_dedup_kmeans",  # brand-new learned-quantizer variant
+    "doc_bm25_topk",                # brand-new operator + oracle
+    "doc_mix_token_budget",         # brand-new operator + oracle
     "doc_tfidf_cosine_pairs",       # exchange keys changed
     "doc_repeated_passages",        # join strategy changed
     "user_distinct_sketch_rollup",  # contract threshold changed
@@ -1282,6 +1286,130 @@ def q_doc_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides — routing rule)."""
     docs = load_table(spark, sf_dir, "documents")
     return DS.temperature_mix(docs, alpha=0.5, frac=0.5)
+
+
+@_register(
+    "doc_mix_token_budget",
+    """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id NULLS FIRST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM d
+)
+SELECT doc_id, source, n_tokens, cum_before,
+       cum_before < CASE WHEN source IS NOT DISTINCT FROM 'src0'
+                         THEN 400 ELSE 800 END AS kept
+FROM c
+""",
+)
+def q_doc_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget source mixing (round 8) — the quota form of corpus
+    composition ("x tokens from source s", as public LLM-data mixers
+    specify) beside the rate form (doc_mix_temperature): each source
+    contributes documents in deterministic doc_id order until its
+    budget fills; the straddling doc is kept (pack_sequences' fill
+    convention), src0 runs at a tighter override to exercise
+    per-source budgets. One shuffle (hash partition on source), exact
+    int64 cumulative sums, integer keep decision — nothing float-
+    ranked. ORDER BY doc_id NULLS FIRST pinned on both engines (window
+    rule); NULL source is its own stratum (projected column, safe as a
+    DuckDB partition key per the user_event_transitions precedent);
+    NULL-text docs are excluded on entry (they have no token count and
+    would ride the quota for free)."""
+    from smart_fraud_detection_data_pipeline_spark.operators import datasets as DS2
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    counted = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    return DS2.budget_mix(
+        counted, budget=800, budgets={"src0": 400}
+    )
+
+
+@_register(
+    "doc_bm25_topk",
+    """
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+toks AS (SELECT doc_id, unnest(t) AS tok FROM docs),
+tf AS (SELECT doc_id, tok, COUNT(*) AS f FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_toks FROM dl),
+q AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(t[1:5])) AS tok
+  FROM docs WHERE doc_id % 97 = 0
+),
+dft AS (SELECT tok, COUNT(*) AS dft FROM tf GROUP BY tok),
+terms AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(floor(
+           (floor(ln(((s.n_docs - dft.dft + 0.5e0) / (dft.dft + 0.5e0)) + 1.0e0)
+                  * 1e6 + 0.5e0) / 1e6)
+           * ((CAST(tf.f AS DOUBLE) * (1.2e0 + 1.0e0))
+              / (CAST(tf.f AS DOUBLE)
+                 + 1.2e0 * ((1.0e0 - 0.75e0)
+                            + 0.75e0 * (CAST(dl.dl AS DOUBLE)
+                                        / (CAST(s.n_toks AS DOUBLE)
+                                           / CAST(s.n_docs AS DOUBLE))))))
+           * 1e6 + 0.5e0) AS BIGINT) AS s_micro
+  FROM q
+  JOIN tf ON q.tok = tf.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dft ON q.tok = dft.tok
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id, CAST(SUM(s_micro) AS BIGINT) AS sm
+  FROM terms GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, sm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sm DESC, doc_id NULLS FIRST) AS rank
+  FROM scores
+)
+SELECT query_id, doc_id, CAST(sm AS DOUBLE) / 1e6 AS bm25,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+""",
+)
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-10 retrieval (round 8): every 97th document's
+    first five distinct tokens play the query set (pure arithmetic on
+    the table, so the oracle derives identical queries); the corpus is
+    scored with the Lucene-practical BM25 (k1=1.2, b=0.75) and ranked
+    per query. Full hash gate: ln() is micro-quantized on output
+    (transcendental rule), per-term scores floor-quantize to int64
+    micro-units and SUM exactly (order-free), ranking orders by the
+    integer score with doc_id NULLS FIRST tie-break, and both engines
+    evaluate the SAME double parse tree over exact ints and pinned
+    literals. See operators/similarity.bm25_topk for the candidate-
+    bounded scale shape (query-vocab-restricted dft, broadcast query
+    side, xxhash64 exchange keys)."""
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("text").isNotNull())
+    qset = base.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5)
+        ).alias("terms"),
+    )
+    return bm25_topk(docs, qset, k=10)
 
 
 _PACK_BUDGET = 512

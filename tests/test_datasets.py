@@ -135,3 +135,40 @@ def test_temperature_mix_is_broadcast_only(spark, sf_dir):
     # the one nested loop is the 1-row totals crossJoin — scalar and free
     assert c["nested_loop_join"] <= 1
     assert c["sort_merge_join"] == 0
+
+
+def test_budget_mix_fill_order_and_overrides(spark):
+    """Token-budget mixing: per-source fill in doc_id order, the
+    straddling doc is kept (budgets are floors), per-source overrides
+    apply, a NULL source is its own stratum, and the audit columns
+    reconstruct the decision exactly."""
+    rows = [
+        # source a: 40+40+40 tokens, budget 100 -> docs 1,2,3 kept
+        # (doc 3 straddles: cum_before 80 < 100), doc 4 dropped
+        (1, "a", 40), (2, "a", 40), (3, "a", 40), (4, "a", 40),
+        # source b: override budget 10 -> only doc 5 (straddler) kept
+        (5, "b", 50), (6, "b", 5),
+        # NULL source: default budget, both kept
+        (7, None, 30), (8, None, 60),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens bigint")
+    out = {r.doc_id: (r.cum_before, r.kept) for r in
+           DS.budget_mix(df, budget=100, budgets={"b": 10}).collect()}
+    assert out == {
+        1: (0, True), 2: (40, True), 3: (80, True), 4: (120, False),
+        5: (0, True), 6: (50, False),
+        7: (0, True), 8: (30, True),
+    }
+
+
+def test_budget_mix_single_shuffle(spark, sf_dir):
+    """One hash exchange on the source key, no joins — the quota is a
+    window decision, not a join decision."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    counted = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    c = X.plan_counts(DS.budget_mix(counted, budget=800))
+    assert c["exchange"] == 1
+    assert c["broadcast_hash_join"] + c["sort_merge_join"] + c["nested_loop_join"] == 0

@@ -650,3 +650,58 @@ def test_semantic_dedup_kmeans_gate(spark):
              SIM.semantic_dedup(emb, threshold=0.9,
                                 centroids=ML.kmeans_centroids(emb, k=6)).collect()}
     assert again == {i: (r.dup_of, r.keep) for i, r in rows.items()}
+
+
+def test_bm25_topk_ranking_semantics(spark):
+    """BM25 on a hand corpus: a doc matching BOTH query terms outranks
+    single-term matches; among single-term matches the rarer term wins
+    (IDF); longer docs are penalized at equal tf (length
+    normalization); k cuts per query; empty corpus short-circuits."""
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common filler1 filler2"),
+            (2, "rare filler3 filler4 filler5"),
+            (3, "common filler6 filler7 filler8"),
+            (4, "common filler9 fillerA fillerB fillerC fillerD fillerE fillerF"),
+            (5, "common fillerG fillerH fillerI"),
+            (6, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    q = spark.createDataFrame(
+        [(100, ["rare", "common"])], "query_id bigint, terms array<string>"
+    )
+    out = SIM.bm25_topk(docs, q, k=10)
+    ranked = [r.doc_id for r in out.orderBy("rank").collect()]
+    assert ranked[0] == 1            # only doc with both terms
+    assert ranked[1] == 2            # 'rare' (df=2) beats 'common' (df=4)
+    assert set(ranked[2:]) == {3, 5, 4} and ranked[4] == 4
+    # doc 4 is the longest 'common' doc -> last of the common group
+    scores = {r.doc_id: r.bm25 for r in out.collect()}
+    assert scores[3] == scores[5]    # identical tf/dl -> identical score
+    # k cut
+    assert SIM.bm25_topk(docs, q, k=2).count() == 2
+    # empty corpus -> empty frame with the output schema
+    empty = SIM.bm25_topk(docs.where(F.lit(False)), q)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "doc_id", "bm25", "rank"
+    ]
+
+
+def test_bm25_topk_plan_is_candidate_bounded(spark, sf_dir):
+    """Query terms and the query-vocab dft broadcast; no cartesian
+    product anywhere (the corpus is never crossed with the query
+    set — candidates come from the tf semi-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5)
+        ).alias("terms"),
+    )
+    from smart_fraud_detection_data_pipeline_spark.plans import explain as X
+
+    c = X.plan_counts(SIM.bm25_topk(docs, q, k=10))
+    assert c["nested_loop_join"] == 0
+    assert c["broadcast_hash_join"] >= 2  # qterms + query-vocab dft
