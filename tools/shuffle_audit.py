@@ -124,6 +124,14 @@ HEADLINE: dict[str, tuple[str, str]] = {
         "bounded_candidates",
         "learned cells; within-cell equi-join, Sigma-cell^2 not n^2",
     ),
+    "doc_bm25_topk": (
+        "bounded_candidates",
+        "query vocab broadcasts; tf/dl aggs structural, scoring bounded by matching docs",
+    ),
+    "doc_mix_token_budget": (
+        "keyed_shuffle",
+        "one hash exchange on source; quota is a window decision, no joins",
+    ),
 }
 
 
