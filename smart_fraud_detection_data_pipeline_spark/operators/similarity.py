@@ -687,18 +687,25 @@ def bm25_topk(
     engines; each per-term score is floor-quantized to micro-units and
     summed as int64 (order-free — float summation order across terms
     would flip hashes), and ranking orders by the INTEGER score with
-    doc-id tie-break (NULLS FIRST pinned). avgdl is total_tokens /
-    n_docs, both bounded driver scalars (the _table_count discipline).
+    doc-id tie-break (NULLS FIRST pinned). avgdl (= total tokens /
+    doc count) rides a lazy 1-row stats frame broadcast into the
+    candidate join — NO driver-side counts, so the whole operator is
+    one plan with zero extra corpus scans (two .count() actions cost
+    two full tokenize passes in the first cut; measured).
 
     Scale shape: tf and dl are two aggregations over the token stream
     (the structural exchanges of any inverted index — the 100 TB
     deployment precomputes/stores both, which this signature permits
-    by construction since they depend only on the corpus); the query
-    term table BROADCASTS into a map-side semi-join that bounds
-    everything downstream by documents sharing a query term; exchanges
-    key on xxhash64 tokens, never strings. NULL-text documents are
-    excluded on entry (text-op rule); NULL doc ids rank NULLS FIRST
-    deterministically on both engines.
+    by construction since they depend only on the corpus); dl is
+    localCheckpoint-ed because the stats aggregate and the candidate
+    join both consume it (CSE invariant); the query term table
+    BROADCASTS into a map-side semi-join that bounds everything
+    downstream by documents sharing a query term; exchanges key on
+    xxhash64 tokens, never strings. NULL-text documents are excluded
+    on entry (text-op rule); NULL doc ids rank NULLS FIRST
+    deterministically on both engines. An empty/all-NULL corpus flows
+    through naturally: every aggregate is grouped, so zero rows in →
+    zero rows out with the output schema, no special case.
     """
     toks = (
         corpus.where(F.col(text_col).isNotNull())
@@ -712,19 +719,13 @@ def bm25_topk(
             ).alias("__tok"),
         )
     )
-    n_docs = corpus.where(F.col(text_col).isNotNull()).count()
-    total_tokens = toks.count()
-    if n_docs == 0:
-        spark = corpus.sparkSession
-        id_t = dict(corpus.dtypes)[id_col]
-        qid_t = dict(queries.dtypes)[query_id_col]
-        return spark.createDataFrame(
-            [], f"{query_id_col} {qid_t}, {id_col} {id_t}, bm25 double, rank bigint"
-        )
-    avgdl = total_tokens / n_docs
-
     tf = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__f"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    dl = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__dl")
+    ).localCheckpoint()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__nd"), F.sum("__dl").alias("__nt")
+    )
 
     qterms = queries.select(
         F.col(query_id_col),
@@ -750,7 +751,7 @@ def bm25_topk(
         F.floor(
             F.log(
                 (
-                    (F.lit(n_docs) - F.col("__dft") + F.lit(0.5))
+                    (F.col("__nd") - F.col("__dft") + F.lit(0.5))
                     / (F.col("__dft") + F.lit(0.5))
                 )
                 + F.lit(1.0)
@@ -760,12 +761,13 @@ def bm25_topk(
         )
         / F.lit(1e6)
     )
+    avgdl = F.col("__nt").cast("double") / F.col("__nd").cast("double")
     tf_part = (F.col("__f").cast("double") * (F.lit(k1) + F.lit(1.0))) / (
         F.col("__f").cast("double")
         + F.lit(k1)
         * (
             (F.lit(1.0) - F.lit(b))
-            + F.lit(b) * (F.col("__dl").cast("double") / F.lit(avgdl))
+            + F.lit(b) * (F.col("__dl").cast("double") / avgdl)
         )
     )
     s_micro = F.floor(idf * tf_part * F.lit(1e6) + F.lit(0.5)).cast("bigint")
@@ -774,6 +776,7 @@ def bm25_topk(
         tfq.join(F.broadcast(qterms), "__tok")
         .join(dl, id_col)
         .join(F.broadcast(dft), "__tok")
+        .crossJoin(F.broadcast(stats))
     )
     scores = (
         cand.select(query_id_col, id_col, s_micro.alias("__s"))
