@@ -533,7 +533,7 @@ def test_decode_np_equals_list_form():
             wn, hn, raster = dnp(payload)
             assert (wn, hn) == (w, h)
             assert [tuple(int(c) for c in p) for p in raster.reshape(-1, 3)] == px
-    # gray + RGBA PNGs through the np path (replicate / drop alpha)
+    # the hand-built spec PNG through the np path (filters None + Up)
     _, _, gr = dnp(_spec_png())
     assert [tuple(map(int, p)) for p in gr.reshape(-1, 3)] == [
         (1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)
