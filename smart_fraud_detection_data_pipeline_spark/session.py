@@ -164,6 +164,23 @@ def get_spark(
         mem = _default_driver_memory()
         if mem is not None:
             conf.setdefault("spark.driver.memory", mem)
+        # Collected-result ceiling sized WITH the heap: Spark's 1 GiB
+        # spark.driver.maxResultSize default aborts any collect of a
+        # large distributed result long before the heap is at risk —
+        # fuzz seed 8665 (--scale 64) produced a stream-stream join
+        # whose verification collect serialized 1.03 GiB and died at
+        # the default while 15 GiB of heap sat idle. Half the local
+        # heap (min 2g) keeps the real OOM guard while letting the
+        # harness hash what the engine can compute. Override via
+        # SPARK_GRAFT_MAX_RESULT_SIZE.
+        mrs = os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE")
+        if mrs is None and mem is not None and mem.endswith("g"):
+            try:
+                mrs = f"{max(2, int(mem[:-1]) // 2)}g"
+            except ValueError:
+                mrs = None
+        if mrs is not None:
+            conf.setdefault("spark.driver.maxResultSize", mrs)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
