@@ -176,7 +176,12 @@ def fraud_score_contract_report(enriched: DataFrame) -> DataFrame:
         keep=("tx_year", "tx_month", "tx_day", "__flag"),
     )
     prob = F.col("ml_fraud_probability")
-    rows = scored.persist()
+    # localCheckpoint, not persist: the frame outlives this function
+    # (the returned report references it), and on the shared long-lived
+    # session a persist with no unpersist accumulates in the block
+    # manager across the 145-query harness. Checkpoint blocks free with
+    # the DataFrame (the tfidf_cosine_pairs discipline).
+    rows = scored.localCheckpoint()
 
     per_score = (
         rows.groupBy("ml_fraud_probability")
@@ -187,15 +192,15 @@ def fraud_score_contract_report(enriched: DataFrame) -> DataFrame:
         Window.unboundedPreceding, -1
     )
     # per feeds BOTH the totals agg and the quartile-boundary agg —
-    # persist so the per-score groupBy + window run once (the
-    # materialize-reused-branches invariant; rows is persisted too, so
-    # without this the recompute would still be one extra aggregation
-    # over the fact frame).
+    # materialize so the per-score groupBy + window run once (the
+    # materialize-reused-branches invariant); localCheckpoint so the
+    # block frees with the frame instead of lingering on the shared
+    # session.
     per = per_score.select(
         "*",
         F.coalesce(F.sum("__nn").over(wcum), F.lit(0)).alias("__neg_below"),
         F.coalesce(F.sum("__nt").over(wcum), F.lit(0)).alias("__cnt_below"),
-    ).persist()
+    ).localCheckpoint()
     tot = per.agg(
         F.sum(
             F.col("__np") * (F.col("__neg_below") + F.col("__nn") / F.lit(2.0))

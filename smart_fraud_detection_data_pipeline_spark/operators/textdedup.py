@@ -1060,9 +1060,10 @@ def repeated_passages(
 
     The broadcast is GUARDED (VERDICT r7 #7): a pathological corpus
     (min_df=2 over near-unique long documents) can qualify a stats
-    frame far beyond any broadcast budget, so stats is persisted,
-    counted (one bounded scalar — the count materializes the persisted
-    agg the join then reuses, no duplicated work), and above
+    frame far beyond any broadcast budget, so stats is localCheckpoint-ed
+    (eager materialize, block frees with the frame — ADVICE r8), counted
+    (one bounded scalar over the checkpointed agg the join then reuses,
+    no duplicated work), and above
     ``broadcast_limit`` rows the recovery join falls back to a shuffle
     hash join on the 8-byte key instead of a driver-side OOM. Same
     output either way.
@@ -1089,7 +1090,7 @@ def repeated_passages(
             F.count(F.lit(1)).alias("n_occurrences"),
         )
         .where(F.col("n_docs") >= min_df)
-        .persist()
+        .localCheckpoint()
     )
     right = F.broadcast(stats) if stats.count() <= broadcast_limit else stats
     return (

@@ -466,9 +466,11 @@ def q_user_spend_trends_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         (err > band_3s).cast("bigint").alias("__outlier"),
     )
     # rows feeds BOTH the calibration agg and the final select across a
-    # crossJoin; without persist the whole HLL groupBy executes twice
-    # (the repo's own materialize-reused-branches invariant — ADVICE r7).
-    rows = rows.persist()
+    # crossJoin; without materializing, the whole HLL groupBy executes
+    # twice (materialize-reused-branches invariant — ADVICE r7).
+    # localCheckpoint so the block frees with the returned frame instead
+    # of accumulating on the shared session (ADVICE r8).
+    rows = rows.localCheckpoint()
     calib = rows.agg(
         (
             F.coalesce(F.sum("__outlier"), F.lit(0))
@@ -1869,7 +1871,7 @@ def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH d AS (
   SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h
-  FROM documents WHERE doc_id IS NOT NULL
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
 ),
 ch AS (
   SELECT doc_id, w, h, (doc_id * 31 + k) % 256 AS r
@@ -1889,22 +1891,30 @@ FROM ch GROUP BY doc_id, w, h
 )
 def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode under the hash gate (VERDICT r6 #4; PNG leg
-    r8 per VERDICT r7 #5): synthesize a deterministic BMP / PPM / PNG
-    per document round-robin on doc_id % 3 — widths 1..13 so every BMP
-    row-padding residue occurs, heights 1..7 so the PNG encoder's
-    row%5 filter cycle exercises ALL FIVE scanline filters — then
+    r8 per VERDICT r7 #5; palette-PNG leg r9 per VERDICT r8 #3):
+    synthesize a deterministic BMP / PPM / PNG per document
+    round-robin on doc_id % 3 — widths 1..13 so every BMP row-padding
+    residue occurs, heights 1..7 so the PNG encoder's row%5 filter
+    cycle exercises ALL FIVE scanline filters; PNG docs alternate
+    truecolor / PALETTE encodings by (doc_id // 3) % 2, so the PLTE
+    parse + index-lookup path is under the same gate (decoded features
+    are encoding-invariant — the oracle needs no fmt change) — then
     parse the bytes with the pure-Python decoders (BMP headers,
     bottom-up rows, BGR order, 4-byte padding; PNG chunk CRCs, zlib
-    inflate, Sub/Up/Average/Paeth unfilter) and emit dimensions +
-    per-channel pixel means. The oracle recomputes the DECODED
-    features from the pixel arithmetic alone (no parsing), so any
-    parser bug — wrong stride, swapped channels, off-by-one offset,
-    bad predictor — shifts a mean and fails the hash. Channel means
-    are exact int-sum / int-count IEEE divisions on both engines; no
-    quantization needed. (Fixture contract doc_id >= 0, as the %256
-    pixel arithmetic already assumes — Python and DuckDB signed
-    modulo agree only there.)"""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    inflate, Sub/Up/Average/Paeth unfilter, palette lookup) and emit
+    dimensions + per-channel pixel means. The oracle recomputes the
+    DECODED features from the pixel arithmetic alone (no parsing), so
+    any parser bug — wrong stride, swapped channels, off-by-one
+    offset, bad predictor, wrong palette entry — shifts a mean and
+    fails the hash. Channel means are exact int-sum / int-count IEEE
+    divisions on both engines; no quantization needed. The doc_id >= 0
+    fixture contract the %-arithmetic assumes is now ENFORCED in code
+    (ADVICE r8): filtered here with the matching oracle WHERE, and
+    synthesize_images raises on a negative id rather than silently
+    diverging."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
+    )
     return MM.decode_image_features(MM.synthesize_images(docs))
 
 
@@ -6957,10 +6967,11 @@ def q_user_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         (err <= cap).alias("within_cap"),
         (err > band_3s).cast("bigint").alias("__outlier"),
     )
-    # Persist: rows feeds both the calibration agg and the final select
-    # (same ADVICE-r7 note as user_spend_trends_approx — without it the
-    # sketch-union UDAF + eqNullSafe join execute twice per run).
-    rows = rows.persist()
+    # Materialize: rows feeds both the calibration agg and the final
+    # select (same ADVICE-r7 note as user_spend_trends_approx — without
+    # it the sketch-union UDAF + eqNullSafe join execute twice per run).
+    # localCheckpoint so the block frees with the frame (ADVICE r8).
+    rows = rows.localCheckpoint()
     # Straggler budget max(2, 1% of groups) — the codified two-tier rule
     # (CLAUDE.md); the previous hard <=1 could flip on a fuzz fixture
     # with many distinct event_types landing 2 groups in the 3σ tail.

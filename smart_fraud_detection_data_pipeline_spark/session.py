@@ -67,6 +67,24 @@ def _default_driver_memory() -> str | None:
     return f"{gb}g"
 
 
+def _memory_spec_mib(spec: str) -> int | None:
+    """Parse a JVM memory spec ('4g', '4096m', '4096k', bare bytes) to
+    MiB, or None if unrecognized. maxResultSize sizing must accept every
+    suffix spark.driver.memory accepts: an override like
+    SPARK_GRAFT_DRIVER_MEM=4096m previously skipped the ceiling bump
+    entirely and silently kept Spark's 1 GiB default — the exact
+    collect-abort failure the sizing exists to prevent."""
+    spec = spec.strip().lower()
+    scale = {"k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
+    suffix = spec[-1:]
+    try:
+        if suffix in scale:
+            return int(int(spec[:-1]) * scale[suffix])
+        return int(spec) // (1024 * 1024)  # bare bytes
+    except ValueError:
+        return None
+
+
 def s3a_conf(
     endpoint: str | None = None,
     access_key: str | None = None,
@@ -174,11 +192,10 @@ def get_spark(
         # harness hash what the engine can compute. Override via
         # SPARK_GRAFT_MAX_RESULT_SIZE.
         mrs = os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE")
-        if mrs is None and mem is not None and mem.endswith("g"):
-            try:
-                mrs = f"{max(2, int(mem[:-1]) // 2)}g"
-            except ValueError:
-                mrs = None
+        if mrs is None and mem is not None:
+            mib = _memory_spec_mib(mem)
+            if mib is not None:
+                mrs = f"{max(2048, mib // 2)}m"
         if mrs is not None:
             conf.setdefault("spark.driver.maxResultSize", mrs)
     if extra_conf:

@@ -413,8 +413,9 @@ def _spec_png() -> bytes:
 def test_decode_png_spec_fixture_and_rejects():
     """Decode the canonical hand-built PNG (filters None + Up), then
     the failure modes a real reader must catch: corrupted chunk CRC,
-    palette color type (honest scope boundary), interlacing, and
-    non-PNG bytes."""
+    palette WITHOUT a PLTE chunk (spec violation → ValueError now that
+    palette decodes for real), 16-bit depth (honest scope boundary),
+    interlacing, and non-PNG bytes."""
     import struct
     import zlib
 
@@ -435,14 +436,22 @@ def test_decode_png_spec_fixture_and_rejects():
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    pal = (
+    pal_no_plte = (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
         + chunk(b"IEND", b"")
     )
+    with pytest.raises(ValueError, match="PLTE"):
+        MM.decode_png(pal_no_plte)
+    deep16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01" * 6))
+        + chunk(b"IEND", b"")
+    )
     with pytest.raises(NotImplementedError):
-        MM.decode_png(pal)
+        MM.decode_png(deep16)
     adam7 = (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
@@ -453,6 +462,98 @@ def test_decode_png_spec_fixture_and_rejects():
         MM.decode_png(adam7)
     with pytest.raises(ValueError):
         MM.decode_png(b"notapng")
+
+
+def _spec_palette_png() -> bytes:
+    """Hand-built canonical 2x2 PALETTE PNG: explicit PLTE of three
+    entries, index scanlines with filters None (row 0) and Sub (row 1).
+    Pins the palette PARSER against the format spec independently of
+    this repo's encoder (same rationale as _spec_png)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    scanlines = (
+        b"\x00" + bytes([0, 1])  # None: indices 0, 1
+        + b"\x01" + bytes([2, 255])  # Sub: 2, then (255+2)&0xFF = 1
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_palette():
+    """Palette decode for real (round 9): the hand-built spec fixture,
+    encoder roundtrip through all five filter types, np-path equality,
+    and the reject cases (out-of-range index, malformed PLTE)."""
+    import struct
+    import zlib
+
+    assert MM.decode_png(_spec_palette_png()) == (
+        2,
+        2,
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255), (0, 255, 0)],
+    )
+
+    # encoder roundtrip: h=6 cycles the row%5 filters, repeated colors
+    # exercise palette dedup; list and np decoders must agree
+    codecs = MM.make_image_codecs()
+    dnp = codecs["decode_image_np"]
+    for w in (1, 3, 5, 13):
+        h = 6
+        px = [((i * 7) % 32 * 8, (i * 11) % 32 * 8, (i * 13) % 32 * 8) for i in range(w * h)]
+        payload = MM.encode_png_palette(w, h, px)
+        assert MM.decode_png(payload) == (w, h, px)
+        wn, hn, raster = dnp(payload)
+        assert (wn, hn) == (w, h)
+        assert [tuple(int(c) for c in p) for p in raster.reshape(-1, 3)] == px
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # index 3 with a 3-entry palette → out of range on both decode paths
+    bad_idx = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x03"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        MM.decode_png(bad_idx)
+    with pytest.raises(ValueError, match="palette index"):
+        dnp(bad_idx)
+    # PLTE not a multiple of 3 → malformed
+    bad_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([255, 0]))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        MM.decode_png(bad_plte)
+    # >256 distinct colors cannot be palette-encoded
+    with pytest.raises(ValueError, match="256"):
+        MM.encode_png_palette(257, 1, [(i % 256, i // 256, 0) for i in range(257)])
 
 
 def test_decode_png_gray_and_rgba():
