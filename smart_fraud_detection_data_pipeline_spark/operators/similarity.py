@@ -226,6 +226,30 @@ def sample_centroids(
     return [list(r.v) for r in rows]
 
 
+def probed_cells_expr(
+    centroids: list[list[float]], nprobe: int, vec_col: str = "__qvec"
+) -> Column:
+    """The `nprobe` nearest centroid indices of a query vector, as an
+    array column (small per-row cross product over the centroid
+    literals). Shared by ivf_ann_topk and ivf_ann_contract_report so
+    the routing the report verifies is the routing the operator ran."""
+    dists = centroid_dist_array(vec_col, centroids)
+    return F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dists,
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        nprobe,
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -280,23 +304,9 @@ def ivf_ann_topk(
     q = queries.select(
         F.col(query_id_col), as_double_array(F.col(vec_col)).alias("__qvec")
     )
-    # nprobe nearest centroids per query: small cross product (|Q| × k)
-    dists = centroid_dist_array("__qvec", cents)
-    ranked_cells = F.slice(
-        F.transform(
-            F.array_sort(
-                F.zip_with(
-                    dists,
-                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                )
-            ),
-            lambda s: s["i"],
-        ),
-        1,
-        nprobe,
+    probed = q.withColumn(
+        "__cluster", F.explode(probed_cells_expr(cents, nprobe))
     )
-    probed = q.withColumn("__cluster", F.explode(ranked_cells))
     scored = c.join(F.broadcast(probed), "__cluster").select(
         query_id_col,
         id_col,
@@ -796,5 +806,282 @@ def bm25_topk(
             id_col,
             (F.col("__sm").cast("double") / F.lit(1e6)).alias("bm25"),
             "rank",
+        )
+    )
+
+
+# --- Contract reports: hash gates for learned-quantizer operators -----------
+#
+# MLlib KMeans centroids are floats whose exact values depend on
+# aggregation order, so any output column derived from them (cluster
+# ids, neighbor sets, dup_of ids) is not hash-stable across sessions —
+# the reason these queries were rows-only through round 8. The
+# fraud_ml_score pattern (operators/ml.py) converts them: emit ONLY
+# (a) values the oracle recomputes exactly from the raw table
+# (centroid-free), and (b) contract booleans the Spark side computes
+# from real independent checks and the oracle asserts TRUE. Any
+# operator bug flips a boolean and the value hash fails.
+
+
+def ivf_ann_contract_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 10,
+    centroids: list[list[float]],
+    recall_floor: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Centroid-invariant contract report for IVF ANN with learned
+    centroids (VERDICT r8 #2). One row per non-NULL query:
+
+    - ``n_exact`` (exact): size of the true top-k candidate set,
+      least(k, |non-NULL corpus|) — the oracle recomputes it.
+    - ``probe_exact`` (hard guarantee): the ANN result is EXACTLY the
+      top-k of the probed-cells candidate set — IVF's defining
+      property, which holds under ANY centroids, so it is drift-robust.
+      Recomputed through an independent physical path: candidates are
+      re-derived from the shared assignment/probe expressions, but the
+      top-k comes from a collect_list + array_sort + posexplode fold,
+      not the operator's window rank — a wiring bug in either path
+      breaks the row-by-row (rank, id, sim) full-outer comparison.
+    - ``recall_ok`` (statistical, dataset-level): recall@k against the
+      exact brute-force top-k over positive-norm queries >= 0.7. The
+      floor is deliberately loose — recall of a cell-routed ANN has no
+      hard bound and varies with fixture geometry (measured 0.96-1.0
+      on sf0.01/sf0.1/fuzz corpora at nprobe=10/16); a tight 0.9 band
+      in a value-hash gate would be the per-row-3σ mistake. The 0.9
+      operating-point pin stays in tests/test_ml.py where the fixture
+      is fixed. Zero-norm queries (all-NULL cosines, id-ordered fill)
+      are excluded from recall on both sides but still report
+      probe_exact.
+
+    Scale: the report is the VERIFICATION harness for the gate corpus
+    (|Q| is small, the exact side is one broadcast nested-loop over the
+    corpus — same shape as cosine_topk). At production scale you gate a
+    query SAMPLE, not the full corpus; the operator itself stays
+    cell-routed.
+    """
+    spark = corpus.sparkSession
+    qid_t = dict(queries.dtypes)[query_id_col]
+    out_schema = (
+        f"{query_id_col} {qid_t}, n_exact bigint, "
+        "probe_exact boolean, recall_ok boolean"
+    )
+    if not centroids:
+        return spark.createDataFrame([], out_schema)
+    corpus_nn = corpus.where(F.col(vec_col).isNotNull())
+    queries_nn = queries.where(F.col(vec_col).isNotNull())
+
+    ann = ivf_ann_topk(
+        corpus,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        centroids=centroids,
+    )
+
+    # --- probe_exact: independent exact-over-probed recomputation ---
+    assigned = ivf_assign(
+        corpus_nn.select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")
+        ),
+        centroids,
+        vec_col="__cvec",
+    )
+    probed = queries_nn.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("__qvec")
+    ).withColumn("__cluster", F.explode(probed_cells_expr(centroids, nprobe)))
+    cands = assigned.join(F.broadcast(probed), "__cluster").select(
+        query_id_col,
+        F.col(id_col).alias("__cid"),
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
+    )
+    # Sort key struct: NULL sims last, sim desc (negation is exact),
+    # id asc — all fields non-null except __ns on a NULL sim, where the
+    # __nf group already separates them and __id breaks the tie.
+    item = F.struct(
+        F.col("__sim").isNull().cast("int").alias("__nf"),
+        (-F.col("__sim")).alias("__ns"),
+        F.col("__cid").alias("__id"),
+        F.col("__sim").alias("__s"),
+    )
+    ver = (
+        cands.groupBy(query_id_col)
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("__top"))
+        .select(query_id_col, F.posexplode("__top").alias("__pos", "__it"))
+        .select(
+            query_id_col,
+            (F.col("__pos") + 1).alias("__vrank"),
+            F.col("__it.__id").alias("__vid"),
+            F.col("__it.__s").alias("__vsim"),
+        )
+    )
+    a = ann.select(
+        F.col(query_id_col).alias("__aq"),
+        F.col("rank").alias("__arank"),
+        F.col(id_col).alias("__aid"),
+        F.col("cosine_sim").alias("__asim"),
+    )
+    cmp = ver.join(
+        a,
+        (F.col(query_id_col) == F.col("__aq"))
+        & (F.col("__vrank") == F.col("__arank")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col(query_id_col), F.col("__aq")).alias("__q"),
+        (
+            F.col("__vid").isNotNull()
+            & F.col("__aid").isNotNull()
+            & (F.col("__vid") == F.col("__aid"))
+            & F.col("__vsim").eqNullSafe(F.col("__asim"))
+        ).alias("__row_ok"),
+    )
+    probe_ok = cmp.groupBy("__q").agg(
+        F.min(F.col("__row_ok").cast("int")).alias("__min_ok")
+    )
+
+    # --- recall_ok: dataset-level, positive-norm queries only ---
+    q_pos = queries_nn.where(
+        _norm(as_double_array(F.col(vec_col))) > 0
+    ).select(query_id_col, vec_col)
+    exact = cosine_topk(
+        corpus_nn,
+        q_pos,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(
+        F.col(query_id_col).alias("__eq"), F.col(id_col).alias("__eid")
+    )
+    hits = exact.join(
+        ann.select(
+            F.col(query_id_col).alias("__eq"), F.col(id_col).alias("__eid")
+        ),
+        ["__eq", "__eid"],
+        "left_semi",
+    )
+    recall = F.broadcast(
+        hits.agg(F.count(F.lit(1)).alias("__nh"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("__ne")))
+        .select(
+            F.coalesce(
+                F.col("__nh") >= F.col("__ne") * F.lit(recall_floor),
+                F.lit(True),  # no positive-norm queries → vacuous
+            ).alias("recall_ok")
+        )
+    )
+
+    n_exact = F.broadcast(
+        corpus_nn.agg(
+            F.least(F.lit(k).cast("bigint"), F.count(F.lit(1))).alias("n_exact")
+        )
+    )
+    return (
+        queries_nn.select(query_id_col)
+        .join(probe_ok, F.col(query_id_col) == F.col("__q"), "left")
+        .crossJoin(n_exact)
+        .crossJoin(recall)
+        .select(
+            query_id_col,
+            "n_exact",
+            # a query with zero candidates produces no cmp rows: no
+            # probed cell is non-empty, so exact-over-probed holds
+            # vacuously (queries drawn from the corpus always have at
+            # least their own cell, making this unreachable there)
+            F.coalesce(F.col("__min_ok") == 1, F.lit(True)).alias(
+                "probe_exact"
+            ),
+            "recall_ok",
+        )
+    )
+
+
+def semantic_dedup_contract_report(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.35,
+    n_clusters_sampled: int = 16,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid-invariant contract report for learned-quantizer SemDeDup
+    (VERDICT r8 #2). One row per non-NULL vector:
+
+    - ``dup_sampled`` (exact): the SAMPLED-quantizer SemDeDup removal
+      decision (same deterministic construction the hash-certified
+      embed_semantic_dedup query uses) — the oracle recomputes centroid
+      selection, argmin assignment and the pruning rule from the table
+      alone. Keeps a real, centroid-free dedup decision in the gate.
+    - ``removed_sound`` (hard guarantee): for every vector the LEARNED
+      KMeans run removed, dup_of < vec_id AND the 6-dp cosine between
+      the vector and its dup_of, recomputed by joining BACK TO THE RAW
+      TABLE (not from the operator's internals), is >= threshold;
+      survivors are trivially TRUE. Holds under any centroids, so it is
+      drift-robust; a wrong dup_of id or threshold leak flips it.
+
+    The learned run's cluster/dup_of ids remain available via
+    semantic_dedup(centroids=...) directly (and stay gated in pytest:
+    separated-cluster completeness + seeded determinism); this report
+    is what faces the cross-engine value hash. Scale shape is the
+    operator's own Σcell² twice (one per quantizer) plus an id-keyed
+    join back to the corpus.
+    """
+    spark = corpus.sparkSession
+    id_t = dict(corpus.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_t}, dup_sampled boolean, removed_sound boolean"
+    )
+    base = corpus.where(F.col(vec_col).isNotNull())
+    if not centroids:
+        return spark.createDataFrame([], out_schema)
+
+    learned = semantic_dedup(
+        corpus, threshold=threshold, centroids=centroids,
+        id_col=id_col, vec_col=vec_col,
+    )
+    sampled = semantic_dedup(
+        corpus, n_clusters=n_clusters_sampled, threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+    vecs = base.select(
+        F.col(id_col).alias("__rid"),
+        as_double_array(F.col(vec_col)).alias("__rv"),
+    )
+    snd = (
+        learned.select(F.col(id_col), "dup_of")
+        .join(vecs, F.col(id_col) == F.col("__rid"), "left")
+        .withColumnRenamed("__rv", "__va")
+        .drop("__rid")
+        .join(vecs, F.col("dup_of") == F.col("__rid"), "left")
+        .withColumnRenamed("__rv", "__vb")
+        .select(
+            F.col(id_col).alias("__sid"),
+            F.when(F.col("dup_of").isNull(), F.lit(True))
+            .otherwise(
+                (F.col("dup_of") < F.col(id_col))
+                & (cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+            )
+            .alias("removed_sound"),
+        )
+    )
+    return (
+        sampled.select(
+            F.col(id_col), F.col("keep").alias("__skeep")
+        )
+        .join(snd, F.col(id_col) == F.col("__sid"), "inner")
+        .select(
+            id_col,
+            (~F.col("__skeep")).alias("dup_sampled"),
+            "removed_sound",
         )
     )

@@ -3097,32 +3097,38 @@ def q_embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, n_clusters=16, threshold=0.35)
 
 
-@_register("embed_semantic_dedup_kmeans", None)  # learned centroids → rows-only
+@_register("embed_semantic_dedup_kmeans", None)  # contract oracle attached below
 def q_embed_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with LEARNED (seeded KMeans) cells instead of sampled
     ones (the optional variant from VERDICT r7 #6) — on real clustered
     embedding corpora the learned quantizer packs near-duplicates into
     the same cell far more reliably, which is what bounds the miss rate
-    of cell-local pruning. Rows-only for the same reason as
-    embed_ivf_kmeans_ann: MLlib centroids are not SQL-expressible, so
-    this entry is gated by tests instead — removal SOUNDNESS (every
-    dup_of is a genuinely-similar lower id, recomputed exactly) and
-    within-cell completeness plus full agreement with the exact
-    global near-dup pair set on a separated-cluster fixture
-    (tests/test_similarity_multimodal.py::test_semantic_dedup_kmeans_gate).
-    Same operator, same decision contract, same Σcell² plan — only the
-    quantizer differs."""
+    of cell-local pruning. Rows-only through round 8 (MLlib centroids,
+    and therefore cluster/dup_of ids, are not SQL-expressible and not
+    drift-stable); round 9 converts it to a CONTRACT HASH GATE
+    (VERDICT r8 #2, the fraud_ml_score pattern): the emitted
+    dup_sampled column is the exact sampled-quantizer decision the
+    oracle recomputes from the table (identical CTEs as the certified
+    embed_semantic_dedup), and removed_sound asserts the learned run's
+    per-row soundness — dup_of < vec_id with join-back-recomputed 6-dp
+    cosine >= 0.35 — TRUE under any centroids. Learned cluster/dup_of
+    values stay pytest-gated (separated-cluster completeness, seeded
+    determinism:
+    tests/test_similarity_multimodal.py::test_semantic_dedup_kmeans_gate).
+    """
     from smart_fraud_detection_data_pipeline_spark.operators import ml as ML
-    from smart_fraud_detection_data_pipeline_spark.operators.similarity import semantic_dedup
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_contract_report,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     if emb.where(F.col("embedding").isNotNull()).isEmpty():
         # kmeans_centroids returns [] on an empty/all-NULL corpus; the
-        # operator's own empty path needs no centroids (empty-fixture
-        # sweep rule)
-        return semantic_dedup(emb, threshold=0.35, centroids=[])
+        # report's empty path needs no centroids (empty-fixture sweep
+        # rule)
+        return semantic_dedup_contract_report(emb, threshold=0.35, centroids=[])
     cents = ML.kmeans_centroids(emb, k=16)
-    return semantic_dedup(emb, threshold=0.35, centroids=cents)
+    return semantic_dedup_contract_report(emb, threshold=0.35, centroids=cents)
 
 
 @_register(
@@ -3284,7 +3290,16 @@ def q_fraud_ml_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ML.fraud_score_contract_report(enriched)
 
 
-@_register("embed_ivf_kmeans_ann", None)  # learned centroids → rows-only
+@_register(
+    "embed_ivf_kmeans_ann",
+    """
+WITH c AS (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL)
+SELECT vec_id AS query_id,
+       CAST(LEAST(10, (SELECT count(*) FROM c)) AS BIGINT) AS n_exact,
+       TRUE AS probe_exact, TRUE AS recall_ok
+FROM c WHERE vec_id < 5
+""",
+)
 def q_embed_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with LEARNED (seeded KMeans) coarse centroids instead
     of sampled ones — cells adapt to the data distribution; recall@10
@@ -3295,17 +3310,29 @@ def q_embed_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-routing ANN, so hitting the recall target costs a ~60% scan
     fraction here. On real clustered embedding corpora the same recall
     arrives at far lower nprobe — the knob, not the algorithm, is what
-    the testdata stresses."""
+    the testdata stresses.
+
+    Rows-only through round 8 (neighbor sets depend on drift-unstable
+    MLlib centroids); round 9 converts it to a CONTRACT HASH GATE
+    (VERDICT r8 #2): per query, the exact candidate-set size the oracle
+    recomputes, the hard exact-over-probed-cells guarantee verified
+    through an independent collect+sort path, and a loose (0.7)
+    dataset-level recall floor — see
+    similarity.ivf_ann_contract_report for why the 0.9 operating-point
+    pin stays in pytest rather than the value hash. The raw neighbor
+    lists remain available via ivf_ann_topk(centroids=...) directly."""
     from smart_fraud_detection_data_pipeline_spark.operators import ml as ML
-    from smart_fraud_detection_data_pipeline_spark.operators.similarity import ivf_ann_topk
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import (
+        ivf_ann_contract_report,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ML.kmeans_centroids(emb, k=16)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_ann_topk(
-        emb, queries, k=10, n_clusters=16, nprobe=10, centroids=cents
+    return ivf_ann_contract_report(
+        emb, queries, k=10, nprobe=10, centroids=cents
     )
 
 
@@ -4104,13 +4131,25 @@ for _i, _s in enumerate(_REGISTRY):
         break
 
 
-def _semantic_dedup_oracle_sql(n_clusters: int = 16, threshold: str = "0.35e0") -> str:
+def _semantic_dedup_oracle_sql(
+    n_clusters: int = 16,
+    threshold: str = "0.35e0",
+    final_select: str | None = None,
+) -> str:
     """Oracle twin of embed_semantic_dedup: the SAME c/cents/assign CTEs
     as the IVF oracle (one builder — shared-branch rule), then the
     pruning rule itself: smallest lower-id cluster-mate at
     6-dp-rounded cosine >= threshold, NULL-cosine (zero-norm) pairs
     never matching. The threshold literal carries e0 so the comparison
-    is DOUBLE on both engines."""
+    is DOUBLE on both engines. ``final_select`` swaps the projection
+    (the kmeans contract-report twin reuses the identical decision CTEs
+    — shared-branch rule again — but emits the report columns)."""
+    if final_select is None:
+        final_select = (
+            "SELECT n.vec_id, n.cidx AS cluster, d.dup_of,"
+            " d.dup_of IS NULL AS keep\n"
+            "FROM normed n LEFT JOIN dups d ON d.vec_id = n.vec_id"
+        )
     return f"""{_ivf_assign_cte(n_clusters)},
 normed AS (
   SELECT vec_id, v, cidx,
@@ -4125,8 +4164,7 @@ dups AS (
                    / (a.nv * b.nv) END, 6) >= {threshold}
   GROUP BY a.vec_id
 )
-SELECT n.vec_id, n.cidx AS cluster, d.dup_of, d.dup_of IS NULL AS keep
-FROM normed n LEFT JOIN dups d ON d.vec_id = n.vec_id
+{final_select}
 """
 
 
@@ -4135,7 +4173,22 @@ for _i, _s in enumerate(_REGISTRY):
         _REGISTRY[_i] = QuerySpec(
             "embed_semantic_dedup", _s.spark_fn, _semantic_dedup_oracle_sql()
         )
-        break
+    elif _s.name == "embed_semantic_dedup_kmeans":
+        # Contract-report twin (VERDICT r8 #2): the exact dup_sampled
+        # column reuses the IDENTICAL sampled-quantizer decision CTEs;
+        # removed_sound is the learned run's join-back soundness check,
+        # asserted TRUE.
+        _REGISTRY[_i] = QuerySpec(
+            "embed_semantic_dedup_kmeans",
+            _s.spark_fn,
+            _semantic_dedup_oracle_sql(
+                final_select=(
+                    "SELECT n.vec_id, d.dup_of IS NOT NULL AS dup_sampled,"
+                    " TRUE AS removed_sound\n"
+                    "FROM normed n LEFT JOIN dups d ON d.vec_id = n.vec_id"
+                )
+            ),
+        )
 
 
 # Promote the Arrow-UDF byte-feature query to the hash gate with a

@@ -711,13 +711,16 @@ def test_semantic_dedup_autosizes_quantizer(spark):
 
 
 def test_semantic_dedup_kmeans_gate(spark):
-    """The learned-quantizer SemDeDup variant's test gate (its registry
-    entry is rows-only — MLlib centroids are not SQL-expressible):
-    (a) removal soundness — every dup_of is a lower id whose exact
-    6-dp cosine clears the threshold; (b) completeness on a
-    separated-cluster corpus — every exact global near-dup pair is
+    """The learned-quantizer SemDeDup variant's test gate (the registry
+    entry emits the contract REPORT; the learned cluster/dup_of values
+    themselves are pinned here because MLlib centroids are not
+    SQL-expressible): (a) removal soundness — every dup_of is a lower
+    id whose exact 6-dp cosine clears the threshold; (b) completeness
+    on a separated-cluster corpus — every exact global near-dup pair is
     caught by the cell-local prune (KMeans must recover clusters the
-    sampled quantizer can only hit by luck); (c) determinism."""
+    sampled quantizer can only hit by luck); (c) determinism; and
+    (d) the contract report itself — removed_sound TRUE everywhere,
+    dup_sampled equal to the sampled-quantizer decision."""
     from smart_fraud_detection_data_pipeline_spark.operators import ml as ML
 
     emb = _clustered_emb(spark, n_clusters=6, per_cluster=30)
@@ -751,6 +754,22 @@ def test_semantic_dedup_kmeans_gate(spark):
              SIM.semantic_dedup(emb, threshold=0.9,
                                 centroids=ML.kmeans_centroids(emb, k=6)).collect()}
     assert again == {i: (r.dup_of, r.keep) for i, r in rows.items()}
+    # (d) the contract report the hash gate sees: removed_sound TRUE
+    # everywhere; dup_sampled equals the sampled-quantizer decision
+    report = {
+        r.vec_id: r
+        for r in SIM.semantic_dedup_contract_report(
+            emb, threshold=0.9, n_clusters_sampled=6, centroids=cents
+        ).collect()
+    }
+    sampled = {
+        r.vec_id: not r.keep
+        for r in SIM.semantic_dedup(emb, n_clusters=6, threshold=0.9).collect()
+    }
+    assert set(report) == set(sampled)
+    for i, r in report.items():
+        assert r.removed_sound
+        assert r.dup_sampled == sampled[i]
 
 
 def test_bm25_topk_ranking_semantics(spark):
