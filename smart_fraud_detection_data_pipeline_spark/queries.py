@@ -1017,6 +1017,79 @@ def q_doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_compaction_sql(num_perm: int, bands: int, threshold: float) -> str:
+    """Oracle twin of doc_dedup_index_compaction: the SAME shingle and
+    bucket CTEs as the one-shot/incremental oracles (one builder each),
+    with the index side restricted to NON-RETRACTED base docs. The probe
+    batch is the delta (doc_id % 5 = 0) plus the retracted docs
+    themselves (base docs with doc_id % 3 = 0) re-submitted; a probe doc
+    is rejected iff an LSH candidate that is a SURVIVING base doc or a
+    lower-id probe doc verifies at exact Jaccard >= threshold — i.e.
+    the tombstoned entries must be invisible. All split predicates are
+    %-based and COALESCE-fenced (NULL-safe-routing rule, both
+    engines)."""
+    is_delta = "COALESCE({t}.doc_id % 5 = 0, FALSE)"
+    is_del = "(NOT COALESCE({t}.doc_id % 5 = 0, FALSE) AND COALESCE({t}.doc_id % 3 = 0, FALSE))"
+    probe_pred = f"({is_delta} OR {is_del})"
+    survivor_pred = (
+        "(NOT COALESCE({t}.doc_id % 5 = 0, FALSE)"
+        " AND NOT COALESCE({t}.doc_id % 3 = 0, FALSE))"
+    )
+    return f"""
+WITH {_SQL_SHINGLE_CTES},
+{_minhash_bucket_ctes(num_perm, bands)},
+probe AS (
+  SELECT doc_id FROM documents
+  WHERE {probe_pred.format(t='documents')} AND text IS NOT NULL
+),
+candidates AS (
+  SELECT DISTINCT d.doc_id AS id_d, o.doc_id AS id_o
+  FROM buckets d
+  JOIN probe dd ON d.doc_id = dd.doc_id
+  JOIN buckets o ON o.band = d.band AND o.key = d.key AND o.doc_id <> d.doc_id
+  WHERE {survivor_pred.format(t='o')}
+     OR ({probe_pred.format(t='o')} AND o.doc_id < d.doc_id)
+),
+dups AS (
+  SELECT c.id_d, MIN(c.id_o) AS dup_of
+  FROM candidates c
+  JOIN jacc j ON j.id_a = least(c.id_d, c.id_o)
+             AND j.id_b = greatest(c.id_d, c.id_o)
+  WHERE j.jaccard >= {threshold}
+  GROUP BY c.id_d
+)
+SELECT dd.doc_id, dups.dup_of, dups.dup_of IS NULL AS keep
+FROM probe dd LEFT JOIN dups ON dups.id_d = dd.doc_id
+"""
+
+
+@_register(
+    "doc_dedup_index_compaction",
+    _minhash_compaction_sql(TD.DEFAULT_PERMS, TD.DEFAULT_BANDS, 0.5),
+)
+def q_doc_dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance for incremental dedup (VERDICT r8 #4): the
+    corpus index is built over the base (doc_id % 5 <> 0), a tombstone
+    batch retracts the base docs with doc_id % 3 = 0
+    (minhash_index_compact — anti-join removal, the
+    merge_upsert(delete_col=) verb for the index), and then the delta
+    PLUS the retracted texts themselves are probed against the
+    compacted index. Every decision the probe emits proves forgetting:
+    a retracted doc re-submitted is admitted as novel unless a
+    SURVIVING doc (or a lower-id probe mate) still matches it, and a
+    delta doc whose only near-dup was retracted flips from rejected to
+    admitted. Work per batch stays O(probe): compaction itself is one
+    tombstone-keyed anti-join, never a corpus re-pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.coalesce((F.col("doc_id") % 5) == 0, F.lit(False))
+    is_del = ~is_delta & F.coalesce((F.col("doc_id") % 3) == 0, F.lit(False))
+    index = TD.minhash_index(docs.where(~is_delta))
+    compacted = TD.minhash_index_compact(index, docs.where(is_del))
+    return TD.incremental_minhash_dedup(
+        None, docs.where(is_delta | is_del), threshold=0.5, index=compacted
+    )
+
+
 @_register(
     "dedup_incremental_streaming",
     _minhash_incremental_sql(TD.DEFAULT_PERMS, TD.DEFAULT_BANDS, 0.5, within_delta=False),

@@ -324,6 +324,55 @@ def test_incremental_dedup_prebuilt_index_and_empty_delta(spark):
     assert [f.name for f in out.schema.fields] == ["doc_id", "dup_of", "keep"]
 
 
+def test_minhash_index_compaction_forgets(spark):
+    """Tombstone compaction (VERDICT r8 #4): after retracting a base
+    doc, (a) its re-submitted text is admitted as novel, (b) a probe
+    doc whose ONLY near-dup was the retracted doc flips from rejected
+    to admitted, (c) matches against surviving base docs still reject,
+    (d) NULL tombstone ids are inert, and (e) the compacted index holds
+    no rows for the retracted id in either leg."""
+    base = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=20, text="entirely unrelated base content about spark engines"),
+        ]
+    )
+    idx = TD.minhash_index(base)
+    deletes = spark.createDataFrame(
+        [Row(doc_id=10), Row(doc_id=None), Row(doc_id=999)],  # (d): inert NULL + unknown id
+        "doc_id bigint",
+    )
+    compacted = TD.minhash_index_compact(idx, deletes)
+    # (e) both legs forget id 10 entirely
+    buckets, sets = compacted
+    assert buckets.where(F.col("doc_id") == 10).count() == 0
+    assert sets.where(F.col("doc_id") == 10).count() == 0
+    assert sets.where(F.col("doc_id") == 20).count() == 1
+    probe = spark.createDataFrame(
+        [
+            # (a) the retracted text itself, re-submitted under its old id
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy dog"),
+            # (b) near-dup of ONLY the retracted doc -> admitted now...
+            Row(doc_id=31, text="the quick brown fox jumps over the lazy dog"),
+            # (c) ...while a copy of the SURVIVING doc still rejects
+            Row(doc_id=32, text="entirely unrelated base content about spark engines"),
+        ]
+    )
+    out = TD.incremental_minhash_dedup(None, probe, index=compacted)
+    got = {r.doc_id: (r.dup_of, r.keep) for r in out.collect()}
+    assert got[10] == (None, True)    # (a) forgotten -> novel
+    assert got[31] == (10, False)     # (b) within-probe match to the lower id
+    assert got[32] == (20, False)     # (c) surviving index entry still bites
+    # and against the UNCOMPACTED index both 10-alikes reject
+    pre = {
+        r.doc_id: r.keep
+        for r in TD.incremental_minhash_dedup(
+            None, probe.where(F.col("doc_id") != 10), index=idx
+        ).collect()
+    }
+    assert pre[31] is False
+
+
 def test_bloom_contamination_no_false_negatives(spark):
     """The Bloom decontamination flag must catch EVERY train doc that
     exactly shares a gram with the eval corpus (false negatives are
