@@ -814,9 +814,18 @@ def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared SQL for word-3-gram shingling + exact Jaccard pairs.
+# The NULL-text fence mirrors the Spark text-op entry rule
+# (_staged_shingles) EXPLICITLY: without it, NULL docs only dropped
+# because DuckDB 1.0.0's list_distinct strips the NULL gram that
+# array_to_string(NULL-slice) produces — emergent behavior that flips
+# in DuckDB >= 1.1 (NULLs kept), where the surviving NULL shingle
+# would, among other things, poison the capped variant's
+# `shingle NOT IN (SELECT ... FROM hot)` into an all-NULL filter
+# (round-9 forward-compat audit; provably inert at 1.0.0).
 _SQL_SHINGLE_CTES = """
 toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  WHERE text IS NOT NULL
 ),
 sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -3583,12 +3592,22 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("f_time", "15 minutes")
     )
-    pairs = errors.join(
+    from smart_fraud_detection_data_pipeline_spark.streaming.joins import (
+        interval_join_streaming,
+    )
+
+    # SPARK_GRAFT_SS_BUCKET opts into the hot-key state split (joins.py;
+    # bit-identical output, pinned in tests + stream_hotkey_bench)
+    bucket = os.environ.get("SPARK_GRAFT_SS_BUCKET")
+    pairs = interval_join_streaming(
+        errors,
         follows,
-        (F.col("user_id") == F.col("f_user"))
-        & (F.col("f_time") > F.col("err_time"))
-        & (F.col("f_time") <= F.col("err_time") + F.expr("INTERVAL 10 MINUTES")),
-        "inner",
+        left_key="user_id",
+        right_key="f_user",
+        left_time="err_time",
+        right_time="f_time",
+        window_seconds=600,
+        bucket_seconds=int(bucket) if bucket else None,
     ).select("err_id", "follow_id")
     tmp = _scratch("ss_join_out_")
     with _shuffle_partitions(spark, 8):
@@ -3708,12 +3727,19 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("f_time", "15 minutes")
     )
-    pairs = errors.join(
+    from smart_fraud_detection_data_pipeline_spark.streaming.joins import (
+        interval_join_streaming,
+    )
+
+    pairs = interval_join_streaming(
+        errors,
         follows,
-        (F.col("user_id") == F.col("f_user"))
-        & (F.col("f_time") > F.col("err_time"))
-        & (F.col("f_time") <= F.col("err_time") + F.expr("INTERVAL 10 MINUTES")),
-        "leftOuter",
+        left_key="user_id",
+        right_key="f_user",
+        left_time="err_time",
+        right_time="f_time",
+        window_seconds=600,
+        how="leftOuter",
     ).select("err_id", "follow_id")
     tmp = _scratch("ss_left_join_out_")
     with _shuffle_partitions(spark, 8):
