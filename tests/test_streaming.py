@@ -468,6 +468,96 @@ def test_stream_stream_join_pairs_across_batches(spark, tmp_path):
     assert got == {(1, 2), (1, 4), (3, 5)}
 
 
+def test_stream_stream_join_bucketed_bit_identical(spark, tmp_path):
+    """The hot-key state split (streaming/joins.py bucket_seconds) must
+    be BIT-IDENTICAL to the plain join, including the adversarial
+    geometry: pairs exactly ON a bucket boundary, pairs spanning one,
+    a window exactly equal to the bucket, duplicate timestamps on the
+    hot key, and a cross-batch pair. Outer + bucket_seconds must be
+    rejected."""
+    import pytest as _pytest
+
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+    from smart_fraud_detection_data_pipeline_spark.streaming.joins import (
+        interval_join_streaming,
+    )
+
+    d = str(tmp_path / "in")
+    # hot user 7: errors at 00:00:00 and 09:59:30 (straddles the 600 s
+    # bucket edge at 00:10:00), follows at +600 s exactly (inclusive
+    # upper bound ON the boundary), +1 s, duplicates, and one outside
+    f1 = [(1, 7, "2024-01-01 00:00:00", "error"),
+          (2, 7, "2024-01-01 00:10:00", "view"),    # == err1 + 600 s, next bucket
+          (3, 7, "2024-01-01 00:00:01", "view"),
+          (4, 7, "2024-01-01 00:00:01", "view"),    # duplicate ts
+          (5, 7, "2024-01-01 09:59:30", "error")]
+    f2 = [(6, 7, "2024-01-01 10:00:30", "view"),    # cross-batch, spans bucket
+          (7, 7, "2024-01-01 10:09:30", "view"),    # == err5 + 600 s
+          (8, 7, "2024-01-01 10:09:31", "view"),    # 601 s — out of window
+          (9, 8, "2024-01-01 10:09:31", "view")]    # other user
+    schema = "event_id bigint, user_id bigint, ts_str string, event_type string"
+    for batch in (f1, f2):
+        spark.createDataFrame(batch, schema).select(
+            "event_id", "user_id",
+            F.col("ts_str").cast("timestamp_ntz").alias("ts"), "event_type",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    def run(bucket_seconds, tag):
+        def reader():
+            return (
+                spark.readStream.schema(spark.read.parquet(d).schema)
+                .option("maxFilesPerTrigger", "1").parquet(d)
+            )
+
+        errors = (
+            reader().where(F.col("event_type") == "error")
+            .select(F.col("event_id").alias("err_id"), "user_id",
+                    F.col("ts").cast("timestamp").alias("err_time"))
+            .withWatermark("err_time", "15 minutes")
+        )
+        follows = (
+            reader()
+            .select(F.col("event_id").alias("follow_id"),
+                    F.col("user_id").alias("f_user"),
+                    F.col("ts").cast("timestamp").alias("f_time"))
+            .withWatermark("f_time", "15 minutes")
+        )
+        pairs = interval_join_streaming(
+            errors, follows,
+            left_key="user_id", right_key="f_user",
+            left_time="err_time", right_time="f_time",
+            window_seconds=600, bucket_seconds=bucket_seconds,
+        ).select("err_id", "follow_id")
+        out = str(tmp_path / f"out_{tag}")
+        q = SK.start_foreach_batch(
+            pairs,
+            SK.parquet_batch_sink(os.path.join(out, "data"), partitions=None),
+            os.path.join(out, "ckpt"),
+            output_mode="append", available_now=True,
+            query_name=f"ss_join_bucketed_{tag}",
+        )
+        SK.await_or_raise(q)
+        rows = [
+            (r.err_id, r.follow_id)
+            for r in spark.read.parquet(os.path.join(out, "data")).collect()
+        ]
+        return sorted(rows), len(rows)
+
+    plain_rows, plain_n = run(None, "plain")
+    bucketed_rows, bucketed_n = run(600, "b600")
+    assert plain_rows == [(1, 2), (1, 3), (1, 4), (5, 6), (5, 7)]
+    # bit-identical INCLUDING multiplicity (no pair emitted twice from
+    # two probe buckets)
+    assert bucketed_rows == plain_rows and bucketed_n == plain_n
+    with _pytest.raises(ValueError, match="inner"):
+        interval_join_streaming(
+            spark.read.parquet(d), spark.read.parquet(d),
+            left_key="user_id", right_key="user_id",
+            left_time="ts", right_time="ts",
+            how="leftOuter", bucket_seconds=600,
+        )
+
+
 def test_rocksdb_state_store_provider_runs_stateful_agg(spark, tmp_path):
     """The production state backend: HDFSBackedStateStoreProvider keeps
     every key in executor heap — at 100 TB of keyed state that is an
