@@ -795,6 +795,28 @@ def test_merge_upsert_delete_single_join_plan(spark):
     assert ct["exchange"] == cp["exchange"]
 
 
+def test_minhash_index_compact_plan(spark):
+    """Compaction must be two ANTI-joins keyed on the id with NO
+    broadcast hint (AQE sizes the tombstone side at runtime — the
+    broadcast-size-guard rule) and no join of any other class."""
+    from pyspark.sql import Row
+
+    from smart_fraud_detection_data_pipeline_spark.operators.textdedup import (
+        minhash_index,
+        minhash_index_compact,
+    )
+
+    base = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta epsilon zeta")]
+    )
+    deletes = spark.createDataFrame([Row(doc_id=1)], "doc_id bigint")
+    buckets, sets = minhash_index_compact(minhash_index(base), deletes)
+    for leg in (buckets, sets):
+        assert "ResolvedHint" not in leg._jdf.queryExecution().analyzed().toString()
+        plan = X.executed_plan(leg)
+        assert "LeftAnti" in plan
+
+
 def test_fraud_ml_score_exact_side_is_score_bounded(spark, sf_dir):
     """The contract report's only global-order window must run over the
     per-SCORE aggregate (bounded by the 6-dp rounding grid), never the
