@@ -4,13 +4,14 @@ Extension surface (SURVEY §7 step 6). The engine treats image/audio/
 video as opaque `binary` columns with a typed metadata struct, processed
 by Arrow-batched `mapInPandas`. The Spark-side plumbing (schema,
 batching, partitioning) is real and tested, and since round 7 so is a
-DECODE path: pure-Python BMP (24-bit uncompressed) and PPM (P6) parsers
-(`make_image_codecs`) run under the full hash gate via
-`decode_image_features` / the `multimodal_image_decode` query. Formats
-that need a codec library (JPEG/PNG/ffmpeg) remain an honest
-NotImplementedError inside `decode_image` — this environment has no
-codec libs; `extract_byte_features`' default byte decoder stays the
-format-agnostic stand-in that exercises the same Arrow batch shape.
+DECODE path: pure-Python BMP (24-bit uncompressed), PPM (P6), PNG
+(8-bit gray/RGB/palette/RGBA, all five scanline filters — r8/r9) and
+GIF (LZW, r9) parsers (`make_image_codecs`) run under the full hash
+gate via `decode_image_features` / the `multimodal_image_decode`
+query. Formats that need a codec library (JPEG/ffmpeg) remain an
+honest NotImplementedError inside `decode_image` — this environment
+has no codec libs; `extract_byte_features`' default byte decoder stays
+the format-agnostic stand-in that exercises the same Arrow batch shape.
 
 Scale notes: media payloads dominate row size, so the rules are
 (1) never shuffle payload bytes — derive features first, then drop the
@@ -408,20 +409,23 @@ def make_image_codecs() -> dict[str, object]:
         )
 
     def decode_image(payload: bytes):
-        """Dispatch on magic bytes. BMP (24-bit uncompressed), PPM (P6)
-        and PNG (8-bit non-interlaced) decode for REAL in pure Python;
-        anything else (JPEG/ffmpeg formats/...) still needs a codec
-        library this environment lacks and raises NotImplementedError —
-        the honest remaining stub."""
+        """Dispatch on magic bytes. BMP (24-bit uncompressed), PPM (P6),
+        PNG (8-bit non-interlaced, incl. palette) and GIF (non-
+        interlaced, LZW) decode for REAL in pure Python; anything else
+        (JPEG/ffmpeg formats/...) still needs a codec library this
+        environment lacks and raises NotImplementedError — the honest
+        remaining stub."""
         if payload[:2] == b"BM":
             return decode_bmp(payload)
         if payload[:2] == b"P6":
             return decode_ppm(payload)
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)
+        if payload[:6] in _GIF_SIGS:
+            return decode_gif(payload)
         raise NotImplementedError(
             "decoding this format requires a codec library not present in "
-            "this environment (pure-Python BMP/PPM/PNG decoders are "
+            "this environment (pure-Python BMP/PPM/PNG/GIF decoders are "
             "implemented)"
         )
 
@@ -507,22 +511,268 @@ def make_image_codecs() -> dict[str, object]:
                     raise ValueError("palette index out of range")
                 return w, h, pal[idx]  # fancy-index lookup, no Python loop
             return w, h, data[..., :3]
+        if payload[:6] in _GIF_SIGS:
+            # The LZW stream is an inherently sequential Python loop
+            # (variable-width codes, stateful dictionary) and dominates
+            # GIF decode cost either way; only the raster assembly is
+            # array-shaped.
+            w, h, pixels = decode_gif(payload)
+            return w, h, np.array(pixels, dtype=np.uint8).reshape(h, w, 3)
         raise NotImplementedError(
             "decoding this format requires a codec library not present in "
             "this environment (pure-Python BMP/PPM/PNG decoders are "
             "implemented)"
         )
 
+    # --- GIF (87a/89a, LZW) — round 9, VERDICT r8 #3 -------------------
+    #
+    # Width synchronization (the classic GIF subtlety, pinned against
+    # the JVM's javax.imageio reference codec — see
+    # tests/test_similarity_multimodal.py::test_decode_gif): the
+    # decoder adds each dictionary entry one READ behind the encoder —
+    # it needs the next code's first index to complete the entry — so
+    # the two sides bump the variable code width at different
+    # next_code thresholds: decoder after its add when next_code >=
+    # 2^w, encoder after its add when next_code > 2^w. Both capped at
+    # 12 bits; the encoder emits a CLEAR when the table fills, and the
+    # decoder reads the final END code through the last byte's zero
+    # padding (real streams byte-pad; only a non-END code landing in
+    # padding is a true truncation).
+
+    _GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+    def _gif_lzw_decode(data: bytes, mcs: int):
+        """Decode a GIF LZW stream (concatenated sub-block payloads)
+        into a list of palette indices."""
+        if not 2 <= mcs <= 11:
+            raise ValueError("bad GIF LZW minimum code size")
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        nbits = len(data) * 8
+
+        width = mcs + 1
+        table: dict[int, tuple] = {i: (i,) for i in range(clear)}
+        next_code = end + 1
+        prev: tuple | None = None
+        out: list[int] = []
+        pos = 0
+        while True:
+            # Bits past the stream read as ZERO (the final byte's
+            # padding): the decoder's early width bump can fire one
+            # definition before the encoder's (the encoder defines
+            # nothing on its flush emission), so the END code may
+            # legitimately sit in fewer real bits than the decoder's
+            # width — giflib/ImageIO read it through the zero padding
+            # (JVM-cross-checked), and only a non-END code reaching
+            # the padding is a real truncation.
+            code = 0
+            for k in range(width):
+                p = pos + k
+                if p < nbits and data[p >> 3] >> (p & 7) & 1:
+                    code |= 1 << k
+            if pos + width > nbits and code != end:
+                raise ValueError("truncated GIF LZW stream")
+            pos += width
+            if code == clear:
+                width = mcs + 1
+                table = {i: (i,) for i in range(clear)}
+                next_code = end + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise ValueError("bad GIF LZW code after clear")
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)  # the KwKwK case
+            else:
+                raise ValueError("bad GIF LZW code")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code >= (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+
+    def _gif_lzw_encode(indices, mcs: int) -> bytes:
+        """Encode palette indices as a GIF LZW stream (raw bytes, not
+        yet sub-blocked)."""
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        out = bytearray()
+        acc = 0
+        nacc = 0
+
+        def emit(code: int, width: int) -> None:
+            nonlocal acc, nacc
+            acc |= code << nacc
+            nacc += width
+            while nacc >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+
+        width = mcs + 1
+        table: dict[tuple, int] = {(i,): i for i in range(clear)}
+        next_code = end + 1
+        emit(clear, width)
+        prev: tuple = ()
+        for idx in indices:
+            if idx >= clear:
+                raise ValueError("palette index exceeds LZW code size")
+            cur = prev + (int(idx),)
+            if cur in table:
+                prev = cur
+                continue
+            emit(table[prev], width)
+            table[cur] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+            if next_code == 4096:  # table full: reset, spec-style
+                emit(clear, width)
+                width = mcs + 1
+                table = {(i,): i for i in range(clear)}
+                next_code = end + 1
+            prev = (int(idx),)
+        if prev:
+            emit(table[prev], width)
+        emit(end, width)
+        if nacc:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def decode_gif(payload: bytes):
+        """REAL decode of a non-interlaced GIF87a/89a first frame:
+        logical screen descriptor, global/local color table, extension
+        sub-block skip, LZW decompress, palette lookup. Interlace
+        raises NotImplementedError (honest scope boundary, same style
+        as the PNG 16-bit/Adam7 rejects)."""
+        if payload[:6] not in _GIF_SIGS:
+            raise ValueError("not a GIF payload")
+        if len(payload) < 13:
+            raise ValueError("truncated GIF header")
+        packed = payload[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = payload[pos : pos + 3 * n]
+            if len(gct) != 3 * n:
+                raise ValueError("truncated GIF global color table")
+            pos += 3 * n
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while True:
+                    if pos >= len(payload):
+                        raise ValueError("truncated GIF extension")
+                    ln = payload[pos]
+                    pos += 1 + ln
+                    if ln == 0:
+                        break
+            elif block == 0x2C:  # image descriptor
+                if pos + 9 > len(payload):
+                    raise ValueError("truncated GIF image descriptor")
+                w, h = struct.unpack_from("<HH", payload, pos + 4)
+                ipacked = payload[pos + 8]
+                pos += 9
+                if ipacked & 0x40:
+                    raise NotImplementedError(
+                        "interlaced GIFs are not supported"
+                    )
+                ct = gct
+                if ipacked & 0x80:
+                    n = 2 << (ipacked & 0x07)
+                    ct = payload[pos : pos + 3 * n]
+                    if len(ct) != 3 * n:
+                        raise ValueError("truncated GIF local color table")
+                    pos += 3 * n
+                if ct is None:
+                    raise ValueError("GIF image has no color table")
+                if w <= 0 or h <= 0:
+                    raise ValueError("bad GIF dimensions")
+                mcs = payload[pos]
+                pos += 1
+                data = bytearray()
+                while True:
+                    if pos >= len(payload):
+                        raise ValueError("truncated GIF image data")
+                    ln = payload[pos]
+                    pos += 1
+                    if ln == 0:
+                        break
+                    data += payload[pos : pos + ln]
+                    pos += ln
+                idx = _gif_lzw_decode(bytes(data), mcs)
+                if len(idx) < w * h:
+                    raise ValueError("GIF LZW stream too short")
+                n_entries = len(ct) // 3
+                pixels = []
+                for i in idx[: w * h]:
+                    if i >= n_entries:
+                        raise ValueError("GIF index out of palette range")
+                    pixels.append(tuple(ct[3 * i : 3 * i + 3]))
+                return w, h, pixels
+            elif block == 0x3B:  # trailer before any image
+                raise ValueError("GIF contains no image")
+            else:
+                raise ValueError("bad GIF block introducer")
+        raise ValueError("GIF missing trailer")
+
+    def encode_gif(w: int, h: int, pixels) -> bytes:
+        """Minimal single-frame GIF89a writer with a global color table
+        built from the ordered first-occurrence distinct colors (<= 256
+        — the synthetic fixtures cap at w*h <= 91)."""
+        palette: dict[tuple, int] = {}
+        for px in pixels:
+            t = tuple(px)
+            if t not in palette:
+                palette[t] = len(palette)
+        if len(palette) > 256:
+            raise ValueError("GIF needs <= 256 distinct colors")
+        bits = max(1, (len(palette) - 1).bit_length())
+        n = 1 << bits
+        ct = bytearray()
+        for color in palette:
+            ct += bytes(color)
+        ct += b"\x00" * (3 * n - len(ct))
+        header = (
+            b"GIF89a"
+            + struct.pack("<HH", w, h)
+            + bytes((0x80 | (bits - 1), 0, 0))
+            + bytes(ct)
+        )
+        desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        mcs = max(2, bits)
+        lzw = _gif_lzw_encode(
+            (palette[tuple(px)] for px in pixels), mcs
+        )
+        blocks = bytearray((mcs,))
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            blocks.append(len(chunk))
+            blocks += chunk
+        blocks.append(0)
+        return header + desc + bytes(blocks) + b"\x3b"
+
     return {
         "decode_bmp": decode_bmp,
         "decode_ppm": decode_ppm,
         "decode_png": decode_png,
+        "decode_gif": decode_gif,
         "decode_image": decode_image,
         "decode_image_np": decode_image_np,
         "encode_bmp": encode_bmp,
         "encode_ppm": encode_ppm,
         "encode_png": encode_png,
         "encode_png_palette": encode_png_palette,
+        "encode_gif": encode_gif,
     }
 
 
@@ -576,11 +826,14 @@ def decode_image_features(df: DataFrame) -> DataFrame:
                 mr.append(int(sums[0]) / n)
                 mg.append(int(sums[1]) / n)
                 mb.append(int(sums[2]) / n)
-                fmts.append(
-                    "bmp"
-                    if b[:2] == b"BM"
-                    else ("ppm" if b[:2] == b"P6" else "png")
-                )
+                if b[:2] == b"BM":
+                    fmts.append("bmp")
+                elif b[:2] == b"P6":
+                    fmts.append("ppm")
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    fmts.append("gif")
+                else:
+                    fmts.append("png")
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -607,13 +860,13 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     five PNG scanline filters) and pixel channels r = (id·31 + k) %
     256, g = (r + 85) % 256, b = (r + 170) % 256 for k = row-major
     pixel index; ids encode round-robin by id % 3: 0 → BMP, 1 → PPM,
-    2 → PNG (round 8 — the PNG leg runs the zlib-inflate + unfilter
-    path under the same gate; round 9 alternates the PNG leg between
-    truecolor and PALETTE encodings by (id // 3) % 2, so the PLTE
-    lookup path is hash-certified too — the decoded features are
-    encoding-invariant, so the oracle is unchanged). The ground truth
-    is pure arithmetic on the id, so a SQL oracle can recompute the
-    DECODED features without parsing anything — which is what makes
+    2 → compressed formats (round 8 added truecolor PNG; round 9
+    rotates that leg by (id // 3) % 3 across truecolor PNG, PALETTE
+    PNG and GIF, so the PLTE lookup and the LZW decompressor are
+    hash-certified too — decoded features are encoding-invariant, only
+    the fmt label distinguishes gif). The ground truth is pure
+    arithmetic on the id, so a SQL oracle can recompute the DECODED
+    features without parsing anything — which is what makes
     decode_image_features hash-checkable end-to-end. Negative ids are
     REJECTED here (ValueError), enforcing the fixture contract the
     %-arithmetic assumes (Python non-negative modulo vs DuckDB
@@ -622,6 +875,7 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     codecs = make_image_codecs()
     enc_bmp, enc_ppm = codecs["encode_bmp"], codecs["encode_ppm"]
     enc_png, enc_png_pal = codecs["encode_png"], codecs["encode_png_palette"]
+    enc_gif = codecs["encode_gif"]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -644,7 +898,7 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 elif leg == 1:
                     enc = enc_ppm
                 else:
-                    enc = enc_png if (i // 3) % 2 == 0 else enc_png_pal
+                    enc = (enc_png, enc_png_pal, enc_gif)[(i // 3) % 3]
                 payloads.append(enc(w, h, px))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}

