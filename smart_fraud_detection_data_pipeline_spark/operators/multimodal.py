@@ -1054,3 +1054,186 @@ def resize_payload(df: DataFrame, width: int = 16) -> DataFrame:
         .select("doc_id", "payload")
         .mapInPandas(batches, schema=RESIZE_SCHEMA)
     )
+
+
+# --- Audio: real WAV (RIFF/PCM) decode under the hash gate — round 9 --------
+
+def make_audio_codecs() -> dict[str, object]:
+    """Pure-Python WAV codec pair, the audio twin of make_image_codecs
+    (same factory-scoped-closure rationale: cloudpickle ships by value).
+    decode_wav parses the RIFF container for real — chunk walk, fmt
+    validation, interleaved PCM16 frames — so a wrong stride, channel
+    swap or header off-by-one shifts the decoded means and fails the
+    cross-engine hash. Compressed audio (MP3/OGG/FLAC) raises
+    NotImplementedError: codecs for those are not in this environment,
+    the same honest boundary as JPEG on the image side."""
+    import struct
+
+    def decode_wav(payload: bytes):
+        """Decode a PCM16 WAV: returns (sample_rate, n_channels,
+        frames) with frames a list of per-frame tuples of int16 sample
+        values (channel-interleaved order preserved)."""
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            if payload[:3] == b"ID3" or payload[:2] == b"\xff\xfb":
+                raise NotImplementedError("MP3 decode needs a codec library")
+            if payload[:4] == b"OggS":
+                raise NotImplementedError("OGG decode needs a codec library")
+            if payload[:4] == b"fLaC":
+                raise NotImplementedError("FLAC decode needs a codec library")
+            raise ValueError("not a WAV payload")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8 : pos + 8 + ln]
+            if len(body) != ln:
+                raise ValueError("truncated WAV chunk")
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("missing WAV fmt/data chunk")
+        if len(fmt) < 16:
+            raise ValueError("bad WAV fmt chunk length")
+        tag, ch, rate, _brate, _align, bits = struct.unpack_from("<HHIIHH", fmt)
+        if tag != 1:
+            raise NotImplementedError(
+                "only PCM (format tag 1) WAVs are supported"
+            )
+        if bits != 16:
+            raise NotImplementedError("only 16-bit PCM WAVs are supported")
+        if ch < 1 or rate <= 0:
+            raise ValueError("bad WAV channel/rate fields")
+        if len(data) % (2 * ch) != 0:
+            raise ValueError("WAV data not frame-aligned")
+        n = len(data) // (2 * ch)
+        samples = struct.unpack_from(f"<{n * ch}h", data)
+        frames = [tuple(samples[f * ch : (f + 1) * ch]) for f in range(n)]
+        return rate, ch, frames
+
+    def encode_wav(rate: int, channels: int, frames) -> bytes:
+        """Minimal canonical-layout PCM16 WAV writer (fmt then data)."""
+        flat = [s for fr in frames for s in fr]
+        data = struct.pack(f"<{len(flat)}h", *flat)
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+        )
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            body += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    return {"decode_wav": decode_wav, "encode_wav": encode_wav}
+
+
+_AUDIO_CODECS = make_audio_codecs()
+decode_wav = _AUDIO_CODECS["decode_wav"]
+encode_wav = _AUDIO_CODECS["encode_wav"]
+
+AUDIO_DECODE_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_frames long, "
+    "duration_ms double, mean_ch0 double, mean_ch1 double, fmt string"
+)
+
+#: Deterministic synthetic-audio parameters: flat-index sample value
+#: s(k) = ((doc_id * 7919 + k * 104729) % 65536) - 32768 (both primes,
+#: so consecutive samples sweep the int16 range), interleaved L R L R.
+_AUDIO_RATES = (8000, 16000, 44100)
+
+
+def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic WAV fixtures from a table: per row a
+    PCM16 WAV whose rate (8/16/44.1 kHz by id % 3), channel count
+    (1 + id % 2) and frame count (1 + id % 480) derive from the id,
+    with samples from the pure arithmetic above — so a SQL oracle can
+    recompute the DECODED features without parsing anything, the exact
+    construction that makes decode_audio_features hash-checkable end
+    to end (the audio twin of synthesize_images). Negative ids are
+    rejected (the %-arithmetic fixture contract, ADVICE r8)."""
+    codecs = make_audio_codecs()
+    enc = codecs["encode_wav"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i < 0:
+                    raise ValueError(
+                        "synthesize_audio requires non-negative ids "
+                        "(the %-arithmetic fixture contract)"
+                    )
+                rate = _AUDIO_RATES[i % 3]
+                ch = 1 + i % 2
+                n = 1 + i % 480
+                frames = []
+                for f in range(n):
+                    frames.append(
+                        tuple(
+                            ((i * 7919 + (f * ch + c) * 104729) % 65536) - 32768
+                            for c in range(ch)
+                        )
+                    )
+                payloads.append(enc(rate, ch, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode over binary payloads: parse each
+    WAV with the pure-Python RIFF/PCM16 decoder and emit per-clip
+    features — rate, channels, frames, duration, per-channel sample
+    means. Means are exact int-sum / int-count IEEE divisions
+    (sample sums of int16 never approach 2^53) and duration_ms is an
+    exact int*1000/int division, so both engines agree bit for bit
+    with no quantization. Map-only: no shuffle at any corpus size;
+    payloads are dropped on output (module scale rule #1); NULL
+    payloads excluded as everywhere. mean_ch1 is NULL for mono."""
+    codecs = make_audio_codecs()
+    decode = codecs["decode_wav"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "sample_rate", "n_channels", "n_frames",
+                "duration_ms", "mean_ch0", "mean_ch1", "fmt",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, frames = decode(bytes(payload))
+                n = len(frames)
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(ch)
+                rows["n_frames"].append(n)
+                rows["duration_ms"].append(n * 1000 / rate)
+                rows["mean_ch0"].append(
+                    sum(fr[0] for fr in frames) / n if n else None
+                )
+                rows["mean_ch1"].append(
+                    sum(fr[1] for fr in frames) / n if ch > 1 and n else None
+                )
+                rows["fmt"].append("wav")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                    "n_channels": pd.Series(rows["n_channels"], dtype="int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int64"),
+                    "duration_ms": pd.Series(rows["duration_ms"], dtype="float64"),
+                    "mean_ch0": pd.Series(rows["mean_ch0"], dtype="float64"),
+                    "mean_ch1": pd.Series(rows["mean_ch1"], dtype="float64"),
+                    "fmt": pd.Series(rows["fmt"], dtype="object"),
+                }
+            )
+
+    return (
+        df.where(F.col("payload").isNotNull())
+        .select("doc_id", "payload")
+        .mapInPandas(batches, schema=AUDIO_DECODE_SCHEMA)
+    )

@@ -129,6 +129,7 @@ _SLOW = frozenset({
 _FRESH = frozenset({
     # round 9: new or changed implementations / oracles
     "doc_dedup_index_compaction",   # NEW: tombstone index compaction
+    "multimodal_audio_decode",      # NEW: real WAV decode gate
     "embed_ivf_kmeans_ann",         # rows-only -> contract hash gate
     "embed_semantic_dedup_kmeans",  # rows-only -> contract hash gate
     "multimodal_image_decode",      # palette-PNG leg + doc_id>=0 contract
@@ -159,6 +160,7 @@ _FRESH = frozenset({
 _DRIVER_ROTATION = (
     # --- tier A: round-9 changed (riskiest first) ---
     "doc_dedup_index_compaction",
+    "multimodal_audio_decode",
     "embed_ivf_kmeans_ann",
     "embed_semantic_dedup_kmeans",
     "multimodal_image_decode",
@@ -2002,6 +2004,56 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
     )
     return MM.decode_image_features(MM.synthesize_images(docs))
+
+
+@_register(
+    "multimodal_audio_decode",
+    """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              ELSE 44100 END AS rate,
+         1 + doc_id % 2 AS ch,
+         1 + doc_id % 480 AS n
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+),
+s AS (
+  SELECT doc_id, rate, ch, n, k,
+         (doc_id * 7919 + k * 104729) % 65536 - 32768 AS v
+  FROM d, LATERAL unnest(generate_series(0, n * ch - 1)) AS t(k)
+)
+SELECT doc_id,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(ch AS INTEGER) AS n_channels,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(n * 1000 AS DOUBLE) / rate AS duration_ms,
+       CAST(SUM(CASE WHEN k % ch = 0 THEN v END) AS DOUBLE) / n AS mean_ch0,
+       CASE WHEN ch = 2
+            THEN CAST(SUM(CASE WHEN k % ch = 1 THEN v END) AS DOUBLE) / n
+            END AS mean_ch1,
+       'wav' AS fmt
+FROM s GROUP BY doc_id, rate, ch, n
+""",
+)
+def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the hash gate (round 9 — the audio twin
+    of multimodal_image_decode): synthesize a deterministic PCM16 WAV
+    per document — rate 8/16/44.1 kHz by doc_id % 3, mono/stereo by
+    doc_id % 2, 1..480 frames, flat-index samples
+    s(k) = ((doc_id*7919 + k*104729) % 65536) - 32768 interleaved —
+    then parse the bytes with the pure-Python RIFF reader (chunk walk
+    with word alignment, fmt validation, interleaved frame unpack) and
+    emit rate/channels/frames/duration plus per-channel sample means.
+    The oracle recomputes the DECODED features from the arithmetic
+    alone, so a wrong stride, channel swap, header off-by-one or
+    alignment bug shifts a mean and fails the hash. All emitted floats
+    are exact int/int IEEE divisions (sample sums are tiny vs 2^53) —
+    no quantization needed. Same doc_id >= 0 fixture contract as the
+    image gate; MP3/OGG/FLAC stay honest NotImplementedError stubs."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
+    )
+    return MM.decode_audio_features(MM.synthesize_audio(docs))
 
 
 # ---------------------------------------------------------------------------

@@ -687,6 +687,81 @@ def test_decode_gif():
         MM.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG: still the honest stub
 
 
+def test_decode_wav():
+    """WAV decode for real (round 9): encoder roundtrip across rates /
+    channel counts / odd data lengths (word-alignment padding), a
+    hand-built fixture with an extra chunk before fmt, and the reject
+    cases (non-PCM, 8-bit, truncation, non-WAV magic, compressed-format
+    stubs)."""
+    import struct
+
+    codecs = MM.make_audio_codecs()
+    enc, dec = codecs["encode_wav"], codecs["decode_wav"]
+    for rate, ch, n in ((8000, 1, 1), (16000, 2, 7), (44100, 2, 480), (8000, 1, 3)):
+        frames = [
+            tuple(((f * ch + c) * 104729 % 65536) - 32768 for c in range(ch))
+            for f in range(n)
+        ]
+        assert dec(enc(rate, ch, frames)) == (rate, ch, frames)
+    # hand-built: LIST chunk (odd length -> word-aligned) before fmt
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = struct.pack("<3h", -1, 0, 32767)
+    body = (
+        b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd + pad
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert dec(wav) == (8000, 1, [(-1,), (0,), (32767,)])
+    # rejects
+    float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    nonpcm = (
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + float_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError, match="PCM"):
+        dec(nonpcm)
+    with pytest.raises(ValueError, match="truncated"):
+        dec(wav[:-2])
+    with pytest.raises(ValueError, match="frame-aligned"):
+        # stereo fmt with a 6-byte data chunk: 6 % (2*2) != 0
+        fmt2 = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        misaligned = (
+            b"RIFF" + struct.pack("<I", 42) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt2
+            + b"data" + struct.pack("<I", 6) + b"\x00" * 6
+        )
+        dec(misaligned)
+    with pytest.raises(ValueError):
+        dec(b"nota wav")
+    with pytest.raises(NotImplementedError, match="MP3"):
+        dec(b"ID3\x04rest")
+    with pytest.raises(NotImplementedError, match="OGG"):
+        dec(b"OggSrest")
+
+
+def test_audio_decode_features_distributed(spark, sf_dir):
+    """The hash-gated audio query's operator chain over Spark:
+    synthesized WAV payloads decode to the arithmetic ground truth."""
+    docs = load_table(spark, sf_dir, "documents").limit(24)
+    out = MM.decode_audio_features(MM.synthesize_audio(docs))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 24
+    for doc_id, r in rows.items():
+        rate = (8000, 16000, 44100)[doc_id % 3]
+        ch, n = 1 + doc_id % 2, 1 + doc_id % 480
+        assert (r.sample_rate, r.n_channels, r.n_frames) == (rate, ch, n)
+        assert r.duration_ms == n * 1000 / rate
+        flat = [((doc_id * 7919 + k * 104729) % 65536) - 32768 for k in range(n * ch)]
+        assert r.mean_ch0 == sum(flat[0::ch]) / n
+        if ch == 2:
+            assert r.mean_ch1 == sum(flat[1::ch]) / n
+        else:
+            assert r.mean_ch1 is None
+        assert r.fmt == "wav"
+
+
 def test_image_decode_features_distributed(spark, sf_dir):
     """The hash-gated query's operator chain over Spark: synthesized
     BMP/PPM/PNG payloads decode to the arithmetic ground truth."""
