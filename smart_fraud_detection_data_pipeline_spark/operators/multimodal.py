@@ -645,16 +645,21 @@ def make_image_codecs() -> dict[str, object]:
             out.append(acc & 0xFF)
         return bytes(out)
 
-    def decode_gif(payload: bytes):
-        """REAL decode of a non-interlaced GIF87a/89a first frame:
-        logical screen descriptor, global/local color table, extension
-        sub-block skip, LZW decompress, palette lookup. Interlace
-        raises NotImplementedError (honest scope boundary, same style
-        as the PNG 16-bit/Adam7 rejects)."""
+    def decode_gif_frames(payload: bytes):
+        """REAL decode of a non-interlaced GIF87a/89a, ALL frames
+        (round 9 extends the single-frame parser to animation — the
+        video-shaped container): logical screen descriptor, global and
+        per-frame LOCAL color tables, extension sub-block skip (incl.
+        graphic control), per-frame LZW decompress, palette lookup.
+        Returns (w, h, [frame pixel lists]). Honest scope boundaries:
+        interlace and partial-canvas frames (offset/size != logical
+        screen — the disposal-composition path) raise
+        NotImplementedError."""
         if payload[:6] not in _GIF_SIGS:
             raise ValueError("not a GIF payload")
         if len(payload) < 13:
             raise ValueError("truncated GIF header")
+        lw, lh = struct.unpack_from("<HH", payload, 6)
         packed = payload[10]
         pos = 13
         gct = None
@@ -664,6 +669,7 @@ def make_image_codecs() -> dict[str, object]:
             if len(gct) != 3 * n:
                 raise ValueError("truncated GIF global color table")
             pos += 3 * n
+        frames = []
         while pos < len(payload):
             block = payload[pos]
             pos += 1
@@ -679,12 +685,17 @@ def make_image_codecs() -> dict[str, object]:
             elif block == 0x2C:  # image descriptor
                 if pos + 9 > len(payload):
                     raise ValueError("truncated GIF image descriptor")
-                w, h = struct.unpack_from("<HH", payload, pos + 4)
+                left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
                 ipacked = payload[pos + 8]
                 pos += 9
                 if ipacked & 0x40:
                     raise NotImplementedError(
                         "interlaced GIFs are not supported"
+                    )
+                if (left, top) != (0, 0) or (w, h) != (lw, lh):
+                    raise NotImplementedError(
+                        "partial-canvas GIF frames (disposal composition) "
+                        "are not supported"
                     )
                 ct = gct
                 if ipacked & 0x80:
@@ -718,12 +729,65 @@ def make_image_codecs() -> dict[str, object]:
                     if i >= n_entries:
                         raise ValueError("GIF index out of palette range")
                     pixels.append(tuple(ct[3 * i : 3 * i + 3]))
-                return w, h, pixels
-            elif block == 0x3B:  # trailer before any image
-                raise ValueError("GIF contains no image")
+                frames.append(pixels)
+            elif block == 0x3B:  # trailer
+                if not frames:
+                    raise ValueError("GIF contains no image")
+                return lw, lh, frames
             else:
                 raise ValueError("bad GIF block introducer")
         raise ValueError("GIF missing trailer")
+
+    def decode_gif(payload: bytes):
+        """First frame of decode_gif_frames — the still-image API the
+        multimodal_image_decode gate uses."""
+        w, h, frames = decode_gif_frames(payload)
+        return w, h, frames[0]
+
+    def encode_gif_animated(w: int, h: int, frames) -> bytes:
+        """Animated GIF89a writer: each frame is a full-canvas image
+        with its own LOCAL color table (ordered first-occurrence
+        distinct colors, <= 256 per frame — global tables cannot hold
+        the union across frames) and a graphic control extension
+        carrying a delay, so the multi-frame decode path exercises
+        local tables, GCE skipping and repeated LZW streams."""
+        out = bytearray(
+            b"GIF89a" + struct.pack("<HH", w, h) + bytes((0, 0, 0))
+        )
+        for frame in frames:
+            palette: dict[tuple, int] = {}
+            for px in frame:
+                t = tuple(px)
+                if t not in palette:
+                    palette[t] = len(palette)
+            if len(palette) > 256:
+                raise ValueError("GIF frame needs <= 256 distinct colors")
+            bits = max(1, (len(palette) - 1).bit_length())
+            n = 1 << bits
+            ct = bytearray()
+            for color in palette:
+                ct += bytes(color)
+            ct += b"\x00" * (3 * n - len(ct))
+            # graphic control extension: 4-byte block, 10 ms delay
+            out += b"\x21\xf9\x04\x00\x01\x00\x00\x00"
+            out += (
+                b"\x2c"
+                + struct.pack("<HHHH", 0, 0, w, h)
+                + bytes((0x80 | (bits - 1),))
+                + bytes(ct)
+            )
+            mcs = max(2, bits)
+            lzw = _gif_lzw_encode(
+                (palette[tuple(px)] for px in frame), mcs
+            )
+            out.append(mcs)
+            for i in range(0, len(lzw), 255):
+                chunk = lzw[i : i + 255]
+                out.append(len(chunk))
+                out += chunk
+            out.append(0)
+        out += b"\x3b"
+        return bytes(out)
 
     def encode_gif(w: int, h: int, pixels) -> bytes:
         """Minimal single-frame GIF89a writer with a global color table
@@ -766,6 +830,7 @@ def make_image_codecs() -> dict[str, object]:
         "decode_ppm": decode_ppm,
         "decode_png": decode_png,
         "decode_gif": decode_gif,
+        "decode_gif_frames": decode_gif_frames,
         "decode_image": decode_image,
         "decode_image_np": decode_image_np,
         "encode_bmp": encode_bmp,
@@ -773,6 +838,7 @@ def make_image_codecs() -> dict[str, object]:
         "encode_png": encode_png,
         "encode_png_palette": encode_png_palette,
         "encode_gif": encode_gif,
+        "encode_gif_animated": encode_gif_animated,
     }
 
 
@@ -1236,4 +1302,105 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
         df.where(F.col("payload").isNotNull())
         .select("doc_id", "payload")
         .mapInPandas(batches, schema=AUDIO_DECODE_SCHEMA)
+    )
+
+
+# --- Video: animated-GIF frame sampling under the hash gate — round 9 -------
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, img_w int, img_h int, "
+    "mean_r double, mean_g double, mean_b double, fmt string"
+)
+
+
+def synthesize_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic animated-GIF fixtures from a table: per row an
+    89a container with 1 + id % 5 full-canvas frames (w = 1 + id % 13,
+    h = 1 + id % 7), per-frame LOCAL color tables and graphic-control
+    extensions, pixels r = (id·31 + f·97 + k) % 256, g = (r+85) % 256,
+    b = (r+170) % 256 for frame f and row-major pixel k — pure
+    arithmetic, so the SQL oracle recomputes the DECODED per-frame
+    features without parsing (the video twin of synthesize_images).
+    Negative ids rejected (the %-arithmetic fixture contract)."""
+    codecs = make_image_codecs()
+    enc = codecs["encode_gif_animated"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i < 0:
+                    raise ValueError(
+                        "synthesize_video requires non-negative ids "
+                        "(the %-arithmetic fixture contract)"
+                    )
+                w, h, nf = 1 + i % 13, 1 + i % 7, 1 + i % 5
+                frames = []
+                for f in range(nf):
+                    px = []
+                    for k in range(w * h):
+                        r = (i * 31 + f * 97 + k) % 256
+                        px.append((r, (r + 85) % 256, (r + 170) % 256))
+                    frames.append(px)
+                payloads.append(enc(w, h, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def sample_video_frames(df: DataFrame, every: int = 2) -> DataFrame:
+    """Arrow-batched REAL video frame sampling: parse each animated-GIF
+    payload with the multi-frame decoder (decode_gif_frames — local
+    color tables, GCE skip, per-frame LZW) and emit per-channel pixel
+    means for every ``every``-th frame — the canonical
+    training-pipeline video op (sample frames, featurize, drop the
+    payload). Means are exact int-sum / int-count IEEE divisions; the
+    frame SELECTION is part of the gated contract (frame_idx % every
+    == 0 on both engines). Map-only, payloads dropped on output, NULL
+    payloads excluded."""
+    codecs = make_image_codecs()
+    decode = codecs["decode_gif_frames"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidx, ws, hs, mr, mg, mb, fmts = [], [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = decode(bytes(payload))
+                n = w * h
+                for f, px in enumerate(frames):
+                    if f % every != 0:
+                        continue
+                    sr = sg = sb = 0
+                    for r, g, b in px:
+                        sr += r
+                        sg += g
+                        sb += b
+                    ids.append(doc_id)
+                    fidx.append(f)
+                    ws.append(w)
+                    hs.append(h)
+                    mr.append(sr / n)
+                    mg.append(sg / n)
+                    mb.append(sb / n)
+                    fmts.append("gif")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "img_w": pd.Series(ws, dtype="int32"),
+                    "img_h": pd.Series(hs, dtype="int32"),
+                    "mean_r": pd.Series(mr, dtype="float64"),
+                    "mean_g": pd.Series(mg, dtype="float64"),
+                    "mean_b": pd.Series(mb, dtype="float64"),
+                    "fmt": pd.Series(fmts, dtype="object"),
+                }
+            )
+
+    return (
+        df.where(F.col("payload").isNotNull())
+        .select("doc_id", "payload")
+        .mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
     )

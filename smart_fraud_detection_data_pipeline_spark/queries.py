@@ -130,6 +130,7 @@ _FRESH = frozenset({
     # round 9: new or changed implementations / oracles
     "doc_dedup_index_compaction",   # NEW: tombstone index compaction
     "multimodal_audio_decode",      # NEW: real WAV decode gate
+    "multimodal_video_frames",      # NEW: animated-GIF frame sampling
     "embed_ivf_kmeans_ann",         # rows-only -> contract hash gate
     "embed_semantic_dedup_kmeans",  # rows-only -> contract hash gate
     "multimodal_image_decode",      # palette-PNG leg + doc_id>=0 contract
@@ -161,6 +162,7 @@ _DRIVER_ROTATION = (
     # --- tier A: round-9 changed (riskiest first) ---
     "doc_dedup_index_compaction",
     "multimodal_audio_decode",
+    "multimodal_video_frames",
     "embed_ivf_kmeans_ann",
     "embed_semantic_dedup_kmeans",
     "multimodal_image_decode",
@@ -2054,6 +2056,56 @@ def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
     )
     return MM.decode_audio_features(MM.synthesize_audio(docs))
+
+
+@_register(
+    "multimodal_video_frames",
+    """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h,
+         1 + doc_id % 5 AS nf
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+),
+fr AS (
+  SELECT doc_id, w, h, f
+  FROM d, LATERAL unnest(generate_series(0, nf - 1)) AS t(f)
+  WHERE f % 2 = 0
+),
+ch AS (
+  SELECT doc_id, w, h, f, (doc_id * 31 + f * 97 + k) % 256 AS r
+  FROM fr, LATERAL unnest(generate_series(0, w * h - 1)) AS t2(k)
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS img_w,
+       CAST(h AS INTEGER) AS img_h,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM((r + 85) % 256) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM((r + 170) % 256) AS DOUBLE) / (w * h) AS mean_b,
+       'gif' AS fmt
+FROM ch GROUP BY doc_id, w, h, f
+""",
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling under the hash gate (round 9 — the
+    video leg of the codec family): synthesize a deterministic
+    ANIMATED GIF per document (1 + doc_id % 5 full-canvas frames,
+    per-frame LOCAL color tables, graphic-control extensions, frame-f
+    pixels r = (doc_id·31 + f·97 + k) % 256), parse it with the
+    multi-frame decoder — container walk, GCE skip, local palettes,
+    one LZW stream per frame — and emit per-channel means for every
+    2nd frame (the sample-frames-then-featurize op every training
+    pipeline runs on video). The oracle recomputes the decoded
+    per-frame features AND the sampling predicate from the id
+    arithmetic alone, so a frame-indexing bug, palette mix-up between
+    frames, or sampling off-by-one fails the hash. Exact int/int IEEE
+    divisions; doc_id >= 0 contract as the other media gates.
+    Partial-canvas frames (disposal composition) and interlace remain
+    honest NotImplementedError boundaries."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
+    )
+    return MM.sample_video_frames(MM.synthesize_video(docs), every=2)
 
 
 # ---------------------------------------------------------------------------

@@ -687,6 +687,39 @@ def test_decode_gif():
         MM.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG: still the honest stub
 
 
+def test_decode_gif_animated():
+    """Multi-frame GIF decode (round 9): animated roundtrip with
+    per-frame local color tables and GCE blocks, single-frame API
+    equivalence, and the partial-canvas reject."""
+    import struct
+
+    codecs = MM.make_image_codecs()
+    enc = codecs["encode_gif_animated"]
+    dec_all, dec_one = codecs["decode_gif_frames"], codecs["decode_gif"]
+    w, h = 5, 4
+    frames = []
+    for f in range(4):
+        frames.append(
+            [((f * 97 + k) % 256, (f * 97 + k + 85) % 256, (f * 97 + k + 170) % 256)
+             for k in range(w * h)]
+        )
+    payload = enc(w, h, frames)
+    assert dec_all(payload) == (w, h, frames)
+    assert dec_one(payload) == (w, h, frames[0])  # still-image API = frame 0
+    # single-frame animated == plain encoder output, decode-wise
+    single = enc(w, h, frames[:1])
+    assert dec_all(single) == (w, h, frames[:1])
+    # partial-canvas frame (offset 1,0) -> honest reject
+    partial = bytearray(enc(w, h, frames[:1]))
+    # image descriptor starts after header(6)+LSD(7)+GCE(8): 0x2C at 21
+    assert partial[21] == 0x2C
+    partial[22:24] = struct.pack("<H", 1)  # left = 1
+    with pytest.raises(NotImplementedError, match="partial-canvas"):
+        dec_all(bytes(partial))
+    # distributed: synthesized videos sample to the arithmetic truth
+    # (covered end-to-end by the multimodal_video_frames oracle gate)
+
+
 def test_decode_wav():
     """WAV decode for real (round 9): encoder roundtrip across rates /
     channel counts / odd data lengths (word-alignment padding), a
