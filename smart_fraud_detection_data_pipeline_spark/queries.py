@@ -113,7 +113,8 @@ def _scratch(prefix: str) -> str:
 _SLOW = frozenset({
     "fraud_enrich_streaming", "dedup_streaming", "user_spend_trends_streaming",
     "user_running_totals_streaming", "session_windows_streaming",
-    "stream_stream_join", "stream_stream_left_join", "stream_windowed_rollup",
+    "stream_stream_join", "stream_stream_join_bucketed",
+    "stream_stream_left_join", "stream_windowed_rollup",
     "user_spend_trends_incremental", "warehouse_load", "warehouse_load_incremental",
     "fraud_ml_score", "embed_ivf_kmeans_ann", "embed_ivf_ann",
     "embed_semantic_dedup_kmeans",
@@ -139,6 +140,7 @@ _FRESH = frozenset({
     "doc_minhash_lsh",              # oracle: same fence
     "doc_dedup_incremental",        # oracle: same fence
     "stream_stream_join",           # refactored onto interval_join_streaming
+    "stream_stream_join_bucketed",  # NEW: hot-key hatch under the gate
     "stream_stream_left_join",      # same refactor (leftOuter path)
     "fraud_ml_score",               # persist -> localCheckpoint
     "user_spend_trends_approx",     # persist -> localCheckpoint
@@ -171,6 +173,7 @@ _DRIVER_ROTATION = (
     "doc_minhash_lsh",
     "doc_dedup_incremental",
     "stream_stream_join",
+    "stream_stream_join_bucketed",
     "stream_stream_left_join",
     "fraud_ml_score",
     "user_spend_trends_approx",
@@ -3726,6 +3729,87 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             output_mode="append",
             available_now=True,
             query_name="stream_stream_join",
+        )
+        SK.await_or_raise(q)
+    return SK.read_or_empty(spark, os.path.join(tmp, "out"), pairs)
+
+
+@_register(
+    "stream_stream_join_bucketed",
+    """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+)
+SELECT a.event_id AS err_id, b.event_id AS follow_id
+FROM (SELECT * FROM e WHERE event_type = 'error') a
+JOIN e b
+  ON b.user_id = a.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+""",
+    prepare=lambda spark, sf_dir: _staged_session_source(spark, sf_dir),
+)
+def q_stream_stream_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream hot-key escape hatch UNDER the cross-engine
+    hash gate (round 9): the same error→follow-up interval join as
+    stream_stream_join, executed with bucket_seconds=600 — the time
+    bucket joins the state equality keys, bounding per-probe state
+    scans by bucket occupancy (8.6× at a 60k-row hot key; SCALING.md
+    round-9) — against the IDENTICAL batch oracle SQL. Bit-equality of
+    the hatch is thereby driver-certified, not just pytest-pinned."""
+    import os
+
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+    from smart_fraud_detection_data_pipeline_spark.streaming.joins import (
+        interval_join_streaming,
+    )
+
+    src = _staged_session_source(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    errors = (
+        reader()
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("err_time"),
+        )
+        .withWatermark("err_time", "15 minutes")
+    )
+    follows = (
+        reader()
+        .select(
+            F.col("event_id").alias("follow_id"),
+            F.col("user_id").alias("f_user"),
+            F.col("ts").cast("timestamp").alias("f_time"),
+        )
+        .withWatermark("f_time", "15 minutes")
+    )
+    pairs = interval_join_streaming(
+        errors,
+        follows,
+        left_key="user_id",
+        right_key="f_user",
+        left_time="err_time",
+        right_time="f_time",
+        window_seconds=600,
+        bucket_seconds=600,
+    ).select("err_id", "follow_id")
+    tmp = _scratch("ss_join_bucketed_out_")
+    with _shuffle_partitions(spark, 8):
+        q = SK.start_foreach_batch(
+            pairs,
+            SK.parquet_batch_sink(os.path.join(tmp, "out"), partitions=None),
+            os.path.join(tmp, "ckpt"),
+            output_mode="append",
+            available_now=True,
+            query_name="stream_stream_join_bucketed",
         )
         SK.await_or_raise(q)
     return SK.read_or_empty(spark, os.path.join(tmp, "out"), pairs)
