@@ -820,19 +820,21 @@ def test_minhash_index_compact_plan(spark):
 def test_fraud_ml_score_exact_side_is_score_bounded(spark, sf_dir):
     """The contract report's only global-order window must run over the
     per-SCORE aggregate (bounded by the 6-dp rounding grid), never the
-    fact table: the plan has exactly one partition-less Window, and it
-    sits above a HashAggregate of the score column."""
+    fact table. Since the r9 localCheckpoint conversion, that window
+    executes inside the eager checkpoint job of the `per` frame — so
+    the FINAL plan must contain NO Window at all (proving no
+    fact-table sort survives to the consuming plan) and must read the
+    bounded per-score columns back from the checkpoint scan; the
+    window's input boundedness is pinned by checking the checkpointed
+    schema is the per-score aggregate, not fact rows."""
     from smart_fraud_detection_data_pipeline_spark.queries import registry
 
     q = {s.name: s.spark_fn for s in registry()}["fraud_ml_score"]
     plan = X.executed_plan(q(spark, sf_dir))
-    import re
-
-    windows = re.findall(r"Window \[[^\]]*\], \[\]", plan) or [
-        ln for ln in plan.splitlines() if "Window" in ln and "partitionBy" not in ln
-    ]
-    # one global-order window total (rank cumulation over per-score rows)
-    assert plan.count("Window") >= 1
-    # the fact table never sorts globally: the window's child aggregates
-    # on the rounded score first
-    assert "ml_fraud_probability" in plan
+    assert "Window" not in plan  # nothing global-sorts in the live plan
+    # the checkpointed per-score frame feeds back in: its columns are
+    # the score + cumulative counts, one row per distinct 6-dp score
+    assert "ExistingRDD[ml_fraud_probability" in plan
+    assert "__neg_below" in plan and "__cnt_below" in plan
+    # and the fact-side aggregate (per year/month/day) is present
+    assert "tx_year" in plan
