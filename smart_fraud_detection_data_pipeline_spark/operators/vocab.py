@@ -118,3 +118,115 @@ def heavy_hitter_tokens(
         .where(F.col("n_occurrences") * inv_threshold > F.col("__n"))
         .select("token", "n_occurrences")
     )
+
+
+# --- BPE merge learning — round 9 --------------------------------------------
+
+#: Unit separator framing for BPE symbol sequences: every symbol is
+#: individually bracketed ("\x1fsym\x1f" joined back to back), so a
+#: merge of pair (l, r) is ONE string replace of "\x1fl\x1f\x1fr\x1f"
+#: with "\x1flr\x1f" — and both Spark's and DuckDB's replace() scan
+#: left-to-right non-overlapping, which is exactly BPE's greedy
+#: within-word merge order (verified identical on the aaa/(a,a) overlap
+#: and abab/(a,b) adjacent cases). Words containing the separator byte
+#: are excluded on both engines (the encoding fence).
+BPE_SEP = "\x1f"
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    *,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn byte-pair-encoding merges from the corpus — the REAL
+    tokenizer-training step (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units", ACL — public arXiv
+    1508.07909), not the regex approximation in textstats.subtoken
+    count. Classic word-level BPE: build the (word, count) VOCAB once,
+    start from character sequences, then repeatedly merge the most
+    frequent adjacent symbol pair (count DESC, then lexicographic
+    (left, right) — a total order on integer counts and binary-collated
+    strings, so the learned merges are deterministic and engine-exact).
+
+    Output: one row per learned merge, (rank, left, right, pair_count)
+    — stops early when no pair remains (single-char vocab). The DuckDB
+    twin recomputes all of it from the table via n_merges generated
+    CTE stages (queries.py::_bpe_oracle_sql), making this a FULL hash
+    gate with zero floats anywhere.
+
+    Scale shape: the corpus is scanned ONCE (token explode → word
+    counts, the only corpus-wide shuffle); every iteration then runs on
+    the distinct-word vocab (Heaps' law: ≪ corpus; localCheckpoint-ed),
+    costing one tiny aggregation plus a bounded 1-row collect. K here
+    is a gate-sized 8; a production 32k-merge train keeps the same
+    vocab-resident shape (pair counts are incrementally maintainable,
+    and the per-iteration driver scalar is the textbook algorithm —
+    parallel-merge variants trade exactness for fewer rounds).
+    """
+    sep = BPE_SEP
+    words = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("word")
+        )
+        .where((F.col("word") != "") & ~F.col("word").contains(sep))
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cnt",
+            F.expr(
+                "concat(char(31), array_join(transform("
+                "sequence(1, char_length(word)), "
+                "i -> substring(word, i, 1)), char(31) || char(31)), char(31))"
+            ).alias("seq"),
+        )
+        .localCheckpoint()  # the iterations re-read this tiny frame
+    )
+    spark = df.sparkSession
+    out_schema = "rank int, left string, right string, pair_count bigint"
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        # Stage the split array as a projected attribute BEFORE the
+        # indexing lambda (the CLAUDE.md HOF rule: an outer-array
+        # expression indexed inside transform() re-evaluates per
+        # element otherwise). The guard matters on both engines:
+        # Spark's sequence(1, 0) is DESCENDING [1, 0], not empty, so a
+        # single-symbol word would fabricate a bogus pair.
+        staged = vocab.select(
+            "cnt",
+            F.expr(
+                "split(substring(seq, 2, char_length(seq) - 2), "
+                "char(31) || char(31))"
+            ).alias("syms"),
+        )
+        pairs = staged.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) >= 2 THEN "
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i - 1] AS l, syms[i] AS r)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.desc("total"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, total = best[0].l, best[0].r, int(best[0].total)
+        merges.append((rank, l, r, total))
+        pat = F.lit(sep + l + sep + sep + r + sep)
+        rep = F.lit(sep + l + r + sep)
+        vocab = vocab.select("cnt", F.replace(F.col("seq"), pat, rep).alias("seq"))
+    return spark.createDataFrame(merges, out_schema)

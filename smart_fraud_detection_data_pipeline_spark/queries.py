@@ -132,6 +132,7 @@ _FRESH = frozenset({
     "doc_dedup_index_compaction",   # NEW: tombstone index compaction
     "multimodal_audio_decode",      # NEW: real WAV decode gate
     "multimodal_video_frames",      # NEW: animated-GIF frame sampling
+    "doc_bpe_merges",               # NEW: learned BPE merge table
     "embed_ivf_kmeans_ann",         # rows-only -> contract hash gate
     "embed_semantic_dedup_kmeans",  # rows-only -> contract hash gate
     "multimodal_image_decode",      # palette-PNG leg + doc_id>=0 contract
@@ -165,6 +166,7 @@ _DRIVER_ROTATION = (
     "doc_dedup_index_compaction",
     "multimodal_audio_decode",
     "multimodal_video_frames",
+    "doc_bpe_merges",
     "embed_ivf_kmeans_ann",
     "embed_semantic_dedup_kmeans",
     "multimodal_image_decode",
@@ -1830,6 +1832,84 @@ def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return heavy_hitter_tokens(docs, inv_threshold=_HH_INV)
+
+
+_BPE_MERGES = 8
+
+
+def _bpe_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
+    """Oracle twin of doc_bpe_merges, generated as ``n_merges`` chained
+    CTE stages: word-vocab build, then per stage pair extraction from
+    the sentinel-framed symbol string, the (SUM(cnt) DESC, l, r)
+    argmax, and a scalar-subquery replace() applying the winning merge
+    — DuckDB's replace scans left-to-right non-overlapping exactly like
+    Spark's, which is the BPE greedy order (probed identical on the
+    overlap and adjacent-pair cases). A stage with no pairs left
+    propagates the vocab unchanged and contributes no merge row,
+    mirroring the Spark loop's break. Integer counts and
+    binary-collated strings only — no floats anywhere."""
+    u = "chr(31)"
+    parts = [f"""
+WITH words AS (
+  SELECT t.word AS word
+  FROM documents, LATERAL unnest(string_split_regex(trim(text), '\\s+')) AS t(word)
+  WHERE text IS NOT NULL AND t.word <> '' AND NOT contains(t.word, {u})
+),
+vocab0 AS MATERIALIZED (
+  SELECT {u} || array_to_string(list_transform(
+           generate_series(1, length(word)), i -> word[i]), {u} || {u}) || {u} AS seq,
+         COUNT(*) AS cnt
+  FROM words GROUP BY word
+)"""]
+    for n in range(n_merges):
+        parts.append(f""",
+pairs{n} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i + 1] AS r, cnt
+  FROM (SELECT string_split(substring(seq, 2, length(seq) - 2), {u} || {u}) AS syms, cnt
+        FROM vocab{n}),
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS t(i)
+),
+best{n} AS MATERIALIZED (
+  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS total
+  FROM pairs{n} GROUP BY l, r
+  ORDER BY total DESC, l, r LIMIT 1
+),
+vocab{n + 1} AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT count(*) FROM best{n}) = 0 THEN seq
+         ELSE replace(seq,
+                      {u} || (SELECT l FROM best{n}) || {u} || {u} || (SELECT r FROM best{n}) || {u},
+                      {u} || (SELECT l FROM best{n}) || (SELECT r FROM best{n}) || {u})
+         END AS seq, cnt
+  FROM vocab{n}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({n} AS INTEGER) AS rank, l AS \"left\", r AS \"right\","
+        f" total AS pair_count FROM best{n}"
+        for n in range(n_merges)
+    )
+    return "".join(parts) + "\n" + union
+
+
+@_register("doc_bpe_merges", _bpe_oracle_sql())
+def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 BPE merges from the corpus (round 9): the
+    actual tokenizer-training algorithm (Sennrich et al., arXiv
+    1508.07909) as a distributed operator — word-vocab built in ONE
+    corpus scan, then 8 iterations of exact most-frequent-adjacent-pair
+    selection (count DESC, lexicographic tie-break) and greedy
+    left-to-right merge application via sentinel-framed string
+    replaces. Fully deterministic integers/strings, so the oracle
+    recomputes every learned merge from the table through generated
+    chained CTE stages — the tokenizer-learning twin of the
+    vocab_heavy_hitters gate, upgrading textstats' BPE-ish regex
+    APPROXIMATION to the real learned artifact. See
+    operators/vocab.bpe_learn_merges for the 100 TB shape."""
+    from smart_fraud_detection_data_pipeline_spark.operators.vocab import (
+        bpe_learn_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_learn_merges(docs, n_merges=_BPE_MERGES)
 
 
 @_register(

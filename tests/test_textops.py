@@ -528,6 +528,47 @@ def test_bloom_no_false_negatives_randomized(spark):
                 assert got[i], f"seed {seed}: false negative on doc {i}"
 
 
+def test_bpe_learn_merges_hand_corpus(spark):
+    """BPE learning on a hand corpus with a fully derivable merge
+    sequence: 'low' x5 + 'lower' x2 + 'lowest' (classic Sennrich
+    example shape). Pair counts over the word VOCAB weighted by word
+    frequency: (l,o) and (o,w) both appear in all 8 word occurrences;
+    lexicographic tie-break picks (l,o) first, then ('lo','w') merges
+    to 'low', etc. Also: early stop when no pairs remain, empty corpus,
+    NULL text exclusion, and the separator-byte fence."""
+    from smart_fraud_detection_data_pipeline_spark.operators.vocab import (
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lower lower"), (3, "lowest"),
+         (4, None)],
+        "doc_id bigint, text string",
+    )
+    out = bpe_learn_merges(docs, n_merges=4).collect()
+    got = [(r.rank, r.left, r.right, r.pair_count) for r in out]
+    # counts: (l,o)=8, (o,w)=8 -> tie, (l,o) wins lexicographically;
+    # then ('lo','w')=8; then 'low' is a full word for 5 occurrences,
+    # remaining pairs: ('low','e')=3; after that merge the 'e' is
+    # consumed into 'lowe', so the next pair is ('lowe','r')=2.
+    assert got[0] == (0, "l", "o", 8)
+    assert got[1] == (1, "lo", "w", 8)
+    assert got[2] == (2, "low", "e", 3)
+    assert got[3] == (3, "lowe", "r", 2)
+    # early stop: a single-char vocab has no pairs at all
+    tiny = spark.createDataFrame([(1, "a a b")], "doc_id bigint, text string")
+    assert bpe_learn_merges(tiny, n_merges=4).count() == 0
+    # empty corpus
+    assert bpe_learn_merges(docs.where(F.lit(False)), n_merges=4).count() == 0
+    # separator-byte words are fenced out, not corrupted
+    sep_doc = spark.createDataFrame(
+        [(1, "ab ab ab x\x1fy x\x1fy x\x1fy x\x1fy")],
+        "doc_id bigint, text string",
+    )
+    rows = bpe_learn_merges(sep_doc, n_merges=1).collect()
+    assert [(r.left, r.right, r.pair_count) for r in rows] == [("a", "b", 3)]
+
+
 def test_heavy_hitters_matches_bruteforce_randomized(spark):
     """Property, 3 seeds x 2 partitionings: the MG two-pass plan equals
     a pure-Python exact count on random skewed corpora (docs salted
