@@ -5,13 +5,16 @@ video as opaque `binary` columns with a typed metadata struct, processed
 by Arrow-batched `mapInPandas`. The Spark-side plumbing (schema,
 batching, partitioning) is real and tested, and since round 7 so is a
 DECODE path: pure-Python BMP (24-bit uncompressed), PPM (P6), PNG
-(8-bit gray/RGB/palette/RGBA, all five scanline filters — r8/r9) and
-GIF (LZW, r9) parsers (`make_image_codecs`) run under the full hash
-gate via `decode_image_features` / the `multimodal_image_decode`
-query. Formats that need a codec library (JPEG/ffmpeg) remain an
-honest NotImplementedError inside `decode_image` — this environment
-has no codec libs; `extract_byte_features`' default byte decoder stays
-the format-agnostic stand-in that exercises the same Arrow batch shape.
+(8-bit gray/RGB/palette/RGBA, all five scanline filters — r8/r9), GIF
+(LZW, r9) and baseline-sequential JPEG (Huffman + IDCT + restart
+markers, r9b) parsers (`make_image_codecs`) run under the full hash
+gate via `decode_image_features` / the `multimodal_image_decode` and
+`multimodal_jpeg_decode` queries. Codec paths this environment cannot
+verify against a second implementation stay honest
+NotImplementedError scope boundaries (progressive/arithmetic/
+subsampled JPEG, ffmpeg video formats); `extract_byte_features`'
+default byte decoder stays the format-agnostic stand-in that
+exercises the same Arrow batch shape.
 
 Scale notes: media payloads dominate row size, so the rules are
 (1) never shuffle payload bytes — derive features first, then drop the
@@ -423,10 +426,12 @@ def make_image_codecs() -> dict[str, object]:
             return decode_png(payload)
         if payload[:6] in _GIF_SIGS:
             return decode_gif(payload)
+        if payload[:2] == b"\xff\xd8":
+            return decode_jpeg(payload)
         raise NotImplementedError(
             "decoding this format requires a codec library not present in "
-            "this environment (pure-Python BMP/PPM/PNG/GIF decoders are "
-            "implemented)"
+            "this environment (pure-Python BMP/PPM/PNG/GIF/baseline-JPEG "
+            "decoders are implemented)"
         )
 
     def encode_bmp(w: int, h: int, pixels) -> bytes:
@@ -518,10 +523,14 @@ def make_image_codecs() -> dict[str, object]:
             # array-shaped.
             w, h, pixels = decode_gif(payload)
             return w, h, np.array(pixels, dtype=np.uint8).reshape(h, w, 3)
+        if payload[:2] == b"\xff\xd8":
+            # The Huffman bit loop is sequential Python (like GIF LZW);
+            # IDCT/dequant/color inside the raster core are already numpy.
+            return _decode_jpeg_raster(payload)
         raise NotImplementedError(
             "decoding this format requires a codec library not present in "
-            "this environment (pure-Python BMP/PPM/PNG decoders are "
-            "implemented)"
+            "this environment (pure-Python BMP/PPM/PNG/GIF/baseline-JPEG "
+            "decoders are implemented)"
         )
 
     # --- GIF (87a/89a, LZW) — round 9, VERDICT r8 #3 -------------------
@@ -825,6 +834,510 @@ def make_image_codecs() -> dict[str, object]:
         blocks.append(0)
         return header + desc + bytes(blocks) + b"\x3b"
 
+    # --- JPEG (baseline sequential DCT, ITU T.81) — round 9b ----------
+    #
+    # A REAL baseline codec, closing the last honest image stub: marker
+    # parse (SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/EOI), canonical Huffman
+    # decode with DC prediction + EXTEND, zigzag, dequantization, float64
+    # IDCT, restart-marker resync, 0xFF00 byte unstuffing, and libjpeg's
+    # fixed-point YCbCr<->RGB integer formulas. Scope boundaries stay
+    # honest: progressive (SOF2), arithmetic coding, 12-bit precision and
+    # chroma subsampling (sampling factors != 1x1) raise
+    # NotImplementedError.
+    #
+    # Exact-arithmetic contract the hash gate exploits (see
+    # q_multimodal_jpeg_decode): with a DC quant step of 8, a flat 8x8
+    # block round-trips LOSSLESSLY — forward DC = 8*(v-128) exactly, so
+    # dc = v-128 with no half-way rounding hazard, and the decoder's
+    # float IDCT of a DC-only block is v ± ~1e-13, which floor(x+0.5)
+    # snaps back to v. Every decode-side integer rule (the fixed-point
+    # color transforms) is mirrored verbatim in the oracle SQL, so a
+    # parser bug anywhere in the chain shifts a channel mean and fails
+    # the hash.
+    import math
+
+    import numpy as np
+
+    _JPEG_ZIGZAG = (
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    )
+    # Orthonormal DCT-II basis: C[u,x] = s(u) cos((2x+1)u*pi/16);
+    # forward F = C X C^T (flat block v -> F00 = 8v), inverse X = C^T F C.
+    _JPEG_DCT = np.array(
+        [
+            [
+                (math.sqrt(0.125) if u == 0 else 0.5)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    # Quant tables (written to DQT, so any values are legal): DC step 8
+    # for the lossless flat-block contract above, AC step 16.
+    _JPEG_QTAB = np.full(64, 16, dtype=np.int64)
+    _JPEG_QTAB[0] = 8
+    # ITU T.81 Annex K typical Huffman tables: (bits[1..16], values).
+    _JPEG_HUFF_SPECS = {
+        (0, 0): (  # DC luminance
+            (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+            tuple(range(12)),
+        ),
+        (0, 1): (  # DC chrominance
+            (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+            tuple(range(12)),
+        ),
+        (1, 0): (  # AC luminance
+            (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+            (
+                0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+                0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+                0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+                0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+                0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+                0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+                0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+                0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+                0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+                0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+                0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+                0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+                0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+                0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+                0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+                0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+                0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+                0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+                0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+                0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+                0xF9, 0xFA,
+            ),
+        ),
+        (1, 1): (  # AC chrominance
+            (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+            (
+                0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+                0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+                0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+                0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+                0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+                0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+                0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+                0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+                0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+                0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+                0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+                0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+                0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+                0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+                0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+                0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+                0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+                0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+                0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+                0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+                0xF9, 0xFA,
+            ),
+        ),
+    }
+
+    def _jpeg_canonical_codes(bits, values):
+        """Canonical Huffman code assignment (T.81 C.2): shorter codes
+        first, sequential within a length. Returns {symbol: (code, len)}."""
+        out = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                out[values[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    def _jpeg_rgb_to_ycc(r, g, b):
+        """Encoder color transform, integer fixed point (mirrored in the
+        oracle SQL of q_multimodal_jpeg_decode — keep bit-identical)."""
+        y = (77 * r + 150 * g + 29 * b + 128) >> 8
+        cb = min(255, max(0, 128 + ((-43 * r - 85 * g + 128 * b + 128) >> 8)))
+        cr = min(255, max(0, 128 + ((128 * r - 107 * g - 21 * b + 128) >> 8)))
+        return y, cb, cr
+
+    def _jpeg_ycc_to_rgb(y, cb, cr):
+        """Decoder color transform, libjpeg-style 16-bit fixed point
+        (mirrored verbatim in the oracle SQL — the floor forms matter)."""
+        r = y + ((91881 * (cr - 128) + 32768) >> 16)
+        g = y + ((-22554 * (cb - 128) - 46802 * (cr - 128) + 32768) >> 16)
+        b = y + ((116130 * (cb - 128) + 32768) >> 16)
+        clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+        return clamp(r), clamp(g), clamp(b)
+
+    def _jpeg_component_planes(w: int, h: int, pixels, gray: bool):
+        """Split pixels into Y (and Cb, Cr) planes padded to full MCUs
+        by edge replication, as (bh*8, bw*8) numpy arrays. Vectorized
+        twin of _jpeg_rgb_to_ycc (the scalar form documents the exact
+        integer rule the oracle mirrors); `pixels` is a row-major
+        (r, g, b) sequence or an (h, w, 3) array."""
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        arr = np.asarray(pixels, dtype=np.int64).reshape(h, w, 3)
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        comps = [(77 * r + 150 * g + 29 * b + 128) >> 8]
+        if not gray:
+            comps.append(
+                np.clip(128 + ((-43 * r - 85 * g + 128 * b + 128) >> 8), 0, 255)
+            )
+            comps.append(
+                np.clip(128 + ((128 * r - 107 * g - 21 * b + 128) >> 8), 0, 255)
+            )
+        planes = []
+        for c in comps:
+            p = np.empty((bh * 8, bw * 8), dtype=np.int64)
+            p[:h, :w] = c
+            p[:h, w:] = p[:h, w - 1 : w]  # edge-replicate padding
+            p[h:, :] = p[h - 1 : h, :]
+            planes.append(p)
+        return planes
+
+    def encode_jpeg(
+        w: int, h: int, pixels, gray: bool = False, restart_interval: int = 0
+    ) -> bytes:
+        """Baseline sequential JPEG writer (JFIF, 4:4:4 or grayscale,
+        Annex K Huffman tables, optional DRI/RSTn restarts) — builds the
+        synthetic fixtures the hash-gated decode query feeds through
+        decode_jpeg, and the cross-codec conformance payloads the tests
+        hand to the JVM's javax.imageio reader."""
+        if w <= 0 or h <= 0 or w > 65535 or h > 65535:
+            raise ValueError("bad JPEG dimensions")
+        planes = _jpeg_component_planes(w, h, pixels, gray)
+        ncomp = len(planes)
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        qnat = np.empty(64, dtype=np.int64)
+        qnat[list(_JPEG_ZIGZAG)] = _JPEG_QTAB  # zigzag -> natural order
+        qmat = qnat.reshape(8, 8).astype(np.float64)
+        enc_tabs = {k: _jpeg_canonical_codes(*v) for k, v in _JPEG_HUFF_SPECS.items()}
+
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        out += struct.pack(">HHBB", 1, 1, 0, 0)
+        for tq in range(2 if ncomp == 3 else 1):  # DQT (8-bit, zigzag order)
+            out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
+            out += bytes(int(v) for v in _JPEG_QTAB)
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+        for ci in range(ncomp):  # SOF0: id, 1x1 sampling, quant table
+            out += bytes((ci + 1, 0x11, 0 if ci == 0 else 1))
+        for (tc, th), (bits, values) in _JPEG_HUFF_SPECS.items():  # DHT
+            if ncomp == 1 and th == 1:
+                continue
+            out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), (tc << 4) | th)
+            out += bytes(bits) + bytes(values)
+        if restart_interval:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+        for ci in range(ncomp):  # SOS: DC/AC table ids
+            t = 0 if ci == 0 else 1
+            out += bytes((ci + 1, (t << 4) | t))
+        out += bytes((0, 63, 0))  # Ss, Se, Ah/Al
+
+        bitbuf = [0, 0]  # accumulated value, bit count
+        scan = bytearray()
+
+        def put_bits(value: int, nbits: int) -> None:
+            if nbits == 0:
+                return
+            bitbuf[0] = (bitbuf[0] << nbits) | (value & ((1 << nbits) - 1))
+            bitbuf[1] += nbits
+            while bitbuf[1] >= 8:
+                byte = (bitbuf[0] >> (bitbuf[1] - 8)) & 0xFF
+                scan.append(byte)
+                if byte == 0xFF:
+                    scan.append(0x00)  # byte stuffing
+                bitbuf[1] -= 8
+                bitbuf[0] &= (1 << bitbuf[1]) - 1
+
+        def flush_bits() -> None:
+            if bitbuf[1]:
+                pad = 8 - bitbuf[1]
+                put_bits((1 << pad) - 1, pad)  # 1-fill to byte boundary
+
+        def put_symbol(tab, sym: int) -> None:
+            code, length = tab[sym]
+            put_bits(code, length)
+
+        def encode_block(plane, bx: int, by: int, ci: int, pred: list) -> None:
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
+            coefs = _JPEG_DCT @ (block - 128.0) @ _JPEG_DCT.T
+            q = np.floor(coefs / qmat + 0.5).astype(np.int64)
+            zz = [int(q.reshape(-1)[idx]) for idx in _JPEG_ZIGZAG]
+            tdc = enc_tabs[(0, 0 if ci == 0 else 1)]
+            tac = enc_tabs[(1, 0 if ci == 0 else 1)]
+            diff = zz[0] - pred[ci]
+            pred[ci] = zz[0]
+            size = diff.bit_length() if diff else 0
+            put_symbol(tdc, size)
+            if size:
+                put_bits(diff if diff > 0 else diff + (1 << size) - 1, size)
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put_symbol(tac, 0xF0)  # ZRL
+                    run -= 16
+                v = zz[k]
+                size = abs(v).bit_length()
+                put_symbol(tac, (run << 4) | size)
+                put_bits(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if run:
+                put_symbol(tac, 0x00)  # EOB
+
+        pred = [0] * ncomp
+        n_mcu = bw * bh
+        rst = 0
+        for mi in range(n_mcu):
+            if restart_interval and mi and mi % restart_interval == 0:
+                flush_bits()
+                scan += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                pred = [0] * ncomp
+            by, bx = divmod(mi, bw)
+            for ci in range(ncomp):
+                encode_block(planes[ci], bx, by, ci, pred)
+        flush_bits()
+        return bytes(out) + bytes(scan) + b"\xff\xd9"  # EOI
+
+    def _decode_jpeg_raster(payload: bytes):
+        """REAL baseline JPEG decode (the format that previously raised
+        the honest NotImplementedError). Returns (w, h, raster) with an
+        (h, w, 3) uint8 RGB array top-down; grayscale replicates to RGB
+        (decode_jpeg below is the list-of-tuples spec form).
+        Progressive/arithmetic/12-bit/subsampled streams raise
+        NotImplementedError (still-honest scope boundaries); malformed
+        streams raise ValueError. Conformance is pinned two ways in
+        tests/test_similarity_multimodal.py: the JVM's javax.imageio
+        codec decodes this encoder's output and this decoder reads
+        javax.imageio's output, both within the +-1 IDCT tolerance the
+        spec allows (T.81 A.3.3 leaves IDCT precision to the
+        implementation; DC-only blocks are exact, which is what the
+        hash gate uses)."""
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG payload")
+        pos = 2
+        qtabs: dict[int, list] = {}
+        htabs: dict[tuple, dict] = {}
+        sof = None
+        dri = 0
+        scan_comps = None
+        while True:
+            if pos + 4 > len(payload):
+                raise ValueError("truncated JPEG (no SOS)")
+            if payload[pos] != 0xFF:
+                raise ValueError("bad JPEG marker alignment")
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:
+                raise ValueError("EOI before SOS")
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue  # standalone markers
+            (seglen,) = struct.unpack_from(">H", payload, pos)
+            seg = payload[pos + 2 : pos + seglen]
+            if len(seg) != seglen - 2:
+                raise ValueError("truncated JPEG segment")
+            if marker == 0xDB:  # DQT: 1+ tables, zigzag order
+                sp = 0
+                while sp < len(seg):
+                    pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
+                    if pq != 0:
+                        raise NotImplementedError("16-bit quant tables unsupported")
+                    zz = seg[sp + 1 : sp + 65]
+                    if len(zz) != 64:
+                        raise ValueError("short DQT table")
+                    nat = [0] * 64
+                    for i, idx in enumerate(_JPEG_ZIGZAG):
+                        nat[idx] = zz[i]
+                    qtabs[tq] = nat
+                    sp += 65
+            elif marker == 0xC4:  # DHT: 1+ tables
+                sp = 0
+                while sp < len(seg):
+                    tc, th = seg[sp] >> 4, seg[sp] & 0x0F
+                    bits = seg[sp + 1 : sp + 17]
+                    nv = sum(bits)
+                    values = seg[sp + 17 : sp + 17 + nv]
+                    if len(bits) != 16 or len(values) != nv:
+                        raise ValueError("short DHT table")
+                    codes = _jpeg_canonical_codes(list(bits), list(values))
+                    htabs[(tc, th)] = {
+                        (length, code): sym for sym, (code, length) in codes.items()
+                    }
+                    sp += 17 + nv
+            elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+                prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+                if prec != 8:
+                    raise NotImplementedError("only 8-bit precision supported")
+                comps = []
+                for ci in range(nc):
+                    cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                    if samp != 0x11:
+                        raise NotImplementedError(
+                            "chroma subsampling (sampling factors != 1x1) unsupported"
+                        )
+                    comps.append((cid, tq))
+                if nc not in (1, 3):
+                    raise NotImplementedError("only 1- or 3-component JPEGs")
+                sof = (fw, fh, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError("only baseline sequential JPEG supported")
+            elif marker == 0xDD:  # DRI
+                (dri,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                scan_comps = []
+                for ci in range(ns):
+                    cs, tt = seg[1 + 2 * ci : 3 + 2 * ci]
+                    scan_comps.append((cs, tt >> 4, tt & 0x0F))
+                pos += seglen
+                break
+            pos += seglen
+        if sof is None or scan_comps is None:
+            raise ValueError("missing SOF before SOS")
+        fw, fh, comps = sof
+        if fw <= 0 or fh <= 0:
+            raise ValueError("bad JPEG dimensions")
+        if len(scan_comps) != len(comps):
+            raise NotImplementedError("multi-scan JPEGs unsupported")
+        comp_qt = dict(comps)  # component id -> quant table id
+        if any(cs not in comp_qt for cs, _, _ in scan_comps):
+            raise ValueError("SOS references a component missing from SOF")
+
+        data = payload
+        bitpos = [pos, 0]  # byte offset, bit offset within byte
+
+        def read_bit() -> int:
+            bp, bb = bitpos
+            if bp >= len(data):
+                raise ValueError("truncated JPEG entropy stream")
+            byte = data[bp]
+            if byte == 0xFF:
+                nxt = data[bp + 1] if bp + 1 < len(data) else None
+                if nxt != 0x00:
+                    raise ValueError("unexpected marker in entropy stream")
+            bit = (byte >> (7 - bb)) & 1
+            bb += 1
+            if bb == 8:
+                bp += 2 if byte == 0xFF else 1  # skip the stuffed 0x00
+                bb = 0
+            bitpos[0], bitpos[1] = bp, bb
+            return bit
+
+        def read_bits(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def read_symbol(tab) -> int:
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bit()
+                sym = tab.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code in JPEG stream")
+
+        def extend(v: int, size: int) -> int:
+            return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+        bw, bh = (fw + 7) // 8, (fh + 7) // 8
+        ncomp = len(comps)
+        planes = [np.empty((bh * 8, bw * 8), dtype=np.int64) for _ in range(ncomp)]
+        pred = [0] * ncomp
+        rst_expect = 0
+        for mi in range(bw * bh):
+            if dri and mi and mi % dri == 0:
+                if bitpos[1]:  # byte-align
+                    bitpos[0] += 2 if data[bitpos[0]] == 0xFF else 1
+                    bitpos[1] = 0
+                if (
+                    bitpos[0] + 1 >= len(data)
+                    or data[bitpos[0]] != 0xFF
+                    or data[bitpos[0] + 1] != 0xD0 + rst_expect
+                ):
+                    raise ValueError("missing JPEG restart marker")
+                bitpos[0] += 2
+                rst_expect = (rst_expect + 1) % 8
+                pred = [0] * ncomp
+            by, bx = divmod(mi, bw)
+            for ci, (cs, td, ta) in enumerate(scan_comps):
+                try:
+                    dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
+                    qt = qtabs[comp_qt[cs]]
+                except KeyError:
+                    raise ValueError("JPEG scan references a missing table") from None
+                zz = [0] * 64
+                size = read_symbol(dc_tab)
+                diff = extend(read_bits(size), size) if size else 0
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = read_symbol(ac_tab)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC index overrun")
+                    zz[k] = extend(read_bits(size), size)
+                    k += 1
+                coefs = np.zeros(64, dtype=np.float64)
+                for i, idx in enumerate(_JPEG_ZIGZAG):
+                    coefs[idx] = zz[i] * qt[idx]
+                block = _JPEG_DCT.T @ coefs.reshape(8, 8) @ _JPEG_DCT
+                pix = np.floor(block + 128.5)  # floor(x + 0.5) then clamp
+                np.clip(pix, 0, 255, out=pix)
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix.astype(
+                    np.int64
+                )
+        y = planes[0][:fh, :fw]
+        if ncomp == 1:
+            raster = np.stack([y, y, y], axis=-1)
+        else:
+            # vectorized twin of _jpeg_ycc_to_rgb (the scalar form
+            # documents the exact integer rule the oracle mirrors)
+            cb = planes[1][:fh, :fw] - 128
+            cr = planes[2][:fh, :fw] - 128
+            raster = np.clip(
+                np.stack(
+                    [
+                        y + ((91881 * cr + 32768) >> 16),
+                        y + ((-22554 * cb - 46802 * cr + 32768) >> 16),
+                        y + ((116130 * cb + 32768) >> 16),
+                    ],
+                    axis=-1,
+                ),
+                0,
+                255,
+            )
+        return fw, fh, raster.astype(np.uint8)
+
+    def decode_jpeg(payload: bytes):
+        """List-of-tuples API over _decode_jpeg_raster, matching the
+        other still-image decoders' (w, h, [(r, g, b), ...]) contract."""
+        w, h, raster = _decode_jpeg_raster(payload)
+        return w, h, [tuple(int(c) for c in p) for p in raster.reshape(-1, 3)]
+
     return {
         "decode_bmp": decode_bmp,
         "decode_ppm": decode_ppm,
@@ -839,6 +1352,8 @@ def make_image_codecs() -> dict[str, object]:
         "encode_png_palette": encode_png_palette,
         "encode_gif": encode_gif,
         "encode_gif_animated": encode_gif_animated,
+        "decode_jpeg": decode_jpeg,
+        "encode_jpeg": encode_jpeg,
     }
 
 
@@ -851,6 +1366,8 @@ encode_bmp = _CODECS["encode_bmp"]
 encode_ppm = _CODECS["encode_ppm"]
 encode_png = _CODECS["encode_png"]
 encode_png_palette = _CODECS["encode_png_palette"]
+decode_jpeg = _CODECS["decode_jpeg"]
+encode_jpeg = _CODECS["encode_jpeg"]
 
 
 DECODE_SCHEMA = (
@@ -898,6 +1415,8 @@ def decode_image_features(df: DataFrame) -> DataFrame:
                     fmts.append("ppm")
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
                     fmts.append("gif")
+                elif b[:2] == b"\xff\xd8":
+                    fmts.append("jpeg")
                 else:
                     fmts.append("png")
             yield pd.DataFrame(
@@ -969,6 +1488,59 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def synthesize_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic JPEG fixtures for the hash-gated decode query
+    (round 9b): per id, a mosaic of FLAT 8x8 tiles — w = 1 + id % 23,
+    h = 1 + id % 11 (up to 3x2 MCUs, exercising edge-replication
+    padding and cropping), tile (bx, by) colored r0 = (id*31 + bi*29)
+    % 256, g0 = (r0+85) % 256, b0 = (r0+170) % 256 for bi the
+    row-major block index. Flat tiles + the DC quant step of 8 make
+    the decode EXACT (see the codec factory's contract comment), so a
+    SQL oracle can recompute the decoded channel means from the id
+    arithmetic plus the two fixed-point color transforms — while the
+    bitstream still exercises real machinery: varying tile colors
+    drive multi-category DC Huffman deltas (negative EXTEND included),
+    id % 2 rotates grayscale vs 4:4:4 color scans, and id % 3 == 0
+    sets a 2-MCU restart interval (RSTn resync + predictor reset under
+    the hash gate). Byte stuffing occurs naturally wherever the
+    entropy stream emits 0xFF. Negative ids are REJECTED (the same
+    %-arithmetic fixture contract as synthesize_images)."""
+    codecs = make_image_codecs()
+    enc = codecs["encode_jpeg"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i < 0:
+                    raise ValueError(
+                        "synthesize_jpegs requires non-negative ids "
+                        "(the %-arithmetic fixture contract)"
+                    )
+                w, h = 1 + i % 23, 1 + i % 11
+                bw = (w + 7) // 8
+                bi = (np.arange(h)[:, None] // 8) * bw + (np.arange(w)[None, :] // 8)
+                r = (i * 31 + bi * 29) % 256
+                px = np.stack([r, (r + 85) % 256, (r + 170) % 256], axis=-1)
+                payloads.append(
+                    enc(
+                        w,
+                        h,
+                        px,
+                        gray=(i % 2 == 0),
+                        restart_interval=2 if i % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         batches, schema="doc_id long, payload binary"
@@ -1132,7 +1704,8 @@ def make_audio_codecs() -> dict[str, object]:
     swap or header off-by-one shifts the decoded means and fails the
     cross-engine hash. Compressed audio (MP3/OGG/FLAC) raises
     NotImplementedError: codecs for those are not in this environment,
-    the same honest boundary as JPEG on the image side."""
+    the same honest boundary as progressive/subsampled JPEG on the
+    image side."""
     import struct
 
     def decode_wav(payload: bytes):

@@ -129,6 +129,7 @@ _SLOW = frozenset({
 #: 50-entry driver artifact). Refresh this set each round.
 _FRESH = frozenset({
     # round 9: new or changed implementations / oracles
+    "multimodal_jpeg_decode",       # NEW: real baseline-JPEG decode gate
     "doc_dedup_index_compaction",   # NEW: tombstone index compaction
     "multimodal_audio_decode",      # NEW: real WAV decode gate
     "multimodal_video_frames",      # NEW: animated-GIF frame sampling
@@ -163,6 +164,7 @@ _FRESH = frozenset({
 #: full-registry local artifacts.
 _DRIVER_ROTATION = (
     # --- tier A: round-9 changed (riskiest first) ---
+    "multimodal_jpeg_decode",
     "doc_dedup_index_compaction",
     "multimodal_audio_decode",
     "multimodal_video_frames",
@@ -2189,6 +2191,91 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
     )
     return MM.sample_video_frames(MM.synthesize_video(docs), every=2)
+
+
+@_register(
+    "multimodal_jpeg_decode",
+    """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 23 AS w, 1 + doc_id % 11 AS h
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+),
+blk AS (
+  SELECT doc_id, w, h,
+         (doc_id * 31 + (by * ((w + 7) // 8) + bx) * 29) % 256 AS r0,
+         LEAST(8, w - 8 * bx) * LEAST(8, h - 8 * by) AS cnt
+  FROM d,
+  LATERAL unnest(generate_series(0, (w + 7) // 8 - 1)) AS tx(bx),
+  LATERAL unnest(generate_series(0, (h + 7) // 8 - 1)) AS ty(by)
+),
+rgb AS (
+  SELECT doc_id, w, h, cnt, r0,
+         (r0 + 85) % 256 AS g0, (r0 + 170) % 256 AS b0
+  FROM blk
+),
+ycc AS (
+  -- encoder fixed point, mirrored from _jpeg_rgb_to_ycc
+  SELECT doc_id, w, h, cnt,
+         FLOOR((77 * r0 + 150 * g0 + 29 * b0 + 128) / 256.0) AS y,
+         GREATEST(0, LEAST(255,
+           128 + FLOOR((-43 * r0 - 85 * g0 + 128 * b0 + 128) / 256.0))) AS cb,
+         GREATEST(0, LEAST(255,
+           128 + FLOOR((128 * r0 - 107 * g0 - 21 * b0 + 128) / 256.0))) AS cr
+  FROM rgb
+),
+px AS (
+  -- DC-quant-8 roundtrip is lossless, so decoded Y/Cb/Cr equal the
+  -- encoder outputs; decoder fixed point mirrored from _jpeg_ycc_to_rgb
+  SELECT doc_id, w, h, cnt,
+    CASE WHEN doc_id % 2 = 0 THEN y
+         ELSE GREATEST(0, LEAST(255,
+           y + FLOOR((91881 * (cr - 128) + 32768) / 65536.0))) END AS pr,
+    CASE WHEN doc_id % 2 = 0 THEN y
+         ELSE GREATEST(0, LEAST(255,
+           y + FLOOR((-22554 * (cb - 128) - 46802 * (cr - 128) + 32768)
+                     / 65536.0))) END AS pg,
+    CASE WHEN doc_id % 2 = 0 THEN y
+         ELSE GREATEST(0, LEAST(255,
+           y + FLOOR((116130 * (cb - 128) + 32768) / 65536.0))) END AS pb
+  FROM ycc
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS img_w,
+       CAST(h AS INTEGER) AS img_h,
+       CAST(SUM(pr * cnt) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(pg * cnt) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(pb * cnt) AS DOUBLE) / (w * h) AS mean_b,
+       'jpeg' AS fmt
+FROM px GROUP BY doc_id, w, h
+""",
+)
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode under the full hash gate (round 9b —
+    closes the codec family's last honest image stub): synthesize a
+    deterministic JPEG per document — a mosaic of FLAT 8x8 tiles whose
+    colors vary per block, grayscale vs 4:4:4 color by doc_id % 2, a
+    2-MCU restart interval on doc_id % 3 == 0 — then parse the
+    bitstream with the pure-Python baseline decoder: marker walk,
+    DQT/DHT (Annex K tables), canonical Huffman DC/AC decode with
+    EXTEND and DC prediction, RSTn resync with predictor reset, 0xFF00
+    unstuffing, dequant, float64 IDCT, fixed-point YCbCr->RGB, and
+    edge-padding crop. Flat tiles + a DC quant step of 8 make the
+    lossy pipeline EXACT (DC = 8*(v-128) has no rounding hazard and a
+    DC-only IDCT is integral), so the oracle recomputes the decoded
+    channel means from id arithmetic plus the two fixed-point color
+    transforms mirrored verbatim — a bug anywhere (wrong Huffman bump,
+    zigzag slot, predictor reset, stuffing skip, clamp order) shifts a
+    mean and fails the hash. The non-flat AC path (runs, ZRL, EOB over
+    real coefficients) is conformance-pinned against the JVM's
+    javax.imageio codec in both directions in
+    tests/test_similarity_multimodal.py. Exact int/int IEEE divisions;
+    doc_id >= 0 contract as the other media gates; progressive/
+    arithmetic/subsampled JPEG remain honest NotImplementedError
+    boundaries (multimodal.py decode_jpeg)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
+    )
+    return MM.decode_image_features(MM.synthesize_jpegs(docs))
 
 
 # ---------------------------------------------------------------------------

@@ -129,10 +129,10 @@ def test_multimodal_features_match_python_reference(spark, sf_dir):
 
 
 def test_decode_image_unknown_format_is_stubbed():
-    """BMP/PPM/PNG decode for real; codec-library formats (JPEG here)
-    remain the honest documented stub."""
+    """BMP/PPM/PNG/GIF/JPEG decode for real; formats with no
+    pure-Python decoder remain the honest documented stub."""
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF")
+        MM.decode_image(b"II*\x00tiff-ish")
 
 
 def test_ivf_ann_recall_vs_bruteforce(spark, emb):
@@ -683,8 +683,10 @@ def test_decode_gif():
         dec(bad)
     with pytest.raises(ValueError):
         dec(b"notagif")
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG: still the honest stub
+    # JPEG now dispatches to the real decoder (round 9b); a bare
+    # header with no SOS is malformed, not unsupported
+    with pytest.raises(ValueError):
+        MM.decode_image(b"\xff\xd8\xff\xe0JFIF")
 
 
 def test_decode_gif_animated():
@@ -1033,3 +1035,168 @@ def test_bm25_topk_plan_is_candidate_bounded(spark, sf_dir):
     # vocab.py contract thresholds) — never a corpus x query cross
     assert c["nested_loop_join"] <= 1
     assert c["broadcast_hash_join"] >= 2  # qterms + query-vocab dft
+
+
+def _jpeg_flat_fixture(i: int):
+    """The q_multimodal_jpeg_decode fixture shape: a mosaic of flat 8x8
+    tiles (see synthesize_jpegs)."""
+    w, h = 1 + i % 23, 1 + i % 11
+    bw = (w + 7) // 8
+    px = []
+    for yy in range(h):
+        for xx in range(w):
+            bi = (yy // 8) * bw + (xx // 8)
+            r = (i * 31 + bi * 29) % 256
+            px.append((r, (r + 85) % 256, (r + 170) % 256))
+    return w, h, px
+
+
+def _jpeg_expected_flat(px, gray: bool):
+    """The oracle's arithmetic: encoder fixed-point RGB->YCbCr, exact
+    DC-quant-8 roundtrip, decoder fixed-point YCbCr->RGB."""
+    out = []
+    for r, g, b in px:
+        y = (77 * r + 150 * g + 29 * b + 128) >> 8
+        if gray:
+            out.append((y, y, y))
+            continue
+        cb = min(255, max(0, 128 + ((-43 * r - 85 * g + 128 * b + 128) >> 8)))
+        cr = min(255, max(0, 128 + ((128 * r - 107 * g - 21 * b + 128) >> 8)))
+        rr = y + ((91881 * (cr - 128) + 32768) >> 16)
+        gg = y + ((-22554 * (cb - 128) - 46802 * (cr - 128) + 32768) >> 16)
+        bb = y + ((116130 * (cb - 128) + 32768) >> 16)
+        cl = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+        out.append((cl(rr), cl(gg), cl(bb)))
+    return out
+
+
+def test_decode_jpeg_flat_exact():
+    """The hash-gate contract: flat 8x8 tiles round-trip EXACTLY through
+    the lossy pipeline (DC quant step 8, DC-only IDCT is integral), for
+    gray and color scans, with and without restart markers, across every
+    dimension residue the fixture generates."""
+    codecs = MM.make_image_codecs()
+    enc, dec, dnp = codecs["encode_jpeg"], codecs["decode_jpeg"], codecs["decode_image_np"]
+    for i in list(range(24)) + [137, 1001, 5003]:
+        w, h, px = _jpeg_flat_fixture(i)
+        gray = i % 2 == 0
+        payload = enc(w, h, px, gray=gray, restart_interval=2 if i % 3 == 0 else 0)
+        assert dec(payload) == (w, h, _jpeg_expected_flat(px, gray))
+        wn, hn, raster = dnp(payload)
+        assert (wn, hn) == (w, h)
+        assert [tuple(int(c) for c in p) for p in raster.reshape(-1, 3)] == dec(payload)[2]
+    # restart markers actually present (FFD0..FFD7) when requested —
+    # i=137 is 23x6 = 3 MCUs wide, so interval 1 emits two RSTs
+    w, h, px = _jpeg_flat_fixture(137)
+    payload = enc(w, h, px, restart_interval=1)
+    assert any(bytes((0xFF, 0xD0 + k)) in payload for k in range(8))
+
+
+def test_decode_jpeg_gradient_lossy_bounded():
+    """The AC path end-to-end (runs, ZRL, EOB, negative EXTEND): a
+    gradient image round-trips within the quantization error bound —
+    not exact (lossy), but nowhere near garbage. The modular gradient
+    wraps 255->0, so blocks with a wrap edge ring at the AC quant step
+    (measured max 27, mean 4.3); a Huffman/zigzag/dequant bug produces
+    triple-digit errors, so the bound is still a real gate on the AC
+    machinery (the tight +-2 cross-codec gate is the ImageIO test)."""
+    codecs = MM.make_image_codecs()
+    enc, dec = codecs["encode_jpeg"], codecs["decode_jpeg"]
+    w, h = 24, 17
+    px = [
+        (((x * 11 + y * 7) % 256), ((x * 3 + y * 13) % 256), ((x * 17 + y * 5) % 256))
+        for y in range(h)
+        for x in range(w)
+    ]
+    wd, hd, out = dec(enc(w, h, px, restart_interval=3))
+    assert (wd, hd) == (w, h)
+    exp = _jpeg_expected_flat(px, gray=False)  # fixed-point color path only
+    diffs = [abs(a - b) for p, q in zip(out, exp) for a, b in zip(p, q)]
+    assert max(diffs) <= 48
+    assert sum(diffs) / len(diffs) <= 8
+
+
+def test_decode_jpeg_rejects():
+    codecs = MM.make_image_codecs()
+    enc, dec = codecs["encode_jpeg"], codecs["decode_jpeg"]
+    w, h, px = _jpeg_flat_fixture(5)
+    payload = bytearray(enc(w, h, px))
+    with pytest.raises(ValueError):
+        dec(b"\x89PNG")  # not a JPEG
+    with pytest.raises(ValueError):
+        dec(bytes(payload[:40]))  # truncated before SOS
+    with pytest.raises(ValueError):
+        dec(bytes(payload[:-20]))  # truncated entropy stream
+    # progressive SOF: flip SOF0 (FFC0) to SOF2 (FFC2)
+    prog = bytearray(payload)
+    idx = bytes(prog).find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        dec(bytes(prog))
+    # 16-bit quant table: set Pq nibble in the first DQT
+    deep = bytearray(payload)
+    idx = bytes(deep).find(b"\xff\xdb")
+    deep[idx + 4] |= 0x10
+    with pytest.raises(NotImplementedError, match="quant"):
+        dec(bytes(deep))
+    # subsampled: set the Y component's sampling factors to 2x2
+    sub = bytearray(payload)
+    idx = bytes(sub).find(b"\xff\xc0")
+    sub[idx + 11] = 0x22  # SOF payload: len(2) prec(1) h(2) w(2) nc(1) id(1) -> samp
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        dec(bytes(sub))
+
+
+def test_decode_jpeg_imageio_conformance(spark, tmp_path):
+    """Cross-codec conformance against the JVM's javax.imageio JPEG
+    codec, both directions (the GIF-leg discipline): (1) ImageIO
+    decodes THIS encoder's gradient color output and agrees with this
+    decoder within the +-2 IDCT tolerance — pins the encoder's
+    markers/Huffman/zigzag as spec-valid and the decoder against a
+    foreign IDCT; (2) this decoder reads an ImageIO-ENCODED grayscale
+    JPEG (foreign quant + optimized Huffman tables) and agrees with
+    ImageIO's own decode within +-2 — pins the decoder's AC path
+    against a foreign encoder. Raster samples, not getRGB: Java's
+    getRGB on TYPE_BYTE_GRAY applies a gray->sRGB color-space curve."""
+    jvm = spark._jvm
+    codecs = MM.make_image_codecs()
+    enc, dec = codecs["encode_jpeg"], codecs["decode_jpeg"]
+
+    # direction 1: our encoder -> ImageIO
+    w, h = 24, 17
+    px = [
+        (((x * 11 + y * 7) % 256), ((x * 3 + y * 13) % 256), ((x * 17 + y * 5) % 256))
+        for y in range(h)
+        for x in range(w)
+    ]
+    payload = enc(w, h, px, restart_interval=3)
+    p1 = tmp_path / "ours.jpg"
+    p1.write_bytes(payload)
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(str(p1)))
+    assert img is not None and img.getWidth() == w and img.getHeight() == h
+    _, _, ours = dec(payload)
+    for y in range(h):
+        for x in range(w):
+            argb = img.getRGB(x, y)
+            jp = ((argb >> 16) & 255, (argb >> 8) & 255, argb & 255)
+            for a, b in zip(jp, ours[y * w + x]):
+                assert abs(a - b) <= 2, (x, y, jp, ours[y * w + x])
+
+    # direction 2: ImageIO grayscale encoder -> our decoder
+    gw, gh = 16, 12
+    bimg = jvm.java.awt.image.BufferedImage(gw, gh, 10)  # TYPE_BYTE_GRAY
+    raster = bimg.getRaster()
+    for y in range(gh):
+        for x in range(gw):
+            raster.setSample(x, y, 0, (x * 19 + y * 31) % 256)
+    p2 = tmp_path / "theirs.jpg"
+    assert jvm.javax.imageio.ImageIO.write(bimg, "jpg", jvm.java.io.File(str(p2)))
+    data = p2.read_bytes()
+    wd, hd, out = dec(data)
+    assert (wd, hd) == (gw, gh)
+    back = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(str(p2))).getRaster()
+    for y in range(gh):
+        for x in range(gw):
+            jr = back.getSample(x, y, 0)
+            assert abs(jr - out[y * gw + x][0]) <= 2, (x, y, jr, out[y * gw + x])
+            assert out[y * gw + x][0] == out[y * gw + x][1] == out[y * gw + x][2]
