@@ -7,12 +7,14 @@ batching, partitioning) is real and tested, and since round 7 so is a
 DECODE path: pure-Python BMP (24-bit uncompressed), PPM (P6), PNG
 (8-bit gray/RGB/palette/RGBA, all five scanline filters — r8/r9), GIF
 (LZW, r9) and baseline-sequential JPEG (Huffman + IDCT + restart
-markers, r9b) parsers (`make_image_codecs`) run under the full hash
-gate via `decode_image_features` / the `multimodal_image_decode` and
-`multimodal_jpeg_decode` queries. Codec paths this environment cannot
-verify against a second implementation stay honest
-NotImplementedError scope boundaries (progressive/arithmetic/
-subsampled JPEG, ffmpeg video formats); `extract_byte_features`'
+markers + 4:2:0 chroma subsampling, r9b) parsers (`make_image_codecs`)
+run under the full hash gate via `decode_image_features` / the
+`multimodal_image_decode`, `multimodal_jpeg_decode` and
+`multimodal_jpeg420_decode` queries. Codec paths this environment
+cannot verify against a second implementation stay honest
+NotImplementedError scope boundaries (progressive/arithmetic
+JPEG, sampling factors > 2, ffmpeg video formats);
+`extract_byte_features`'
 default byte decoder stays the format-agnostic stand-in that
 exercises the same Arrow batch shape.
 
@@ -839,11 +841,12 @@ def make_image_codecs() -> dict[str, object]:
     # A REAL baseline codec, closing the last honest image stub: marker
     # parse (SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/EOI), canonical Huffman
     # decode with DC prediction + EXTEND, zigzag, dequantization, float64
-    # IDCT, restart-marker resync, 0xFF00 byte unstuffing, and libjpeg's
-    # fixed-point YCbCr<->RGB integer formulas. Scope boundaries stay
-    # honest: progressive (SOF2), arithmetic coding, 12-bit precision and
-    # chroma subsampling (sampling factors != 1x1) raise
-    # NotImplementedError.
+    # IDCT, restart-marker resync, 0xFF00 byte unstuffing, libjpeg's
+    # fixed-point YCbCr<->RGB integer formulas, and interleaved chroma
+    # subsampling for factors {1,2} (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0) with
+    # box-replication upsampling. Scope boundaries stay honest:
+    # progressive (SOF2), arithmetic coding, 12-bit precision and
+    # sampling factors > 2 raise NotImplementedError.
     #
     # Exact-arithmetic contract the hash gate exploits (see
     # q_multimodal_jpeg_decode): with a DC quant step of 8, a flat 8x8
@@ -979,13 +982,15 @@ def make_image_codecs() -> dict[str, object]:
         clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
         return clamp(r), clamp(g), clamp(b)
 
-    def _jpeg_component_planes(w: int, h: int, pixels, gray: bool):
+    def _jpeg_component_planes(w: int, h: int, pixels, gray: bool, pad: int = 8):
         """Split pixels into Y (and Cb, Cr) planes padded to full MCUs
-        by edge replication, as (bh*8, bw*8) numpy arrays. Vectorized
-        twin of _jpeg_rgb_to_ycc (the scalar form documents the exact
-        integer rule the oracle mirrors); `pixels` is a row-major
-        (r, g, b) sequence or an (h, w, 3) array."""
-        bw, bh = (w + 7) // 8, (h + 7) // 8
+        (`pad` = 8 for 4:4:4, 16 for 4:2:0) by edge replication, as
+        numpy arrays. Vectorized twin of _jpeg_rgb_to_ycc (the scalar
+        form documents the exact integer rule the oracle mirrors);
+        `pixels` is a row-major (r, g, b) sequence or an (h, w, 3)
+        array."""
+        pw = ((w + pad - 1) // pad) * pad
+        ph = ((h + pad - 1) // pad) * pad
         arr = np.asarray(pixels, dtype=np.int64).reshape(h, w, 3)
         r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
         comps = [(77 * r + 150 * g + 29 * b + 128) >> 8]
@@ -998,7 +1003,7 @@ def make_image_codecs() -> dict[str, object]:
             )
         planes = []
         for c in comps:
-            p = np.empty((bh * 8, bw * 8), dtype=np.int64)
+            p = np.empty((ph, pw), dtype=np.int64)
             p[:h, :w] = c
             p[:h, w:] = p[:h, w - 1 : w]  # edge-replicate padding
             p[h:, :] = p[h - 1 : h, :]
@@ -1006,18 +1011,35 @@ def make_image_codecs() -> dict[str, object]:
         return planes
 
     def encode_jpeg(
-        w: int, h: int, pixels, gray: bool = False, restart_interval: int = 0
+        w: int,
+        h: int,
+        pixels,
+        gray: bool = False,
+        restart_interval: int = 0,
+        subsampling: str = "444",
     ) -> bytes:
-        """Baseline sequential JPEG writer (JFIF, 4:4:4 or grayscale,
-        Annex K Huffman tables, optional DRI/RSTn restarts) — builds the
-        synthetic fixtures the hash-gated decode query feeds through
-        decode_jpeg, and the cross-codec conformance payloads the tests
-        hand to the JVM's javax.imageio reader."""
+        """Baseline sequential JPEG writer (JFIF, grayscale / 4:4:4 /
+        4:2:0, Annex K Huffman tables, optional DRI/RSTn restarts) —
+        builds the synthetic fixtures the hash-gated decode queries feed
+        through decode_jpeg, and the cross-codec conformance payloads
+        the tests hand to the JVM's javax.imageio reader. 4:2:0 chroma
+        is the 2x2 integer mean (a + b + c + d + 2) >> 2 — exact on the
+        flat-tile fixtures."""
         if w <= 0 or h <= 0 or w > 65535 or h > 65535:
             raise ValueError("bad JPEG dimensions")
-        planes = _jpeg_component_planes(w, h, pixels, gray)
+        if subsampling not in ("444", "420"):
+            raise ValueError("subsampling must be '444' or '420'")
+        sub420 = subsampling == "420" and not gray
+        planes = _jpeg_component_planes(w, h, pixels, gray, pad=16 if sub420 else 8)
         ncomp = len(planes)
-        bw, bh = (w + 7) // 8, (h + 7) // 8
+        if sub420:
+            for ci in (1, 2):
+                p = planes[ci]
+                planes[ci] = (
+                    p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2
+                ) >> 2
+        # per-component (sampling_h, sampling_v)
+        samps = [(2, 2), (1, 1), (1, 1)][:ncomp] if sub420 else [(1, 1)] * ncomp
         qnat = np.empty(64, dtype=np.int64)
         qnat[list(_JPEG_ZIGZAG)] = _JPEG_QTAB  # zigzag -> natural order
         qmat = qnat.reshape(8, 8).astype(np.float64)
@@ -1030,8 +1052,9 @@ def make_image_codecs() -> dict[str, object]:
             out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
             out += bytes(int(v) for v in _JPEG_QTAB)
         out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-        for ci in range(ncomp):  # SOF0: id, 1x1 sampling, quant table
-            out += bytes((ci + 1, 0x11, 0 if ci == 0 else 1))
+        for ci in range(ncomp):  # SOF0: id, sampling, quant table
+            sh, sv = samps[ci]
+            out += bytes((ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1))
         for (tc, th), (bits, values) in _JPEG_HUFF_SPECS.items():  # DHT
             if ncomp == 1 and th == 1:
                 continue
@@ -1070,47 +1093,63 @@ def make_image_codecs() -> dict[str, object]:
             code, length = tab[sym]
             put_bits(code, length)
 
-        def encode_block(plane, bx: int, by: int, ci: int, pred: list) -> None:
-            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
-            coefs = _JPEG_DCT @ (block - 128.0) @ _JPEG_DCT.T
+        zzidx = np.array(_JPEG_ZIGZAG)
+        # forward DCT + quantization for ALL blocks of each component in
+        # one batched matmul (blocks in zigzag order per block), so the
+        # per-block Python is just the entropy coder
+        qblocks = []
+        for plane in planes:
+            ph, pw = plane.shape
+            b = (
+                plane.reshape(ph // 8, 8, pw // 8, 8)
+                .transpose(0, 2, 1, 3)
+                .astype(np.float64)
+            )
+            coefs = _JPEG_DCT @ (b - 128.0) @ _JPEG_DCT.T
             q = np.floor(coefs / qmat + 0.5).astype(np.int64)
-            zz = [int(q.reshape(-1)[idx]) for idx in _JPEG_ZIGZAG]
+            qblocks.append(q.reshape(ph // 8, pw // 8, 64)[..., zzidx])
+
+        def encode_block(zz, ci: int, pred: list) -> None:
             tdc = enc_tabs[(0, 0 if ci == 0 else 1)]
             tac = enc_tabs[(1, 0 if ci == 0 else 1)]
-            diff = zz[0] - pred[ci]
-            pred[ci] = zz[0]
+            dc = int(zz[0])
+            diff = dc - pred[ci]
+            pred[ci] = dc
             size = diff.bit_length() if diff else 0
             put_symbol(tdc, size)
             if size:
                 put_bits(diff if diff > 0 else diff + (1 << size) - 1, size)
-            run = 0
-            for k in range(1, 64):
-                if zz[k] == 0:
-                    run += 1
-                    continue
+            nz = np.nonzero(zz[1:])[0]
+            prev = 0
+            for k in nz:
+                run = int(k) - prev
+                prev = int(k) + 1
                 while run > 15:
                     put_symbol(tac, 0xF0)  # ZRL
                     run -= 16
-                v = zz[k]
+                v = int(zz[1 + k])
                 size = abs(v).bit_length()
                 put_symbol(tac, (run << 4) | size)
                 put_bits(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
-            if run:
+            if prev < 63:
                 put_symbol(tac, 0x00)  # EOB
 
         pred = [0] * ncomp
-        n_mcu = bw * bh
+        mcu = 16 if sub420 else 8
+        mcus_x, mcus_y = (w + mcu - 1) // mcu, (h + mcu - 1) // mcu
         rst = 0
-        for mi in range(n_mcu):
+        for mi in range(mcus_x * mcus_y):
             if restart_interval and mi and mi % restart_interval == 0:
                 flush_bits()
                 scan += bytes((0xFF, 0xD0 + rst))
                 rst = (rst + 1) % 8
                 pred = [0] * ncomp
-            by, bx = divmod(mi, bw)
+            my, mx = divmod(mi, mcus_x)
             for ci in range(ncomp):
-                encode_block(planes[ci], bx, by, ci, pred)
+                sh, sv = samps[ci]
+                for v in range(sv):  # blocks of the MCU, raster order
+                    for u in range(sh):
+                        encode_block(qblocks[ci][my * sv + v, mx * sh + u], ci, pred)
         flush_bits()
         return bytes(out) + bytes(scan) + b"\xff\xd9"  # EOI
 
@@ -1118,16 +1157,20 @@ def make_image_codecs() -> dict[str, object]:
         """REAL baseline JPEG decode (the format that previously raised
         the honest NotImplementedError). Returns (w, h, raster) with an
         (h, w, 3) uint8 RGB array top-down; grayscale replicates to RGB
-        (decode_jpeg below is the list-of-tuples spec form).
-        Progressive/arithmetic/12-bit/subsampled streams raise
-        NotImplementedError (still-honest scope boundaries); malformed
-        streams raise ValueError. Conformance is pinned two ways in
+        (decode_jpeg below is the list-of-tuples spec form). Handles
+        interleaved sampling factors 1 and 2 per axis — 4:4:4, 4:2:0
+        (javax.imageio's default for color), 4:2:2, 4:4:0 — with
+        box-replication chroma upsampling. Progressive/arithmetic/
+        12-bit/factor>2 streams raise NotImplementedError (still-honest
+        scope boundaries); malformed streams raise ValueError.
+        Conformance is pinned two ways in
         tests/test_similarity_multimodal.py: the JVM's javax.imageio
         codec decodes this encoder's output and this decoder reads
-        javax.imageio's output, both within the +-1 IDCT tolerance the
-        spec allows (T.81 A.3.3 leaves IDCT precision to the
-        implementation; DC-only blocks are exact, which is what the
-        hash gate uses)."""
+        javax.imageio's output, within the IDCT tolerance the spec
+        allows (T.81 A.3.3 leaves IDCT precision to the implementation;
+        DC-only blocks are exact, which is what the hash gates use —
+        fancy-vs-box chroma upsampling additionally differs inside
+        gradient edges, bounded in the 4:2:0 conformance test)."""
         if payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG payload")
         pos = 2
@@ -1186,11 +1229,13 @@ def make_image_codecs() -> dict[str, object]:
                 comps = []
                 for ci in range(nc):
                     cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                    if samp != 0x11:
+                    sh, sv = samp >> 4, samp & 0x0F
+                    if sh not in (1, 2) or sv not in (1, 2):
                         raise NotImplementedError(
-                            "chroma subsampling (sampling factors != 1x1) unsupported"
+                            "only sampling factors 1 and 2 supported (4:4:4, "
+                            "4:2:0, 4:2:2, 4:4:0)"
                         )
-                    comps.append((cid, tq))
+                    comps.append((cid, tq, sh, sv))
                 if nc not in (1, 3):
                     raise NotImplementedError("only 1- or 3-component JPEGs")
                 sof = (fw, fh, comps)
@@ -1214,7 +1259,7 @@ def make_image_codecs() -> dict[str, object]:
             raise ValueError("bad JPEG dimensions")
         if len(scan_comps) != len(comps):
             raise NotImplementedError("multi-scan JPEGs unsupported")
-        comp_qt = dict(comps)  # component id -> quant table id
+        comp_qt = {c[0]: c[1] for c in comps}  # component id -> quant table id
         if any(cs not in comp_qt for cs, _, _ in scan_comps):
             raise ValueError("SOS references a component missing from SOF")
 
@@ -1256,12 +1301,64 @@ def make_image_codecs() -> dict[str, object]:
         def extend(v: int, size: int) -> int:
             return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
 
-        bw, bh = (fw + 7) // 8, (fh + 7) // 8
         ncomp = len(comps)
-        planes = [np.empty((bh * 8, bw * 8), dtype=np.int64) for _ in range(ncomp)]
+        # interleaved MCU geometry; a single-component scan is its own
+        # degenerate case (MCU = one block, per T.81 non-interleaved)
+        if ncomp == 1:
+            hmax = vmax = 1
+            samps = [(1, 1)]
+        else:
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            samps = [(c[2], c[3]) for c in comps]
+        mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+        zzidx = np.array(_JPEG_ZIGZAG)
         pred = [0] * ncomp
         rst_expect = 0
-        for mi in range(bw * bh):
+        tabs = []  # per scan component: (dc_tab, ac_tab, zigzag-order qt)
+        for cs, td, ta in scan_comps:
+            try:
+                qt = qtabs[comp_qt[cs]]
+                tabs.append(
+                    (
+                        htabs[(0, td)],
+                        htabs[(1, ta)],
+                        np.array([qt[idx] for idx in _JPEG_ZIGZAG], dtype=np.float64),
+                    )
+                )
+            except KeyError:
+                raise ValueError("JPEG scan references a missing table") from None
+        # entropy-decode every block's zigzag coefficients first; the
+        # dequant + IDCT then run as ONE batched matmul per component
+        coefzz = [
+            np.zeros((mcus_y * sv * mcus_x * sh, 64), dtype=np.float64)
+            for sh, sv in samps
+        ]
+
+        def decode_block_coefs(dc_tab, ac_tab, ci: int):
+            zz = [0] * 64
+            size = read_symbol(dc_tab)
+            diff = extend(read_bits(size), size) if size else 0
+            pred[ci] += diff
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = read_symbol(ac_tab)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC index overrun")
+                zz[k] = extend(read_bits(size), size)
+                k += 1
+            return zz
+
+        for mi in range(mcus_x * mcus_y):
             if dri and mi and mi % dri == 0:
                 if bitpos[1]:  # byte-align
                     bitpos[0] += 2 if data[bitpos[0]] == 0xFF else 1
@@ -1275,41 +1372,37 @@ def make_image_codecs() -> dict[str, object]:
                 bitpos[0] += 2
                 rst_expect = (rst_expect + 1) % 8
                 pred = [0] * ncomp
-            by, bx = divmod(mi, bw)
-            for ci, (cs, td, ta) in enumerate(scan_comps):
-                try:
-                    dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
-                    qt = qtabs[comp_qt[cs]]
-                except KeyError:
-                    raise ValueError("JPEG scan references a missing table") from None
-                zz = [0] * 64
-                size = read_symbol(dc_tab)
-                diff = extend(read_bits(size), size) if size else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = read_symbol(ac_tab)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC index overrun")
-                    zz[k] = extend(read_bits(size), size)
-                    k += 1
-                coefs = np.zeros(64, dtype=np.float64)
-                for i, idx in enumerate(_JPEG_ZIGZAG):
-                    coefs[idx] = zz[i] * qt[idx]
-                block = _JPEG_DCT.T @ coefs.reshape(8, 8) @ _JPEG_DCT
-                pix = np.floor(block + 128.5)  # floor(x + 0.5) then clamp
-                np.clip(pix, 0, 255, out=pix)
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix.astype(
-                    np.int64
-                )
+            my, mx = divmod(mi, mcus_x)
+            for ci, (dc_tab, ac_tab, _qtzz) in enumerate(tabs):
+                sh, sv = samps[ci]
+                bwc = mcus_x * sh
+                for v in range(sv):  # blocks of the MCU, raster order
+                    for u in range(sh):
+                        coefzz[ci][(my * sv + v) * bwc + (mx * sh + u)] = (
+                            decode_block_coefs(dc_tab, ac_tab, ci)
+                        )
+        planes = []
+        for ci, (sh, sv) in enumerate(samps):
+            bhc, bwc = mcus_y * sv, mcus_x * sh
+            nat = np.zeros((bhc * bwc, 64), dtype=np.float64)
+            nat[:, zzidx] = coefzz[ci] * tabs[ci][2][None, :]  # dequant
+            blocks = _JPEG_DCT.T @ nat.reshape(-1, 8, 8) @ _JPEG_DCT
+            pix = np.floor(blocks + 128.5)  # floor(x + 0.5) then clamp
+            np.clip(pix, 0, 255, out=pix)
+            planes.append(
+                pix.astype(np.int64)
+                .reshape(bhc, bwc, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bhc * 8, bwc * 8)
+            )
+        for ci, (sh, sv) in enumerate(samps):
+            # box-replication upsampling (libjpeg "simple" upsampling —
+            # exact on the flat-tile hash fixtures; fancy/triangle
+            # upsamplers differ only inside gradient edges)
+            if sh != hmax:
+                planes[ci] = np.repeat(planes[ci], hmax // sh, axis=1)
+            if sv != vmax:
+                planes[ci] = np.repeat(planes[ci], vmax // sv, axis=0)
         y = planes[0][:fh, :fw]
         if ncomp == 1:
             raster = np.stack([y, y, y], axis=-1)
@@ -1494,7 +1587,9 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def synthesize_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_jpegs(
+    df: DataFrame, id_col: str = "doc_id", subsampling: str = "444"
+) -> DataFrame:
     """Deterministic JPEG fixtures for the hash-gated decode query
     (round 9b): per id, a mosaic of FLAT 8x8 tiles — w = 1 + id % 23,
     h = 1 + id % 11 (up to 3x2 MCUs, exercising edge-replication
@@ -1510,13 +1605,24 @@ def synthesize_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     sets a 2-MCU restart interval (RSTn resync + predictor reset under
     the hash gate). Byte stuffing occurs naturally wherever the
     entropy stream emits 0xFF. Negative ids are REJECTED (the same
-    %-arithmetic fixture contract as synthesize_images)."""
+    %-arithmetic fixture contract as synthesize_images).
+
+    subsampling='420' (q_multimodal_jpeg420_decode) switches to the
+    chroma-subsampled geometry: tiles flat per 16x16 — so the encoder's
+    2x2 chroma mean and the decoder's box upsampling are BOTH exact —
+    w = 1 + id % 37, h = 1 + id % 19 (up to 3x2 MCUs of 16, edge MCUs
+    included), always color (chroma coverage is the leg's point), same
+    restart rotation."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     codecs = make_image_codecs()
     enc = codecs["encode_jpeg"]
+    sub420 = subsampling == "420"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        tile = 16 if sub420 else 8
         for pdf in it:
             payloads = []
             for doc_id in pdf["doc_id"]:
@@ -1526,9 +1632,14 @@ def synthesize_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         "synthesize_jpegs requires non-negative ids "
                         "(the %-arithmetic fixture contract)"
                     )
-                w, h = 1 + i % 23, 1 + i % 11
-                bw = (w + 7) // 8
-                bi = (np.arange(h)[:, None] // 8) * bw + (np.arange(w)[None, :] // 8)
+                if sub420:
+                    w, h = 1 + i % 37, 1 + i % 19
+                else:
+                    w, h = 1 + i % 23, 1 + i % 11
+                bw = (w + tile - 1) // tile
+                bi = (np.arange(h)[:, None] // tile) * bw + (
+                    np.arange(w)[None, :] // tile
+                )
                 r = (i * 31 + bi * 29) % 256
                 px = np.stack([r, (r + 85) % 256, (r + 170) % 256], axis=-1)
                 payloads.append(
@@ -1536,8 +1647,9 @@ def synthesize_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         w,
                         h,
                         px,
-                        gray=(i % 2 == 0),
+                        gray=(i % 2 == 0) and not sub420,
                         restart_interval=2 if i % 3 == 0 else 0,
+                        subsampling=subsampling,
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

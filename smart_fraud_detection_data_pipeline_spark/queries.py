@@ -130,6 +130,7 @@ _SLOW = frozenset({
 _FRESH = frozenset({
     # round 9: new or changed implementations / oracles
     "multimodal_jpeg_decode",       # NEW: real baseline-JPEG decode gate
+    "multimodal_jpeg420_decode",    # NEW: 4:2:0 subsampled-JPEG gate
     "doc_dedup_index_compaction",   # NEW: tombstone index compaction
     "multimodal_audio_decode",      # NEW: real WAV decode gate
     "multimodal_video_frames",      # NEW: animated-GIF frame sampling
@@ -165,6 +166,7 @@ _FRESH = frozenset({
 _DRIVER_ROTATION = (
     # --- tier A: round-9 changed (riskiest first) ---
     "multimodal_jpeg_decode",
+    "multimodal_jpeg420_decode",
     "doc_dedup_index_compaction",
     "multimodal_audio_decode",
     "multimodal_video_frames",
@@ -2276,6 +2278,77 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
     )
     return MM.decode_image_features(MM.synthesize_jpegs(docs))
+
+
+@_register(
+    "multimodal_jpeg420_decode",
+    """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 37 AS w, 1 + doc_id % 19 AS h
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+),
+blk AS (
+  SELECT doc_id, w, h,
+         (doc_id * 31 + (by * ((w + 15) // 16) + bx) * 29) % 256 AS r0,
+         LEAST(16, w - 16 * bx) * LEAST(16, h - 16 * by) AS cnt
+  FROM d,
+  LATERAL unnest(generate_series(0, (w + 15) // 16 - 1)) AS tx(bx),
+  LATERAL unnest(generate_series(0, (h + 15) // 16 - 1)) AS ty(by)
+),
+rgb AS (
+  SELECT doc_id, w, h, cnt, r0,
+         (r0 + 85) % 256 AS g0, (r0 + 170) % 256 AS b0
+  FROM blk
+),
+ycc AS (
+  SELECT doc_id, w, h, cnt,
+         FLOOR((77 * r0 + 150 * g0 + 29 * b0 + 128) / 256.0) AS y,
+         GREATEST(0, LEAST(255,
+           128 + FLOOR((-43 * r0 - 85 * g0 + 128 * b0 + 128) / 256.0))) AS cb,
+         GREATEST(0, LEAST(255,
+           128 + FLOOR((128 * r0 - 107 * g0 - 21 * b0 + 128) / 256.0))) AS cr
+  FROM rgb
+),
+px AS (
+  SELECT doc_id, w, h, cnt,
+    GREATEST(0, LEAST(255,
+      y + FLOOR((91881 * (cr - 128) + 32768) / 65536.0))) AS pr,
+    GREATEST(0, LEAST(255,
+      y + FLOOR((-22554 * (cb - 128) - 46802 * (cr - 128) + 32768)
+                / 65536.0))) AS pg,
+    GREATEST(0, LEAST(255,
+      y + FLOOR((116130 * (cb - 128) + 32768) / 65536.0))) AS pb
+  FROM ycc
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS img_w,
+       CAST(h AS INTEGER) AS img_h,
+       CAST(SUM(pr * cnt) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(pg * cnt) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(pb * cnt) AS DOUBLE) / (w * h) AS mean_b,
+       'jpeg' AS fmt
+FROM px GROUP BY doc_id, w, h
+""",
+)
+def q_multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma-SUBSAMPLED (4:2:0) JPEG decode under the full hash gate —
+    the sampling-factor geometry javax.imageio writes by default for
+    color, so this leg is what makes the decoder real-world-complete:
+    interleaved MCUs of four Y blocks + Cb + Cr, per-component DC
+    predictors across the 6-block MCU, sampling-factor parse,
+    2x2 box-replication upsampling, and edge MCUs where only part of
+    the 16x16 footprint is visible. Fixtures are mosaics of flat
+    16x16 tiles, so the encoder's 2x2 chroma mean and the decoder's
+    replication upsampling are BOTH exact and the oracle recomputes
+    decoded means from id arithmetic + the fixed-point color
+    transforms (same contract as multimodal_jpeg_decode; the
+    gradient-input upsampling behavior is conformance-pinned against
+    javax.imageio in tests). Restart interval 2 on a third of ids —
+    RSTn resync now lands mid-image at 6-blocks-per-MCU strides."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
+    )
+    return MM.decode_image_features(MM.synthesize_jpegs(docs, subsampling="420"))
 
 
 # ---------------------------------------------------------------------------

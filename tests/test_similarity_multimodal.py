@@ -1139,11 +1139,11 @@ def test_decode_jpeg_rejects():
     deep[idx + 4] |= 0x10
     with pytest.raises(NotImplementedError, match="quant"):
         dec(bytes(deep))
-    # subsampled: set the Y component's sampling factors to 2x2
+    # sampling factor outside {1,2}: 4x1 luma (4:1:1) is out of scope
     sub = bytearray(payload)
     idx = bytes(sub).find(b"\xff\xc0")
-    sub[idx + 11] = 0x22  # SOF payload: len(2) prec(1) h(2) w(2) nc(1) id(1) -> samp
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    sub[idx + 11] = 0x41  # SOF payload: len(2) prec(1) h(2) w(2) nc(1) id(1) -> samp
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         dec(bytes(sub))
 
 
@@ -1200,3 +1200,76 @@ def test_decode_jpeg_imageio_conformance(spark, tmp_path):
             jr = back.getSample(x, y, 0)
             assert abs(jr - out[y * gw + x][0]) <= 2, (x, y, jr, out[y * gw + x])
             assert out[y * gw + x][0] == out[y * gw + x][1] == out[y * gw + x][2]
+
+
+def test_decode_jpeg_420(spark, tmp_path):
+    """4:2:0 chroma subsampling (round 9b): flat 16x16 tiles round-trip
+    EXACTLY (2x2 chroma mean and box upsampling are identity on flat
+    fields — the q_multimodal_jpeg420_decode contract), and the decoder
+    reads javax.imageio's DEFAULT color output (which is 4:2:0 — the
+    assertion on the SOF sampling byte keeps this test honest if a
+    future JVM changes the default)."""
+    codecs = MM.make_image_codecs()
+    enc, dec = codecs["encode_jpeg"], codecs["decode_jpeg"]
+
+    # exact flat-tile roundtrip, the hash-gate geometry
+    for i in (0, 1, 5, 16, 17, 36, 137, 1001):
+        w, h = 1 + i % 37, 1 + i % 19
+        tw = (w + 15) // 16
+        px = []
+        for yy in range(h):
+            for xx in range(w):
+                bi = (yy // 16) * tw + (xx // 16)
+                r = (i * 31 + bi * 29) % 256
+                px.append((r, (r + 85) % 256, (r + 170) % 256))
+        payload = enc(w, h, px, subsampling="420",
+                      restart_interval=2 if i % 3 == 0 else 0)
+        exp = _jpeg_expected_flat(px, gray=False)
+        assert dec(payload) == (w, h, exp)
+
+    jvm = spark._jvm
+    # our 4:2:0 encoder -> ImageIO, smooth gradient: fancy-vs-box
+    # upsampling differs only mildly inside smooth chroma (measured 5)
+    w, h = 32, 24
+    px = [((x * 4) % 256, (y * 5) % 256, ((x + y) * 3) % 256)
+          for y in range(h) for x in range(w)]
+    payload = enc(w, h, px, subsampling="420", restart_interval=2)
+    p1 = tmp_path / "ours420.jpg"
+    p1.write_bytes(payload)
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(str(p1)))
+    assert img is not None and img.getWidth() == w and img.getHeight() == h
+    _, _, ours = dec(payload)
+    for y in range(h):
+        for x in range(w):
+            argb = img.getRGB(x, y)
+            jp = ((argb >> 16) & 255, (argb >> 8) & 255, argb & 255)
+            for a, b in zip(jp, ours[y * w + x]):
+                assert abs(a - b) <= 8, (x, y, jp, ours[y * w + x])
+
+    # ImageIO color encoder (default 4:2:0) -> our decoder, wrap-free
+    # gradient (sharp chroma edges amplify the upsampler phase
+    # difference; smooth input isolates decode correctness — measured
+    # max 6, mean 1.1)
+    gw, gh = 24, 18
+    bimg = jvm.java.awt.image.BufferedImage(gw, gh, 1)  # TYPE_INT_RGB
+    for y in range(gh):
+        for x in range(gw):
+            bimg.setRGB(x, y, ((x * 5) << 16) | ((y * 6) << 8) | ((x + y) * 3))
+    p2 = tmp_path / "theirs420.jpg"
+    assert jvm.javax.imageio.ImageIO.write(bimg, "jpg", jvm.java.io.File(str(p2)))
+    data = p2.read_bytes()
+    idx = data.find(b"\xff\xc0")
+    assert idx > 0 and data[idx + 11] == 0x22  # ImageIO wrote 4:2:0
+    wd, hd, out = dec(data)
+    assert (wd, hd) == (gw, gh)
+    back = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(str(p2)))
+    total = 0
+    for y in range(gh):
+        for x in range(gw):
+            argb = back.getRGB(x, y)
+            jp = ((argb >> 16) & 255, (argb >> 8) & 255, argb & 255)
+            for a, b in zip(jp, out[y * gw + x]):
+                d = abs(a - b)
+                assert d <= 8, (x, y, jp, out[y * gw + x])
+                total += d
+    assert total / (gw * gh * 3) <= 2.0
