@@ -523,6 +523,175 @@ def quantized_cosine_topk(
     )
 
 
+def pq_codebooks(
+    qcorpus: DataFrame,
+    m: int,
+    n_codes: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "__cvec",
+) -> tuple[list[list[list[float]]], int]:
+    """Sampled product-quantization codebooks: the SAME deterministic
+    every-(n//k)-th-by-id rule as `sample_centroids` (one sampling
+    discipline across every learned-free quantizer, so oracles can
+    recompute it), then each sampled vector is split into `m`
+    subvectors of ceil(d/m) dims (the last may be shorter). Returns
+    (codebooks[j][i] = i-th entry of subspace j, sub_dim); empty corpus
+    -> ([], 0)."""
+    cents = sample_centroids(qcorpus, n_codes, id_col=id_col, vec_col=vec_col)
+    if not cents:
+        return [], 0
+    d = len(cents[0])
+    sub = (d + m - 1) // m
+    books = []
+    for j in range(m):
+        books.append([c[j * sub : (j + 1) * sub] for c in cents])
+    return books, sub
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011) — the
+    memory-scale tier below int8: each corpus vector is ENCODED as m
+    subspace code ids (here m=4 bytes for a 64-dim vector, a 64x cut
+    vs float32), and query-to-vector distance is the classic ADC
+    (asymmetric distance computation): the query precomputes one
+    m x n_codes table of exact subspace distances, and each corpus
+    vector costs m table LOOKUPS — no vector math per pair, which is
+    what makes PQ the standard billion-scale ANN memory layout.
+
+    Engine-portable by construction, so this is a FULL hash gate, not
+    a recall gate: vectors are int8-quantized first (quantize_int8 —
+    integer-valued doubles), codebooks are the deterministic
+    sample_centroids rule split into subspaces (pq_codebooks, no RNG,
+    no iterations), and every distance is a sum of squares of
+    integers (exact int64-range doubles, associativity-free), so
+    rankings tie-break on vec_id identically in Spark and the oracle.
+
+    Plan shape: codebooks are driver literals (bounded m*n_codes*sub
+    doubles, the centroid_dist_array discipline); encoding is a
+    map-only projection over the corpus; the query side materializes
+    its ADC arrays per row BEFORE the broadcast-NL join (Catalyst
+    does not CSE — the repo staging rule); the per-pair expression is
+    m element_at lookups + an m-term add. One shuffle total (the
+    per-query top-k window). NULL vectors are excluded from index and
+    queries (ANN rule). Compose with ivf_assign for cell-routed
+    candidate generation when a full ADC scan is too much — the
+    encode/ADC path is unchanged.
+    """
+    spark = corpus.sparkSession
+    out_schema = (
+        f"{query_id_col} long, {id_col} long, pq_dist double, rank int"
+    )
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
+    qz = quantize_int8(F.col(vec_col))
+    c = corpus.select(F.col(id_col), qz.alias("__cvec"))
+    books, sub = pq_codebooks(c, m, n_codes, id_col=id_col, vec_col="__cvec")
+    if not books:
+        return spark.createDataFrame([], out_schema)
+
+    def staged_dists(df: DataFrame, key: str, vec: str) -> DataFrame:
+        """Project subvectors, then their self-dots plus the codebook
+        and its self-dots as CONSTANT-FOLDED literal columns, so the
+        distance transform below references only ATTRIBUTES — an
+        inline slice/fold would re-evaluate per codebook entry (the
+        repo HOF staging rule: Catalyst does not CSE), and inlining
+        n_codes literal arrays per subspace into the tree costs
+        seconds of driver-side analysis per call (the large-literal
+        rule — measured 8.6 s -> 2.6 s on this operator)."""
+        df = df.select(
+            key,
+            *[
+                F.expr(f"slice({vec}, {j * sub + 1}, {sub})").alias(f"__sub_{j}")
+                for j in range(m)
+            ],
+        )
+        cols = [F.col(f"__sub_{j}") for j in range(m)]
+        for j in range(m):
+            cols.append(F.expr(_sql_dot(f"__sub_{j}", f"__sub_{j}")).alias(f"__xsq_{j}"))
+            books_lit = "array(" + ",".join(
+                "array(" + ",".join(_sql_dlit(v) for v in cb) + ")"
+                for cb in books[j]
+            ) + ")"
+            csq_lit = "array(" + ",".join(
+                _sql_dlit(sum(v * v for v in cb)) for cb in books[j]
+            ) + ")"
+            cols.append(F.expr(books_lit).alias(f"__books_{j}"))
+            cols.append(F.expr(csq_lit).alias(f"__csq_{j}"))
+        return df.select(key, *cols)
+
+    def dist_array(j: int) -> Column:
+        """array< ‖sub_j − c‖² per codebook entry >, one top-level dot
+        fold per entry against an element_at into the staged codebook
+        column. Top-level (not a lambda inside a lambda): nested HOFs
+        drop out of whole-stage codegen and evaluate interpreted —
+        measured 2.7 s vs 1.6 s exec on this operator. Same expansion
+        (x²+c²−2xc) and the same sequential dot fold as
+        centroid_dist_array — exact integer values either way."""
+        elems = []
+        for i in range(len(books[j])):
+            dot = _sql_dot(f"__sub_{j}", f"element_at(__books_{j}, {i + 1})")
+            elems.append(
+                f"__xsq_{j} + element_at(__csq_{j}, {i + 1}) - 2.0D * {dot}"
+            )
+        return F.expr("array(" + ",".join(elems) + ")")
+
+    # encode: argmin code per subspace, lowest-index tie-break (exact
+    # integer distances -> deterministic). The dist arrays are staged
+    # as attributes too — array_position(d, array_min(d)) references d
+    # twice, and Catalyst would inline the whole array expression at
+    # both sites.
+    enc = staged_dists(c, id_col, "__cvec").select(
+        id_col, *[dist_array(j).alias(f"__d_{j}") for j in range(m)]
+    )
+    enc = enc.select(
+        id_col,
+        *[
+            (
+                F.array_position(F.col(f"__d_{j}"), F.array_min(F.col(f"__d_{j}")))
+                - 1
+            )
+            .cast("int")
+            .alias(f"__code_{j}")
+            for j in range(m)
+        ],
+    )
+
+    # query side: per-row ADC tables, materialized before the join
+    q = staged_dists(
+        queries.select(F.col(query_id_col), qz.alias("__qvec")),
+        query_id_col,
+        "__qvec",
+    )
+    q = q.select(
+        query_id_col, *[dist_array(j).alias(f"__adc_{j}") for j in range(m)]
+    )
+
+    pair_dist = None
+    for j in range(m):
+        term = F.element_at(F.col(f"__adc_{j}"), F.col(f"__code_{j}") + 1)
+        pair_dist = term if pair_dist is None else pair_dist + term
+    scored = enc.join(F.broadcast(q)).select(
+        query_id_col, id_col, pair_dist.alias("pq_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("pq_dist").asc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "pq_dist", "rank")
+    )
+
+
 def label_centroid_distance(
     df: DataFrame,
     *,

@@ -131,6 +131,8 @@ _FRESH = frozenset({
     # round 9: new or changed implementations / oracles
     "multimodal_jpeg_decode",       # NEW: real baseline-JPEG decode gate
     "multimodal_jpeg420_decode",    # NEW: 4:2:0 subsampled-JPEG gate
+    "embed_pq_ann",                 # NEW: product-quantization ANN gate
+    "embed_quantized_topk",         # oracle: shared int8-CTE builder
     "doc_dedup_index_compaction",   # NEW: tombstone index compaction
     "multimodal_audio_decode",      # NEW: real WAV decode gate
     "multimodal_video_frames",      # NEW: animated-GIF frame sampling
@@ -167,6 +169,8 @@ _DRIVER_ROTATION = (
     # --- tier A: round-9 changed (riskiest first) ---
     "multimodal_jpeg_decode",
     "multimodal_jpeg420_decode",
+    "embed_pq_ann",
+    "embed_quantized_topk",
     "doc_dedup_index_compaction",
     "multimodal_audio_decode",
     "multimodal_video_frames",
@@ -6803,10 +6807,11 @@ def q_events_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "embed_quantized_topk",
-    """
-WITH base AS (
+#: int8 symmetric quantization as SQL CTEs — the oracle twin of
+#: similarity.quantize_int8, shared by embed_quantized_topk and
+#: embed_pq_ann (ONE builder so the rule can never drift between
+#: oracles — the fuzz-sweep shared-branch rule).
+_INT8_QZ_CTES = """base AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
@@ -6817,7 +6822,13 @@ WITH base AS (
               THEN list_transform(e, x -> round(x * 127.0e0 / ma))
               ELSE list_transform(e, x -> 0.0e0) END AS q
   FROM base
-), scored AS (
+)"""
+
+
+@_register(
+    "embed_quantized_topk",
+    f"""
+WITH {_INT8_QZ_CTES}, scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
          CASE WHEN list_dot_product(a.q, a.q) > 0
                AND list_dot_product(b.q, b.q) > 0
@@ -6851,6 +6862,100 @@ def q_embed_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return quantized_cosine_topk(emb, queries, k=10)
+
+
+def _pq_l2_sql(a: str, b: str) -> str:
+    """Exact squared L2 between two integer-valued double lists (the
+    PQ subspace distance). COALESCE covers the empty-slice case (both
+    engines then contribute 0 — mirrors Spark's aggregate over an
+    empty array)."""
+    return (
+        f"COALESCE(list_sum(list_transform(list_zip({a}, {b}), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2]))), 0.0e0)"
+    )
+
+
+def _pq_slice(col: str, j: str = "js.j", m: int = 4) -> str:
+    """Subspace j of a quantized vector: ceil(len/m)-sized 1-based
+    inclusive slice — the SQL twin of pq_ann_topk's slice() bounds
+    (uniform per-fixture dims make the per-row len equal to the Spark
+    side's sampled dim)."""
+    sub = f"((len({col}) + {m - 1}) // {m})"
+    return f"{col}[1 + {j} * {sub} : ({j} + 1) * {sub}]"
+
+
+def _pq_oracle_sql(k: int = 10, m: int = 4, n_codes: int = 16) -> str:
+    """Oracle twin of embed_pq_ann: int8 quantization (shared CTE
+    builder), the sample_centroids modular codebook rule split into
+    subspaces, per-subspace argmin encoding with lowest-index
+    tie-break, ADC table join, and exact-integer distance ranking."""
+    enc_l2 = _pq_l2_sql(_pq_slice("x.q"), _pq_slice("cents.cq"))
+    adc_l2 = _pq_l2_sql(_pq_slice("qs.qv"), _pq_slice("cents.cq"))
+    return f"""
+WITH {_INT8_QZ_CTES},
+nz AS (SELECT vec_id, q FROM qz WHERE q IS NOT NULL),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx, q AS cq
+  FROM nz
+  WHERE vec_id % greatest((SELECT count(*) FROM nz) // {n_codes}, 1) = 0
+  ORDER BY vec_id LIMIT {n_codes}
+),
+js AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+codes AS (
+  SELECT vec_id, j, cidx FROM (
+    SELECT x.vec_id, js.j, cents.cidx,
+           row_number() OVER (
+             PARTITION BY x.vec_id, js.j
+             ORDER BY {enc_l2}, cents.cidx
+           ) AS rn
+    FROM nz x CROSS JOIN js CROSS JOIN cents
+  ) WHERE rn = 1
+),
+qs AS (SELECT vec_id AS query_id, q AS qv FROM nz WHERE vec_id < 5),
+adc AS (
+  SELECT qs.query_id, js.j, cents.cidx, {adc_l2} AS d
+  FROM qs CROSS JOIN js CROSS JOIN cents
+),
+dists AS (
+  SELECT a.query_id, cds.vec_id, SUM(a.d) AS pq_dist
+  FROM codes cds JOIN adc a ON a.j = cds.j AND a.cidx = cds.cidx
+  GROUP BY a.query_id, cds.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, pq_dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY pq_dist ASC, vec_id
+         ) AS INTEGER) AS rank
+  FROM dists
+)
+SELECT query_id, vec_id, pq_dist, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@_register("embed_pq_ann", _pq_oracle_sql())
+def q_embed_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN under the FULL hash gate (round 9b —
+    completes the memory-tier family exact float > int8 > PQ codes):
+    int8-quantize, split into m=4 subspaces, encode each corpus vector
+    as 4 code ids against sampled codebooks, then answer the standard
+    vec_id < 5 query set by ADC — a per-query table of exact subspace
+    distances and m lookups per pair. Every distance is a sum of
+    squares of integers, so ranking (ASC, vec_id ties) is
+    engine-identical with no rounding step at all — the same property
+    that puts embed_quantized_topk under the hash gate, extended to a
+    real codebook quantizer. See operators/similarity.pq_ann_topk for
+    the scale story (m bytes per vector, no per-pair vector math);
+    recall behavior is pinned in tests/test_similarity_multimodal.py
+    on the clustered fixture."""
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import (
+        pq_ann_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_ann_topk(emb, queries, k=10, m=4, n_codes=16)
 
 
 @_register(

@@ -376,8 +376,10 @@ def test_codec_roundtrip_all_padding_residues():
         assert MM.decode_bmp(MM.encode_bmp(w, h, px)) == (w, h, px)
         assert MM.decode_ppm(MM.encode_ppm(w, h, px)) == (w, h, px)
         assert MM.decode_png(MM.encode_png(w, h, px)) == (w, h, px)
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG: codec still absent
+    # JPEG dispatches to the real decoder (round 9b); a bare header
+    # with no SOS is malformed, not unsupported
+    with pytest.raises(ValueError):
+        MM.decode_image(b"\xff\xd8\xff\xe0JFIF")
 
 
 def _spec_png() -> bytes:
@@ -1273,3 +1275,35 @@ def test_decode_jpeg_420(spark, tmp_path):
                 assert d <= 8, (x, y, jp, out[y * gw + x])
                 total += d
     assert total / (gw * gh * 3) <= 2.0
+
+
+def test_pq_ann_recall_and_contract(spark):
+    """Product-quantization ANN (round 9b): on the clustered fixture
+    the subspace count is a monotone recall dial (measured m=4 -> 0.5,
+    m=8 -> 0.62, m=16 -> 0.84 recall@10 at n_codes=16), a query's own
+    vector is always rank 1 (its codes minimize its own ADC distance),
+    and the empty-corpus path returns the typed empty frame (empty-
+    input rule: no .first() probes)."""
+    emb = _clustered_emb(spark)
+    q = emb.where(F.col("vec_id").isin(0, 50, 100, 150, 200)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(emb, q, k=10).collect()
+    coarse = SIM.pq_ann_topk(emb, q, k=10, m=4, n_codes=16).collect()
+    fine = SIM.pq_ann_topk(emb, q, k=10, m=16, n_codes=16).collect()
+    r_coarse, es, aps = _recall(exact, coarse)
+    r_fine, _, _ = _recall(exact, fine)
+    assert r_coarse >= 0.4
+    assert r_fine >= 0.75
+    assert r_fine >= r_coarse  # m is a monotone dial
+    for rows in (coarse, fine):
+        top1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+        assert top1 == {k: k for k in (0, 50, 100, 150, 200)}
+        # ADC distances are sums of squares of integers: exact,
+        # non-negative, integer-valued doubles
+        assert all(r.pq_dist >= 0 and r.pq_dist == int(r.pq_dist) for r in rows)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = SIM.pq_ann_topk(empty, q, k=10)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "pq_dist", "rank"]
