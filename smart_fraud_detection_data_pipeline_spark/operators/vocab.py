@@ -164,6 +164,22 @@ def bpe_learn_merges(
     and the per-iteration driver scalar is the textbook algorithm —
     parallel-merge variants trade exactness for fewer rounds).
     """
+    spark = df.sparkSession
+    out_schema = "rank int, left string, right string, pair_count bigint"
+    return spark.createDataFrame(
+        bpe_merge_list(df, n_merges=n_merges, text_col=text_col), out_schema
+    )
+
+
+def bpe_merge_list(
+    df: DataFrame,
+    *,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """The bpe_learn_merges loop, returning the merges as driver-side
+    tuples (rank, left, right, pair_count) — the form bpe_apply embeds
+    as replace literals. Bounded: n_merges 1-row collects."""
     sep = BPE_SEP
     words = (
         df.where(F.col(text_col).isNotNull())
@@ -185,10 +201,16 @@ def bpe_learn_merges(
                 "i -> substring(word, i, 1)), char(31) || char(31)), char(31))"
             ).alias("seq"),
         )
+        # The distinct-word vocab is tiny next to the corpus (Heaps'
+        # law), but each of the n_merges iterations launches a job over
+        # it — at 32 shuffle partitions that is 32 tasks per iteration
+        # of pure scheduling overhead (measured 7.2 s -> 3.4 s at sf0.1
+        # from this coalesce). One partition is right up to
+        # multi-million-word vocabularies; shard again if a production
+        # vocab outgrows an executor.
+        .coalesce(1)
         .localCheckpoint()  # the iterations re-read this tiny frame
     )
-    spark = df.sparkSession
-    out_schema = "rank int, left string, right string, pair_count bigint"
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         # Stage the split array as a projected attribute BEFORE the
@@ -228,5 +250,97 @@ def bpe_learn_merges(
         merges.append((rank, l, r, total))
         pat = F.lit(sep + l + sep + sep + r + sep)
         rep = F.lit(sep + l + r + sep)
-        vocab = vocab.select("cnt", F.replace(F.col("seq"), pat, rep).alias("seq"))
-    return spark.createDataFrame(merges, out_schema)
+        # re-checkpoint per iteration: without it the replace chain
+        # grows the lineage and every iteration re-analyzes a deeper
+        # plan (driver time, not executor time)
+        vocab = vocab.select(
+            "cnt", F.replace(F.col("seq"), pat, rep).alias("seq")
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with LEARNED BPE merges — the inference half
+    of the tokenizer (bpe_merge_list is the training half): per word,
+    start from the sentinel-framed character sequence and apply every
+    merge in rank order as one left-to-right string replace (greedy
+    within-word order, identical on both engines — see BPE_SEP). Emits
+    per-document token statistics plus an md5 DIGEST of the full framed
+    token stream (words joined by chr(30) in document order), so a
+    wrong merge order, a boundary leak across words, or an off-by-one
+    in the framing flips the digest and fails the hash gate.
+
+    Exclusions mirror the learner: NULL text at entry, empty words and
+    words containing the separator byte; documents left with zero
+    valid words disappear on BOTH engines (the degenerate-input rule).
+
+    Scale shape: one corpus scan — posexplode words, frame + chained
+    replaces as a single map-side projection (the merge table is a
+    driver literal; production vocabularies embed it as a broadcast
+    join or a pandas UDF over a trie instead of n chained replaces,
+    same one-scan shape), then one per-doc aggregation whose collect
+    fold is ordered by word position (array_sort before join — the
+    collect+sort rule)."""
+    sep = BPE_SEP
+    words = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+                "pos", "word"
+            ),
+        )
+        .where((F.col("word") != "") & ~F.col("word").contains(sep))
+    )
+    framed = words.select(
+        id_col,
+        "pos",
+        F.char_length("word").alias("wlen"),
+        F.expr(
+            "concat(char(31), array_join(transform("
+            "sequence(1, char_length(word)), "
+            "i -> substring(word, i, 1)), char(31) || char(31)), char(31))"
+        ).alias("seq"),
+    )
+    seq = F.col("seq")
+    for _rank, l, r, _total in merges:
+        seq = F.replace(
+            seq, F.lit(sep + l + sep + sep + r + sep), F.lit(sep + l + r + sep)
+        )
+    tokenized = framed.select(
+        id_col,
+        "pos",
+        "wlen",
+        seq.alias("seq"),
+    ).select(
+        id_col,
+        "pos",
+        "wlen",
+        "seq",
+        (
+            (F.char_length("seq") - F.char_length(F.replace("seq", F.lit(sep))))
+            / 2
+        )
+        .cast("bigint")
+        .alias("n_toks"),
+    )
+    return tokenized.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum("wlen").cast("bigint").alias("n_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seq"))),
+                    lambda s: s.seq,
+                ),
+                "\x1e",
+            )
+        ).alias("token_digest"),
+    )

@@ -133,6 +133,7 @@ _FRESH = frozenset({
     "multimodal_jpeg420_decode",    # NEW: 4:2:0 subsampled-JPEG gate
     "embed_pq_ann",                 # NEW: product-quantization ANN gate
     "embed_quantized_topk",         # oracle: shared int8-CTE builder
+    "doc_bpe_tokenize",             # NEW: BPE apply (tokenizer inference)
     "doc_dedup_index_compaction",   # NEW: tombstone index compaction
     "multimodal_audio_decode",      # NEW: real WAV decode gate
     "multimodal_video_frames",      # NEW: animated-GIF frame sampling
@@ -171,6 +172,7 @@ _DRIVER_ROTATION = (
     "multimodal_jpeg420_decode",
     "embed_pq_ann",
     "embed_quantized_topk",
+    "doc_bpe_tokenize",
     "doc_dedup_index_compaction",
     "multimodal_audio_decode",
     "multimodal_video_frames",
@@ -1845,12 +1847,13 @@ def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 8
 
 
-def _bpe_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
-    """Oracle twin of doc_bpe_merges, generated as ``n_merges`` chained
-    CTE stages: word-vocab build, then per stage pair extraction from
-    the sentinel-framed symbol string, the (SUM(cnt) DESC, l, r)
-    argmax, and a scalar-subquery replace() applying the winning merge
-    — DuckDB's replace scans left-to-right non-overlapping exactly like
+def _bpe_stage_ctes(n_merges: int) -> str:
+    """The learned-BPE CTE chain shared by the doc_bpe_merges and
+    doc_bpe_tokenize oracles (ONE builder — the shared-branch rule):
+    word-vocab build, then per stage pair extraction from the
+    sentinel-framed symbol string, the (SUM(cnt) DESC, l, r) argmax,
+    and a scalar-subquery replace() applying the winning merge —
+    DuckDB's replace scans left-to-right non-overlapping exactly like
     Spark's, which is the BPE greedy order (probed identical on the
     overlap and adjacent-pair cases). A stage with no pairs left
     propagates the vocab unchanged and contributes no merge row,
@@ -1890,12 +1893,89 @@ vocab{n + 1} AS MATERIALIZED (
          END AS seq, cnt
   FROM vocab{n}
 )""")
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
+    """Oracle twin of doc_bpe_merges: the shared stage chain, emitting
+    one row per non-empty stage argmax."""
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({n} AS INTEGER) AS rank, l AS \"left\", r AS \"right\","
         f" total AS pair_count FROM best{n}"
         for n in range(n_merges)
     )
-    return "".join(parts) + "\n" + union
+    return _bpe_stage_ctes(n_merges) + "\n" + union
+
+
+def _bpe_apply_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
+    """Oracle twin of doc_bpe_tokenize: recompute the learned merges
+    via the shared stage chain, then re-tokenize every document — frame
+    each word, chain the n_merges scalar-subquery replaces in rank
+    order (patterns never span the chr(30) word joiner), and emit the
+    same integer stats + md5 token-stream digest."""
+    u = "chr(31)"
+    parts = [f""",
+docw AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     w -> w <> '' AND NOT contains(w, {u})) AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+d0 AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS n_chars,
+         array_to_string(list_transform(ws, w ->
+           {u} || array_to_string(list_transform(
+             generate_series(1, length(w)), i -> w[i]), {u} || {u}) || {u}
+         ), chr(30)) AS seq
+  FROM docw WHERE len(ws) > 0
+)"""]
+    for n in range(n_merges):
+        parts.append(f""",
+d{n + 1} AS (
+  SELECT doc_id, n_words, n_chars,
+         CASE WHEN (SELECT count(*) FROM best{n}) = 0 THEN seq
+         ELSE replace(seq,
+                      {u} || (SELECT l FROM best{n}) || {u} || {u} || (SELECT r FROM best{n}) || {u},
+                      {u} || (SELECT l FROM best{n}) || (SELECT r FROM best{n}) || {u})
+         END AS seq
+  FROM d{n})""")
+    return (
+        _bpe_stage_ctes(n_merges)
+        + "".join(parts)
+        + f"""
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST((length(seq) - length(replace(seq, {u}, ''))) // 2 AS BIGINT)
+         AS n_tokens,
+       n_chars,
+       md5(seq) AS token_digest
+FROM d{n_merges}
+"""
+    )
+
+
+@_register("doc_bpe_tokenize", _bpe_apply_oracle_sql())
+def q_doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus-learned BPE merges back to the corpus — the
+    tokenizer's INFERENCE half (round 9b), completing the train/apply
+    pair with doc_bpe_merges: learn the 8-merge table (bounded 1-row
+    collects), then tokenize every document with the merges embedded
+    as chained replace literals and emit per-doc token counts plus an
+    md5 digest of the full framed token stream in word order. The
+    oracle re-learns the merges through the SAME shared CTE chain and
+    re-tokenizes in SQL, so a merge-order swap, a cross-word boundary
+    leak, or a framing off-by-one flips the digest. Zero floats; docs
+    with no valid words vanish on both engines."""
+    from smart_fraud_detection_data_pipeline_spark.operators.vocab import (
+        bpe_apply,
+        bpe_merge_list,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_merge_list(docs, n_merges=_BPE_MERGES)
+    return bpe_apply(docs, merges)
 
 
 @_register("doc_bpe_merges", _bpe_oracle_sql())

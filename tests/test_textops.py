@@ -569,6 +569,50 @@ def test_bpe_learn_merges_hand_corpus(spark):
     assert [(r.left, r.right, r.pair_count) for r in rows] == [("a", "b", 3)]
 
 
+def test_bpe_apply_hand_corpus(spark):
+    """BPE apply (round 9b) on the same Sennrich-shaped corpus: after
+    the 4 learned merges ((l,o), (lo,w), (low,e), (lowe,r)), 'low'
+    tokenizes to [low], 'lower' to [lower], 'lowest' to [lowe, s, t] —
+    token counts and the word-ordered digest are derivable by hand via
+    the same framing."""
+    import hashlib
+
+    from smart_fraud_detection_data_pipeline_spark.operators.vocab import (
+        bpe_apply,
+        bpe_merge_list,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lower lower"), (3, "lowest"),
+         (4, None), (5, "   ")],
+        "doc_id bigint, text string",
+    )
+    merges = bpe_merge_list(docs, n_merges=4)
+    assert [(m[1], m[2]) for m in merges] == [
+        ("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r")
+    ]
+    out = {r.doc_id: r for r in bpe_apply(docs, merges).collect()}
+    # NULL text and whitespace-only docs vanish (no valid words)
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_words, out[1].n_tokens, out[1].n_chars) == (5, 5, 15)
+    assert (out[2].n_words, out[2].n_tokens, out[2].n_chars) == (2, 2, 10)
+    assert (out[3].n_words, out[3].n_tokens, out[3].n_chars) == (1, 3, 6)
+
+    def frame(toks):
+        return "\x1f" + "\x1f\x1f".join(toks) + "\x1f"
+
+    assert out[3].token_digest == hashlib.md5(
+        frame(["lowe", "s", "t"]).encode()
+    ).hexdigest()
+    assert out[1].token_digest == hashlib.md5(
+        "\x1e".join([frame(["low"])] * 5).encode()
+    ).hexdigest()
+
+    # zero merges: pure character tokenization
+    out0 = {r.doc_id: r for r in bpe_apply(docs, []).collect()}
+    assert out0[1].n_tokens == 15 and out0[3].n_tokens == 6
+
+
 def test_heavy_hitters_matches_bruteforce_randomized(spark):
     """Property, 3 seeds x 2 partitionings: the MG two-pass plan equals
     a pure-Python exact count on random skewed corpora (docs salted
