@@ -523,6 +523,95 @@ def quantized_cosine_topk(
     )
 
 
+def _pq_stage(df: DataFrame, keys: list, vec: str, books, sub: int) -> DataFrame:
+    """Project subvectors, then their self-dots plus the codebook and
+    its self-dots as CONSTANT-FOLDED literal columns, so _pq_dist_array
+    references only ATTRIBUTES — an inline slice/fold would re-evaluate
+    per codebook entry (the repo HOF staging rule: Catalyst does not
+    CSE), and inlining n_codes literal arrays per subspace into the
+    tree costs seconds of driver-side analysis per call (the
+    large-literal rule — measured 8.6 s -> 2.6 s on embed_pq_ann)."""
+    m = len(books)
+    df = df.select(
+        *keys,
+        *[
+            F.expr(f"slice({vec}, {j * sub + 1}, {sub})").alias(f"__sub_{j}")
+            for j in range(m)
+        ],
+    )
+    cols = [F.col(f"__sub_{j}") for j in range(m)]
+    for j in range(m):
+        cols.append(F.expr(_sql_dot(f"__sub_{j}", f"__sub_{j}")).alias(f"__xsq_{j}"))
+        books_lit = "array(" + ",".join(
+            "array(" + ",".join(_sql_dlit(v) for v in cb) + ")"
+            for cb in books[j]
+        ) + ")"
+        csq_lit = "array(" + ",".join(
+            _sql_dlit(sum(v * v for v in cb)) for cb in books[j]
+        ) + ")"
+        cols.append(F.expr(books_lit).alias(f"__books_{j}"))
+        cols.append(F.expr(csq_lit).alias(f"__csq_{j}"))
+    return df.select(*keys, *cols)
+
+
+def _pq_dist_array(books, j: int) -> Column:
+    """array< ‖sub_j − c‖² per codebook entry >, one top-level dot fold
+    per entry against an element_at into the staged codebook column.
+    Top-level (not a lambda inside a lambda): nested HOFs drop out of
+    whole-stage codegen and evaluate interpreted — measured 2.7 s vs
+    1.6 s exec on embed_pq_ann. Same expansion (x²+c²−2xc) and the
+    same sequential dot fold as centroid_dist_array — exact integer
+    values either way."""
+    elems = []
+    for i in range(len(books[j])):
+        dot = _sql_dot(f"__sub_{j}", f"element_at(__books_{j}, {i + 1})")
+        elems.append(f"__xsq_{j} + element_at(__csq_{j}, {i + 1}) - 2.0D * {dot}")
+    return F.expr("array(" + ",".join(elems) + ")")
+
+
+def _pq_encode(df: DataFrame, keys: list, vec: str, books, sub: int) -> DataFrame:
+    """Stage + per-subspace argmin codes, lowest-index tie-break
+    (exact integer distances -> deterministic). The dist arrays are
+    staged as attributes too — array_position(d, array_min(d))
+    references d twice, and Catalyst would inline the whole array
+    expression at both sites."""
+    m = len(books)
+    staged = _pq_stage(df, keys, vec, books, sub).select(
+        *keys, *[_pq_dist_array(books, j).alias(f"__d_{j}") for j in range(m)]
+    )
+    return staged.select(
+        *keys,
+        *[
+            (
+                F.array_position(F.col(f"__d_{j}"), F.array_min(F.col(f"__d_{j}")))
+                - 1
+            )
+            .cast("int")
+            .alias(f"__code_{j}")
+            for j in range(m)
+        ],
+    )
+
+
+def _pq_adc(df: DataFrame, keys: list, vec: str, books, sub: int) -> DataFrame:
+    """Stage + per-row ADC tables (one exact-distance array per
+    subspace), materialized before any join."""
+    m = len(books)
+    return _pq_stage(df, keys, vec, books, sub).select(
+        *keys, *[_pq_dist_array(books, j).alias(f"__adc_{j}") for j in range(m)]
+    )
+
+
+def _pq_pair_dist(m: int) -> Column:
+    """Σ_j adc_j[code_j] — the ADC lookup distance (m element_at
+    lookups, exact integer-valued doubles so the add order is free)."""
+    dist = None
+    for j in range(m):
+        term = F.element_at(F.col(f"__adc_{j}"), F.col(f"__code_{j}") + 1)
+        dist = term if dist is None else dist + term
+    return dist
+
+
 def pq_codebooks(
     qcorpus: DataFrame,
     m: int,
@@ -600,89 +689,188 @@ def pq_ann_topk(
     if not books:
         return spark.createDataFrame([], out_schema)
 
-    def staged_dists(df: DataFrame, key: str, vec: str) -> DataFrame:
-        """Project subvectors, then their self-dots plus the codebook
-        and its self-dots as CONSTANT-FOLDED literal columns, so the
-        distance transform below references only ATTRIBUTES — an
-        inline slice/fold would re-evaluate per codebook entry (the
-        repo HOF staging rule: Catalyst does not CSE), and inlining
-        n_codes literal arrays per subspace into the tree costs
-        seconds of driver-side analysis per call (the large-literal
-        rule — measured 8.6 s -> 2.6 s on this operator)."""
-        df = df.select(
-            key,
-            *[
-                F.expr(f"slice({vec}, {j * sub + 1}, {sub})").alias(f"__sub_{j}")
-                for j in range(m)
-            ],
-        )
-        cols = [F.col(f"__sub_{j}") for j in range(m)]
-        for j in range(m):
-            cols.append(F.expr(_sql_dot(f"__sub_{j}", f"__sub_{j}")).alias(f"__xsq_{j}"))
-            books_lit = "array(" + ",".join(
-                "array(" + ",".join(_sql_dlit(v) for v in cb) + ")"
-                for cb in books[j]
-            ) + ")"
-            csq_lit = "array(" + ",".join(
-                _sql_dlit(sum(v * v for v in cb)) for cb in books[j]
-            ) + ")"
-            cols.append(F.expr(books_lit).alias(f"__books_{j}"))
-            cols.append(F.expr(csq_lit).alias(f"__csq_{j}"))
-        return df.select(key, *cols)
-
-    def dist_array(j: int) -> Column:
-        """array< ‖sub_j − c‖² per codebook entry >, one top-level dot
-        fold per entry against an element_at into the staged codebook
-        column. Top-level (not a lambda inside a lambda): nested HOFs
-        drop out of whole-stage codegen and evaluate interpreted —
-        measured 2.7 s vs 1.6 s exec on this operator. Same expansion
-        (x²+c²−2xc) and the same sequential dot fold as
-        centroid_dist_array — exact integer values either way."""
-        elems = []
-        for i in range(len(books[j])):
-            dot = _sql_dot(f"__sub_{j}", f"element_at(__books_{j}, {i + 1})")
-            elems.append(
-                f"__xsq_{j} + element_at(__csq_{j}, {i + 1}) - 2.0D * {dot}"
-            )
-        return F.expr("array(" + ",".join(elems) + ")")
-
-    # encode: argmin code per subspace, lowest-index tie-break (exact
-    # integer distances -> deterministic). The dist arrays are staged
-    # as attributes too — array_position(d, array_min(d)) references d
-    # twice, and Catalyst would inline the whole array expression at
-    # both sites.
-    enc = staged_dists(c, id_col, "__cvec").select(
-        id_col, *[dist_array(j).alias(f"__d_{j}") for j in range(m)]
-    )
-    enc = enc.select(
-        id_col,
-        *[
-            (
-                F.array_position(F.col(f"__d_{j}"), F.array_min(F.col(f"__d_{j}")))
-                - 1
-            )
-            .cast("int")
-            .alias(f"__code_{j}")
-            for j in range(m)
-        ],
-    )
-
-    # query side: per-row ADC tables, materialized before the join
-    q = staged_dists(
+    enc = _pq_encode(c, [id_col], "__cvec", books, sub)
+    q = _pq_adc(
         queries.select(F.col(query_id_col), qz.alias("__qvec")),
-        query_id_col,
+        [query_id_col],
         "__qvec",
+        books,
+        sub,
     )
-    q = q.select(
-        query_id_col, *[dist_array(j).alias(f"__adc_{j}") for j in range(m)]
+    scored = enc.join(F.broadcast(q)).select(
+        query_id_col, id_col, _pq_pair_dist(m).alias("pq_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("pq_dist").asc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "pq_dist", "rank")
     )
 
-    pair_dist = None
-    for j in range(m):
-        term = F.element_at(F.col(f"__adc_{j}"), F.col(f"__code_{j}") + 1)
-        pair_dist = term if pair_dist is None else pair_dist + term
-    scored = enc.join(F.broadcast(q)).select(
-        query_id_col, id_col, pair_dist.alias("pq_dist")
+
+def sample_vectors_offset(
+    corpus: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """sample_centroids' modular rule shifted to the MIDDLE residue
+    (id % step == step // 2): a second deterministic sample that is
+    disjoint from the centroid sample whenever step > 1. ivfpq needs
+    this — codebooks trained on the residuals of the CENTROID sample
+    would be identically zero (each sampled vector's nearest centroid
+    is itself)."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    n = corpus.count()
+    step = max(n // k, 1)
+    rows = (
+        corpus.where(F.col(id_col) % step == step // 2)
+        .orderBy(id_col)
+        .limit(k)
+        .select(as_double_array(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    return [list(r.v) for r in rows]
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ — the production billion-scale ANN layout (FAISS
+    IndexIVFPQ; Jégou et al. 2011): a coarse IVF quantizer routes each
+    vector to a cell, and the vector stores only its cell id + m PQ
+    codes of the RESIDUAL (x − centroid). Queries probe their nprobe
+    nearest cells; for each probed cell the query computes one ADC
+    table from its residual against that cell's centroid, and every
+    candidate costs m lookups. Composes the repo's two certified
+    pieces: ivf_assign / probed_cells_expr (coarse routing) and the
+    _pq_* helpers (encode/ADC).
+
+    Deterministic + integer-exact end to end (int8 quantization,
+    sampled coarse centroids, codebooks from the residuals of a
+    second OFFSET modular sample — see sample_vectors_offset — and
+    sums of squares of integers everywhere), so a FULL hash gate.
+
+    Plan shape: encode is map-only over the corpus (assignment +
+    residual + codes, all staged literals); the query side is
+    queries x nprobe rows with per-row ADC arrays; candidates come
+    from an equi-join on the cell id against the broadcast probe
+    frame — the corpus shuffles ZERO times before the final top-k
+    window. At production scale the cell id becomes a partition
+    column and the same equi-join is partition pruning."""
+    spark = corpus.sparkSession
+    out_schema = f"{query_id_col} long, {id_col} long, pq_dist double, rank int"
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
+    qz = quantize_int8(F.col(vec_col))
+    c = corpus.select(F.col(id_col), qz.alias("__cvec"))
+    # both deterministic samples (centroids at residue 0, codebook
+    # vectors at the middle residue — sample_vectors_offset's rule)
+    # share ONE count; each stays a bounded limit-k collect
+    n = c.count()
+    step = max(n // n_clusters, 1)
+    step2 = max(n // n_codes, 1)
+
+    def take(pred, k_):
+        rows = c.where(pred).orderBy(id_col).limit(k_).select("__cvec").collect()
+        return [list(r["__cvec"]) for r in rows]  # Row blocks dunder getattr
+
+    cents = take((F.col(id_col) % step) == 0, n_clusters)
+    samples = take((F.col(id_col) % step2) == step2 // 2, n_codes)
+    if not cents or not samples:
+        return spark.createDataFrame([], out_schema)
+    resids = []
+    for v in samples:
+        dists = [sum((a - b) ** 2 for a, b in zip(v, cc)) for cc in cents]
+        cc = cents[dists.index(min(dists))]
+        resids.append([a - b for a, b in zip(v, cc)])
+    d = len(resids[0])
+    sub = (d + m - 1) // m
+    books = [[rv[j * sub : (j + 1) * sub] for rv in resids] for j in range(m)]
+
+    # Both sides run as vectorized Arrow batch jobs: the stacked JVM
+    # projections (assignment array + residual zip + m staged distance
+    # arrays over a 64-dim vector) overflow whole-stage codegen and
+    # fall back to interpreted eval, and their literal-heavy trees cost
+    # seconds of driver analysis per call — measured 13 s -> ~3 s for
+    # the numpy form at sf0.1. Arithmetic is identical and exact:
+    # integer-valued float64s, squared-L2 sums far under 2^53,
+    # np.argmin/stable-argsort first-min rules = the lowest-index
+    # tie-breaks the oracle mirrors.
+    import numpy as np
+
+    cents_np = np.asarray(cents)
+    books_np = [np.asarray(b) for b in books]
+    mm, ssub = m, sub
+    code_cols = ", ".join(f"__code_{j} int" for j in range(m))
+
+    def encode_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.asarray(pdf["__cvec"].tolist(), dtype=np.float64)
+            d2 = ((v[:, None, :] - cents_np[None]) ** 2).sum(-1)
+            cl = d2.argmin(1)
+            resid = v - cents_np[cl]
+            out = {id_col: pdf[id_col], "__cluster": cl.astype("int32")}
+            for j in range(mm):
+                s = resid[:, j * ssub : (j + 1) * ssub]
+                dj = ((s[:, None, :] - books_np[j][None]) ** 2).sum(-1)
+                out[f"__code_{j}"] = dj.argmin(1).astype("int32")
+            yield pd.DataFrame(out)
+
+    enc = c.mapInPandas(
+        encode_batches, schema=f"{id_col} long, __cluster int, {code_cols}"
+    )
+
+    adc_cols = ", ".join(f"__adc_{j} array<double>" for j in range(m))
+
+    def probe_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.asarray(pdf["__qvec"].tolist(), dtype=np.float64)
+            d2 = ((v[:, None, :] - cents_np[None]) ** 2).sum(-1)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            qids, cls = [], []
+            adcs: dict[int, list] = {j: [] for j in range(mm)}
+            for i in range(len(pdf)):
+                for cl in order[i]:
+                    resid = v[i] - cents_np[cl]
+                    qids.append(pdf[query_id_col].iloc[i])
+                    cls.append(int(cl))
+                    for j in range(mm):
+                        s = resid[j * ssub : (j + 1) * ssub]
+                        adcs[j].append(((books_np[j] - s[None]) ** 2).sum(-1).tolist())
+            data = {
+                query_id_col: pd.Series(qids, dtype="int64"),
+                "__cluster": pd.Series(cls, dtype="int32"),
+            }
+            for j in range(mm):
+                data[f"__adc_{j}"] = adcs[j]
+            yield pd.DataFrame(data)
+
+    q = queries.select(F.col(query_id_col), qz.alias("__qvec"))
+    qadc = q.mapInPandas(
+        probe_batches, schema=f"{query_id_col} long, __cluster int, {adc_cols}"
+    )
+    scored = enc.join(F.broadcast(qadc), "__cluster").select(
+        query_id_col, id_col, _pq_pair_dist(m).alias("pq_dist")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("pq_dist").asc(), F.col(id_col))
     return (

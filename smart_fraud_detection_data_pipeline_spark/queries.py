@@ -132,6 +132,7 @@ _FRESH = frozenset({
     "multimodal_jpeg_decode",       # NEW: real baseline-JPEG decode gate
     "multimodal_jpeg420_decode",    # NEW: 4:2:0 subsampled-JPEG gate
     "embed_pq_ann",                 # NEW: product-quantization ANN gate
+    "embed_ivfpq_ann",              # NEW: IVF-PQ (cells + residual codes)
     "embed_quantized_topk",         # oracle: shared int8-CTE builder
     "doc_bpe_tokenize",             # NEW: BPE apply (tokenizer inference)
     "doc_dedup_index_compaction",   # NEW: tombstone index compaction
@@ -171,6 +172,7 @@ _DRIVER_ROTATION = (
     "multimodal_jpeg_decode",
     "multimodal_jpeg420_decode",
     "embed_pq_ann",
+    "embed_ivfpq_ann",
     "embed_quantized_topk",
     "doc_bpe_tokenize",
     "doc_dedup_index_compaction",
@@ -7010,6 +7012,131 @@ ranked AS (
 )
 SELECT query_id, vec_id, pq_dist, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def _ivfpq_oracle_sql(
+    k: int = 10, n_clusters: int = 16, nprobe: int = 4, m: int = 4,
+    n_codes: int = 16,
+) -> str:
+    """Oracle twin of embed_ivfpq_ann: int8 quantization (shared CTE),
+    modular coarse centroids + exact-int L2 argmin assignment, residual
+    codebooks from the OFFSET modular sample, per-subspace residual
+    encoding, nprobe cell probing, per-(query, cell) residual ADC
+    tables, and the exact-integer candidate ranking — everything
+    recomputed from the table in SQL."""
+    full_l2 = _pq_l2_sql
+    enc_l2 = _pq_l2_sql(_pq_slice("x.rv", m=m), _pq_slice("rb.rv", m=m))
+    adc_l2 = _pq_l2_sql(_pq_slice("qr.rv", m=m), _pq_slice("rb.rv", m=m))
+    step = f"greatest((SELECT count(*) FROM nz) // {n_clusters}, 1)"
+    step2 = f"greatest((SELECT count(*) FROM nz) // {n_codes}, 1)"
+    return f"""
+WITH {_INT8_QZ_CTES},
+nz AS (SELECT vec_id, q FROM qz WHERE q IS NOT NULL),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx, q AS cq
+  FROM nz WHERE vec_id % {step} = 0
+  ORDER BY vec_id LIMIT {n_clusters}
+),
+cassign AS (
+  SELECT vec_id, q, cidx FROM (
+    SELECT x.vec_id, x.q, cents.cidx,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY {full_l2('x.q', 'cents.cq')}, cents.cidx) AS rn
+    FROM nz x CROSS JOIN cents
+  ) WHERE rn = 1
+),
+samp AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS sidx, q
+  FROM nz WHERE vec_id % {step2} = {step2} // 2
+  ORDER BY vec_id LIMIT {n_codes}
+),
+sassign AS (
+  SELECT sidx, q, cidx FROM (
+    SELECT sm.sidx, sm.q, cents.cidx,
+           row_number() OVER (
+             PARTITION BY sm.sidx
+             ORDER BY {full_l2('sm.q', 'cents.cq')}, cents.cidx) AS rn
+    FROM samp sm CROSS JOIN cents
+  ) WHERE rn = 1
+),
+rbooks AS (
+  SELECT sa.sidx,
+         list_transform(list_zip(sa.q, c2.cq), z -> z[1] - z[2]) AS rv
+  FROM sassign sa JOIN cents c2 ON c2.cidx = sa.cidx
+),
+cres AS (
+  SELECT ca.vec_id, ca.cidx,
+         list_transform(list_zip(ca.q, c2.cq), z -> z[1] - z[2]) AS rv
+  FROM cassign ca JOIN cents c2 ON c2.cidx = ca.cidx
+),
+js AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+codes AS (
+  SELECT vec_id, cidx, j, sidx FROM (
+    SELECT x.vec_id, x.cidx, js.j, rb.sidx,
+           row_number() OVER (
+             PARTITION BY x.vec_id, js.j
+             ORDER BY {enc_l2}, rb.sidx) AS rn
+    FROM cres x CROSS JOIN js CROSS JOIN rbooks rb
+  ) WHERE rn = 1
+),
+qs AS (SELECT vec_id AS query_id, q FROM nz WHERE vec_id < 5),
+qprobe AS (
+  SELECT query_id, q, cidx FROM (
+    SELECT qs.query_id, qs.q, cents.cidx,
+           row_number() OVER (
+             PARTITION BY qs.query_id
+             ORDER BY {full_l2('qs.q', 'cents.cq')}, cents.cidx) AS rn
+    FROM qs CROSS JOIN cents
+  ) WHERE rn <= {nprobe}
+),
+qres AS (
+  SELECT p.query_id, p.cidx,
+         list_transform(list_zip(p.q, c2.cq), z -> z[1] - z[2]) AS rv
+  FROM qprobe p JOIN cents c2 ON c2.cidx = p.cidx
+),
+adc AS (
+  SELECT qr.query_id, qr.cidx, js.j, rb.sidx, {adc_l2} AS dd
+  FROM qres qr CROSS JOIN js CROSS JOIN rbooks rb
+),
+dists AS (
+  SELECT a.query_id, cd.vec_id, SUM(a.dd) AS pq_dist
+  FROM codes cd
+  JOIN adc a ON a.cidx = cd.cidx AND a.j = cd.j AND a.sidx = cd.sidx
+  GROUP BY a.query_id, cd.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, pq_dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY pq_dist ASC, vec_id
+         ) AS INTEGER) AS rank
+  FROM dists
+)
+SELECT query_id, vec_id, pq_dist, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@_register("embed_ivfpq_ann", _ivfpq_oracle_sql())
+def q_embed_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ under the FULL hash gate (round 9b — the capstone of the
+    ANN family): the production billion-scale layout (FAISS
+    IndexIVFPQ) where each vector stores a coarse cell id plus m
+    residual PQ codes, and queries probe nprobe cells with one ADC
+    table per (query, cell). Composes the certified IVF routing and PQ
+    encode/ADC pieces; deterministic + integer-exact end to end, so
+    the oracle recomputes coarse assignment, residual codebooks (from
+    the offset modular sample), codes, probes and distances in SQL
+    with no rounding anywhere. See operators/similarity.ivfpq_ann_topk
+    for the zero-shuffle encode/probe plan shape."""
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import (
+        ivfpq_ann_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_ann_topk(emb, queries, k=10, n_clusters=16, nprobe=4, m=4)
 
 
 @_register("embed_pq_ann", _pq_oracle_sql())

@@ -1307,3 +1307,43 @@ def test_pq_ann_recall_and_contract(spark):
     out = SIM.pq_ann_topk(empty, q, k=10)
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "pq_dist", "rank"]
+
+
+def test_ivfpq_ann_recall_and_contract(spark):
+    """IVF-PQ (round 9b): cell-routed residual-PQ search on the
+    clustered fixture — recall@10 floors at two code resolutions
+    (measured 0.56 at m=4, 0.70 at m=16 with 16 offset-sampled
+    residual codebook entries), rank-1 self-match at every operating
+    point, exact integer ADC distances, and the typed empty-corpus
+    path. The codebook sample must be DISJOINT from the centroid
+    sample (sample_vectors_offset) — residuals of the centroids
+    themselves are identically zero."""
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import (
+        sample_centroids,
+        sample_vectors_offset,
+    )
+
+    emb = _clustered_emb(spark)
+    q = emb.where(F.col("vec_id").isin(0, 50, 100, 150, 200)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(emb, q, k=10).collect()
+    coarse = SIM.ivfpq_ann_topk(emb, q, k=10, n_clusters=16, nprobe=4, m=4).collect()
+    fine = SIM.ivfpq_ann_topk(emb, q, k=10, n_clusters=16, nprobe=4, m=16).collect()
+    r_coarse, _, _ = _recall(exact, coarse)
+    r_fine, _, _ = _recall(exact, fine)
+    assert r_coarse >= 0.4
+    assert r_fine >= 0.6
+    for rows in (coarse, fine):
+        top1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+        assert top1 == {k: k for k in (0, 50, 100, 150, 200)}
+        assert all(r.pq_dist >= 0 and r.pq_dist == int(r.pq_dist) for r in rows)
+
+    cents = sample_centroids(emb, 16)
+    offs = sample_vectors_offset(emb, 16)
+    assert not any(c == o for c in cents for o in offs)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = SIM.ivfpq_ann_topk(empty, q, k=10)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "pq_dist", "rank"]
