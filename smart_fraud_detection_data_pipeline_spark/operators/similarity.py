@@ -523,85 +523,6 @@ def quantized_cosine_topk(
     )
 
 
-def _pq_stage(df: DataFrame, keys: list, vec: str, books, sub: int) -> DataFrame:
-    """Project subvectors, then their self-dots plus the codebook and
-    its self-dots as CONSTANT-FOLDED literal columns, so _pq_dist_array
-    references only ATTRIBUTES — an inline slice/fold would re-evaluate
-    per codebook entry (the repo HOF staging rule: Catalyst does not
-    CSE), and inlining n_codes literal arrays per subspace into the
-    tree costs seconds of driver-side analysis per call (the
-    large-literal rule — measured 8.6 s -> 2.6 s on embed_pq_ann)."""
-    m = len(books)
-    df = df.select(
-        *keys,
-        *[
-            F.expr(f"slice({vec}, {j * sub + 1}, {sub})").alias(f"__sub_{j}")
-            for j in range(m)
-        ],
-    )
-    cols = [F.col(f"__sub_{j}") for j in range(m)]
-    for j in range(m):
-        cols.append(F.expr(_sql_dot(f"__sub_{j}", f"__sub_{j}")).alias(f"__xsq_{j}"))
-        books_lit = "array(" + ",".join(
-            "array(" + ",".join(_sql_dlit(v) for v in cb) + ")"
-            for cb in books[j]
-        ) + ")"
-        csq_lit = "array(" + ",".join(
-            _sql_dlit(sum(v * v for v in cb)) for cb in books[j]
-        ) + ")"
-        cols.append(F.expr(books_lit).alias(f"__books_{j}"))
-        cols.append(F.expr(csq_lit).alias(f"__csq_{j}"))
-    return df.select(*keys, *cols)
-
-
-def _pq_dist_array(books, j: int) -> Column:
-    """array< ‖sub_j − c‖² per codebook entry >, one top-level dot fold
-    per entry against an element_at into the staged codebook column.
-    Top-level (not a lambda inside a lambda): nested HOFs drop out of
-    whole-stage codegen and evaluate interpreted — measured 2.7 s vs
-    1.6 s exec on embed_pq_ann. Same expansion (x²+c²−2xc) and the
-    same sequential dot fold as centroid_dist_array — exact integer
-    values either way."""
-    elems = []
-    for i in range(len(books[j])):
-        dot = _sql_dot(f"__sub_{j}", f"element_at(__books_{j}, {i + 1})")
-        elems.append(f"__xsq_{j} + element_at(__csq_{j}, {i + 1}) - 2.0D * {dot}")
-    return F.expr("array(" + ",".join(elems) + ")")
-
-
-def _pq_encode(df: DataFrame, keys: list, vec: str, books, sub: int) -> DataFrame:
-    """Stage + per-subspace argmin codes, lowest-index tie-break
-    (exact integer distances -> deterministic). The dist arrays are
-    staged as attributes too — array_position(d, array_min(d))
-    references d twice, and Catalyst would inline the whole array
-    expression at both sites."""
-    m = len(books)
-    staged = _pq_stage(df, keys, vec, books, sub).select(
-        *keys, *[_pq_dist_array(books, j).alias(f"__d_{j}") for j in range(m)]
-    )
-    return staged.select(
-        *keys,
-        *[
-            (
-                F.array_position(F.col(f"__d_{j}"), F.array_min(F.col(f"__d_{j}")))
-                - 1
-            )
-            .cast("int")
-            .alias(f"__code_{j}")
-            for j in range(m)
-        ],
-    )
-
-
-def _pq_adc(df: DataFrame, keys: list, vec: str, books, sub: int) -> DataFrame:
-    """Stage + per-row ADC tables (one exact-distance array per
-    subspace), materialized before any join."""
-    m = len(books)
-    return _pq_stage(df, keys, vec, books, sub).select(
-        *keys, *[_pq_dist_array(books, j).alias(f"__adc_{j}") for j in range(m)]
-    )
-
-
 def _pq_pair_dist(m: int) -> Column:
     """Σ_j adc_j[code_j] — the ADC lookup distance (m element_at
     lookups, exact integer-valued doubles so the add order is free)."""
@@ -689,13 +610,50 @@ def pq_ann_topk(
     if not books:
         return spark.createDataFrame([], out_schema)
 
-    enc = _pq_encode(c, [id_col], "__cvec", books, sub)
-    q = _pq_adc(
-        queries.select(F.col(query_id_col), qz.alias("__qvec")),
-        [query_id_col],
-        "__qvec",
-        books,
-        sub,
+    # encode and ADC as vectorized Arrow batch jobs — the staged-JVM
+    # expression form cost seconds of driver analysis per call at 64
+    # dims and risks the codegen-overflow fallback (measured on both PQ
+    # operators, SCALING.md round 9b); the numpy arithmetic is
+    # identical and exact (integer-valued float64s, np.argmin
+    # first-min = the lowest-index tie-break the oracle mirrors).
+    import numpy as np
+
+    books_np = [np.asarray(b) for b in books]
+    mm, ssub = m, sub
+
+    def encode_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.asarray(pdf["__cvec"].tolist(), dtype=np.float64)
+            out = {id_col: pdf[id_col]}
+            for j in range(mm):
+                s = v[:, j * ssub : (j + 1) * ssub]
+                dj = ((s[:, None, :] - books_np[j][None]) ** 2).sum(-1)
+                out[f"__code_{j}"] = dj.argmin(1).astype("int32")
+            yield pd.DataFrame(out)
+
+    def adc_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.asarray(pdf["__qvec"].tolist(), dtype=np.float64)
+            out = {query_id_col: pdf[query_id_col]}
+            for j in range(mm):
+                s = v[:, j * ssub : (j + 1) * ssub]
+                dj = ((s[:, None, :] - books_np[j][None]) ** 2).sum(-1)
+                out[f"__adc_{j}"] = [row.tolist() for row in dj]
+            yield pd.DataFrame(out)
+
+    code_cols = ", ".join(f"__code_{j} int" for j in range(m))
+    adc_cols = ", ".join(f"__adc_{j} array<double>" for j in range(m))
+    enc = c.mapInPandas(encode_batches, schema=f"{id_col} long, {code_cols}")
+    q = queries.select(F.col(query_id_col), qz.alias("__qvec")).mapInPandas(
+        adc_batches, schema=f"{query_id_col} long, {adc_cols}"
     )
     scored = enc.join(F.broadcast(q)).select(
         query_id_col, id_col, _pq_pair_dist(m).alias("pq_dist")
@@ -705,6 +663,75 @@ def pq_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "pq_dist", "rank")
+    )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage retrieval — the standard production pattern that
+    recovers the recall a coarse PQ gives up: stage 1 shortlists
+    `shortlist` candidates per query by ADC (pq_ann_topk, m lookups
+    per pair over the whole corpus), stage 2 re-scores ONLY the
+    shortlist with the exact int8-quantized cosine and returns the
+    true top-k of that set. Measured on the clustered fixture: m=4 PQ
+    alone 0.5 recall@10 -> 1.0 with a 50-deep rerank (a 10% corpus
+    touch).
+
+    Stays a FULL hash gate: both stages are deterministic
+    integer-exact rankings with id tie-breaks (the rerank cosine is
+    the certified quantized_cosine_topk formula, 6-dp rounded), and
+    the oracle recomputes shortlist and rerank in SQL. Scale shape:
+    stage 1 is the PQ scan (codes only, no vector math per pair);
+    stage 2 joins the shortlist ids back to the corpus — at most
+    queries x shortlist rows of real vectors ever leave the scan."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
+    short = pq_ann_topk(
+        corpus,
+        queries,
+        k=shortlist,
+        m=m,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    qz = quantize_int8(F.col(vec_col))
+    cq = corpus.select(F.col(id_col), qz.alias("__cvec")).withColumn(
+        "__cn", _norm(F.col("__cvec"))
+    )
+    qq = queries.select(F.col(query_id_col), qz.alias("__qvec")).withColumn(
+        "__qn", _norm(F.col("__qvec"))
+    )
+    sim = F.round(
+        F.when(
+            (F.col("__qn") > 0) & (F.col("__cn") > 0),
+            _dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn")),
+        ),
+        ROUND_DP,
+    )
+    scored = (
+        short.join(cq, id_col)
+        .join(F.broadcast(qq), query_id_col)
+        .select(query_id_col, id_col, sim.alias("q_cosine_sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("q_cosine_sim").desc_nulls_last(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "q_cosine_sim", "rank")
     )
 
 

@@ -133,6 +133,7 @@ _FRESH = frozenset({
     "multimodal_jpeg420_decode",    # NEW: 4:2:0 subsampled-JPEG gate
     "embed_pq_ann",                 # NEW: product-quantization ANN gate
     "embed_ivfpq_ann",              # NEW: IVF-PQ (cells + residual codes)
+    "embed_pq_rerank",              # NEW: PQ shortlist + exact rerank
     "embed_quantized_topk",         # oracle: shared int8-CTE builder
     "doc_bpe_tokenize",             # NEW: BPE apply (tokenizer inference)
     "doc_dedup_index_compaction",   # NEW: tombstone index compaction
@@ -173,6 +174,7 @@ _DRIVER_ROTATION = (
     "multimodal_jpeg420_decode",
     "embed_pq_ann",
     "embed_ivfpq_ann",
+    "embed_pq_rerank",
     "embed_quantized_topk",
     "doc_bpe_tokenize",
     "doc_dedup_index_compaction",
@@ -6966,11 +6968,13 @@ def _pq_slice(col: str, j: str = "js.j", m: int = 4) -> str:
     return f"{col}[1 + {j} * {sub} : ({j} + 1) * {sub}]"
 
 
-def _pq_oracle_sql(k: int = 10, m: int = 4, n_codes: int = 16) -> str:
-    """Oracle twin of embed_pq_ann: int8 quantization (shared CTE
-    builder), the sample_centroids modular codebook rule split into
-    subspaces, per-subspace argmin encoding with lowest-index
-    tie-break, ADC table join, and exact-integer distance ranking."""
+def _pq_core_ctes(m: int = 4, n_codes: int = 16) -> str:
+    """The PQ pipeline up to per-(query, candidate) ADC distances —
+    ONE builder shared by the embed_pq_ann and embed_pq_rerank oracles
+    (shared-branch rule): int8 quantization (shared CTE builder), the
+    sample_centroids modular codebook rule split into subspaces,
+    per-subspace argmin encoding with lowest-index tie-break, and the
+    ADC table join."""
     enc_l2 = _pq_l2_sql(_pq_slice("x.q"), _pq_slice("cents.cq"))
     adc_l2 = _pq_l2_sql(_pq_slice("qs.qv"), _pq_slice("cents.cq"))
     return f"""
@@ -7002,7 +7006,15 @@ dists AS (
   SELECT a.query_id, cds.vec_id, SUM(a.d) AS pq_dist
   FROM codes cds JOIN adc a ON a.j = cds.j AND a.cidx = cds.cidx
   GROUP BY a.query_id, cds.vec_id
-),
+)"""
+
+
+def _pq_oracle_sql(k: int = 10, m: int = 4, n_codes: int = 16) -> str:
+    """Oracle twin of embed_pq_ann: the shared core plus the
+    exact-integer distance ranking."""
+    return (
+        _pq_core_ctes(m, n_codes)
+        + f""",
 ranked AS (
   SELECT query_id, vec_id, pq_dist,
          CAST(row_number() OVER (
@@ -7012,6 +7024,71 @@ ranked AS (
 )
 SELECT query_id, vec_id, pq_dist, rank FROM ranked WHERE rank <= {k}
 """
+    )
+
+
+def _pq_rerank_oracle_sql(
+    k: int = 10, shortlist: int = 50, m: int = 4, n_codes: int = 16
+) -> str:
+    """Oracle twin of embed_pq_rerank: the shared PQ core shortlists
+    `shortlist` candidates by ADC, then the certified int8-quantized
+    cosine (embed_quantized_topk's exact formula, 6-dp rounded)
+    re-ranks only those and keeps the true top-k."""
+    return (
+        _pq_core_ctes(m, n_codes)
+        + f""",
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY pq_dist ASC, vec_id) AS rn
+    FROM dists
+  ) WHERE rn <= {shortlist}
+),
+rer AS (
+  SELECT s.query_id, s.vec_id,
+         CASE WHEN list_dot_product(qv.q, qv.q) > 0
+               AND list_dot_product(cv.q, cv.q) > 0
+              THEN round(list_dot_product(qv.q, cv.q)
+                         / (sqrt(list_dot_product(qv.q, qv.q))
+                            * sqrt(list_dot_product(cv.q, cv.q))),
+                         6) END AS q_cosine_sim
+  FROM short s
+  JOIN nz cv ON cv.vec_id = s.vec_id
+  JOIN nz qv ON qv.vec_id = s.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, q_cosine_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY q_cosine_sim DESC NULLS LAST, vec_id
+         ) AS INTEGER) AS rank
+  FROM rer
+)
+SELECT query_id, vec_id, q_cosine_sim, rank FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
+@_register("embed_pq_rerank", _pq_rerank_oracle_sql())
+def q_embed_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ retrieval under the FULL hash gate (round 9b):
+    ADC shortlist of 50 per query over the whole corpus (codes only),
+    then exact int8-quantized cosine over just the shortlist — the
+    standard production pattern that recovers the recall a coarse PQ
+    gives up (clustered fixture: 0.5 -> 1.0 recall@10, tests). Both
+    stages are deterministic with id tie-breaks, so the oracle
+    recomputes shortlist and rerank end to end. See
+    operators/similarity.pq_rerank_topk."""
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import (
+        pq_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_rerank_topk(emb, queries, k=10, shortlist=50, m=4, n_codes=16)
 
 
 def _ivfpq_oracle_sql(

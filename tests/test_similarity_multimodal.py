@@ -1347,3 +1347,23 @@ def test_ivfpq_ann_recall_and_contract(spark):
     out = SIM.ivfpq_ann_topk(empty, q, k=10)
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "pq_dist", "rank"]
+
+
+def test_pq_rerank_recovers_recall(spark):
+    """Two-stage PQ retrieval (round 9b): the 50-deep exact rerank
+    lifts the coarse m=4 PQ's 0.5 recall@10 to (near-)exact on the
+    clustered fixture, never ranks worse than the raw PQ, and keeps
+    rank-1 self-match."""
+    emb = _clustered_emb(spark)
+    q = emb.where(F.col("vec_id").isin(0, 50, 100, 150, 200)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(emb, q, k=10).collect()
+    raw = SIM.pq_ann_topk(emb, q, k=10, m=4, n_codes=16).collect()
+    rer = SIM.pq_rerank_topk(emb, q, k=10, shortlist=50, m=4, n_codes=16).collect()
+    r_raw, _, _ = _recall(exact, raw)
+    r_rer, es, aps = _recall(exact, rer)
+    assert r_rer >= 0.9
+    assert r_rer >= r_raw
+    top1 = {r.query_id: r.vec_id for r in rer if r.rank == 1}
+    assert top1 == {k: k for k in (0, 50, 100, 150, 200)}
