@@ -587,16 +587,17 @@ def pq_ann_topk(
     integers (exact int64-range doubles, associativity-free), so
     rankings tie-break on vec_id identically in Spark and the oracle.
 
-    Plan shape: codebooks are driver literals (bounded m*n_codes*sub
-    doubles, the centroid_dist_array discipline); encoding is a
-    map-only projection over the corpus; the query side materializes
-    its ADC arrays per row BEFORE the broadcast-NL join (Catalyst
-    does not CSE — the repo staging rule); the per-pair expression is
-    m element_at lookups + an m-term add. One shuffle total (the
-    per-query top-k window). NULL vectors are excluded from index and
-    queries (ANN rule). Compose with ivf_assign for cell-routed
-    candidate generation when a full ADC scan is too much — the
-    encode/ADC path is unchanged.
+    Plan shape: codebooks are bounded driver values (m*n_codes*sub
+    doubles); encode and the per-query ADC tables run as map-only
+    vectorized Arrow jobs (the staged-JVM expression form cost seconds
+    of driver analysis per call and risked the codegen-overflow
+    interpreted fallback — measured, SCALING.md round 9b); the
+    per-pair expression in the broadcast-NL join is m element_at
+    lookups + an m-term add. One shuffle total (the per-query top-k
+    window). NULL vectors are excluded from index and queries (ANN
+    rule). ivfpq_ann_topk is the cell-routed composition for when a
+    full ADC scan is too much; pq_rerank_topk is the exact-rerank
+    recall-recovery stage.
     """
     spark = corpus.sparkSession
     out_schema = (
@@ -780,9 +781,10 @@ def ivfpq_ann_topk(
     codes of the RESIDUAL (x − centroid). Queries probe their nprobe
     nearest cells; for each probed cell the query computes one ADC
     table from its residual against that cell's centroid, and every
-    candidate costs m lookups. Composes the repo's two certified
-    pieces: ivf_assign / probed_cells_expr (coarse routing) and the
-    _pq_* helpers (encode/ADC).
+    candidate costs m lookups. Assignment, residuals, codes and the
+    per-(query, cell) ADC tables are the same exact integer arithmetic
+    as ivf_assign / pq_ann_topk, executed as vectorized Arrow jobs
+    (see the boundary note inside).
 
     Deterministic + integer-exact end to end (int8 quantization,
     sampled coarse centroids, codebooks from the residuals of a
