@@ -838,3 +838,30 @@ def test_fraud_ml_score_exact_side_is_score_bounded(spark, sf_dir):
     assert "__neg_below" in plan and "__cnt_below" in plan
     # and the fact-side aggregate (per year/month/day) is present
     assert "tx_year" in plan
+
+
+def test_pq_family_plans_are_scan_join_topk(spark, sf_dir):
+    """The round-9b quantized-search tier keeps the 100 TB shape: the
+    corpus lineage is scan -> Arrow encode -> ONE broadcast-hash join
+    on the probe/ADC frame -> the single top-k window exchange. No
+    sort-merge join, no corpus repartition, exactly one hash exchange
+    (the per-query window)."""
+    from smart_fraud_detection_data_pipeline_spark.plans.explain import executed_plan
+
+    c = X.plan_counts(Q["embed_ivfpq_ann"](spark, sf_dir))
+    assert c["exchange"] == 1  # only the top-k window
+    assert c["sort_merge_join"] == 0
+    assert c["broadcast_hash_join"] == 1  # cell-id equi-join on the probe frame
+
+    c = X.plan_counts(Q["embed_pq_ann"](spark, sf_dir))
+    assert c["exchange"] == 1
+    assert c["sort_merge_join"] == 0
+    assert c["nested_loop_join"] == 1  # keyless broadcast of the tiny ADC frame
+
+    # the rerank stage joins the shortlist back without a corpus sort:
+    # broadcast joins only, two window exchanges total (shortlist + rerank)
+    c = X.plan_counts(Q["embed_pq_rerank"](spark, sf_dir))
+    assert c["sort_merge_join"] == 0
+    assert c["exchange"] <= 2
+    plan = executed_plan(Q["embed_ivfpq_ann"](spark, sf_dir))
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan  # the Arrow tier
