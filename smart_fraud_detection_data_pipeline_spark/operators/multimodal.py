@@ -1184,6 +1184,14 @@ def make_image_codecs() -> dict[str, object]:
                 raise ValueError("truncated JPEG (no SOS)")
             if payload[pos] != 0xFF:
                 raise ValueError("bad JPEG marker alignment")
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a
+            # marker; skip them or a spec-valid stream from a padding
+            # encoder would fall into the segment-length parse (ADVICE
+            # r9). The pos+4 bound above re-checks each iteration.
+            while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 2 > len(payload):
+                raise ValueError("truncated JPEG (no SOS)")
             marker = payload[pos + 1]
             pos += 2
             if marker == 0xD9:

@@ -603,8 +603,15 @@ def pq_ann_topk(
     out_schema = (
         f"{query_id_col} long, {id_col} long, pq_dist double, rank int"
     )
-    corpus = corpus.where(F.col(vec_col).isNotNull())
-    queries = queries.where(F.col(vec_col).isNotNull())
+    # NULL ids are excluded alongside NULL vectors (ADVICE r9): the
+    # oracle's dists GROUP BY vec_id would collapse NULL-id candidates
+    # into one row while Spark emits them per-row, and the top-k
+    # tie-break's null ordering differs between engines. Twin filter:
+    # the `nz` CTE in queries._pq_core_ctes / _ivfpq_oracle_sql.
+    corpus = corpus.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+    queries = queries.where(
+        F.col(vec_col).isNotNull() & F.col(query_id_col).isNotNull()
+    )
     qz = quantize_int8(F.col(vec_col))
     c = corpus.select(F.col(id_col), qz.alias("__cvec"))
     books, sub = pq_codebooks(c, m, n_codes, id_col=id_col, vec_col="__cvec")
@@ -621,6 +628,22 @@ def pq_ann_topk(
 
     books_np = [np.asarray(b) for b in books]
     mm, ssub = m, sub
+    dim = sum(len(b[0]) for b in books)
+
+    # Mixed embedding dims in one Arrow batch make np.asarray raise a
+    # shapeless ragged-array error (ADVICE r9); probe and fail loudly
+    # instead — the PQ contract (and its oracle's slice arithmetic) is
+    # uniform-dim per corpus. Local def: the closures must stay
+    # cloudpickle-by-value (CLAUDE.md UDF rule).
+    def stack(series):
+        rows = series.tolist()
+        bad = sorted({len(r) for r in rows if len(r) != dim})
+        if bad:
+            raise ValueError(
+                f"PQ family requires uniform embedding dim {dim}; "
+                f"batch contains dims {bad}"
+            )
+        return np.asarray(rows, dtype=np.float64)
 
     def encode_batches(it):
         import pandas as pd
@@ -628,7 +651,7 @@ def pq_ann_topk(
         for pdf in it:
             if not len(pdf):
                 continue
-            v = np.asarray(pdf["__cvec"].tolist(), dtype=np.float64)
+            v = stack(pdf["__cvec"])
             out = {id_col: pdf[id_col]}
             for j in range(mm):
                 s = v[:, j * ssub : (j + 1) * ssub]
@@ -642,7 +665,7 @@ def pq_ann_topk(
         for pdf in it:
             if not len(pdf):
                 continue
-            v = np.asarray(pdf["__qvec"].tolist(), dtype=np.float64)
+            v = stack(pdf["__qvec"])
             out = {query_id_col: pdf[query_id_col]}
             for j in range(mm):
                 s = v[:, j * ssub : (j + 1) * ssub]
@@ -695,8 +718,11 @@ def pq_rerank_topk(
     stage 1 is the PQ scan (codes only, no vector math per pair);
     stage 2 joins the shortlist ids back to the corpus — at most
     queries x shortlist rows of real vectors ever leave the scan."""
-    corpus = corpus.where(F.col(vec_col).isNotNull())
-    queries = queries.where(F.col(vec_col).isNotNull())
+    # NULL-id exclusion mirrors pq_ann_topk's entry filter (ADVICE r9).
+    corpus = corpus.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+    queries = queries.where(
+        F.col(vec_col).isNotNull() & F.col(query_id_col).isNotNull()
+    )
     short = pq_ann_topk(
         corpus,
         queries,
@@ -800,8 +826,11 @@ def ivfpq_ann_topk(
     column and the same equi-join is partition pruning."""
     spark = corpus.sparkSession
     out_schema = f"{query_id_col} long, {id_col} long, pq_dist double, rank int"
-    corpus = corpus.where(F.col(vec_col).isNotNull())
-    queries = queries.where(F.col(vec_col).isNotNull())
+    # NULL-id exclusion mirrors pq_ann_topk's entry filter (ADVICE r9).
+    corpus = corpus.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+    queries = queries.where(
+        F.col(vec_col).isNotNull() & F.col(query_id_col).isNotNull()
+    )
     qz = quantize_int8(F.col(vec_col))
     c = corpus.select(F.col(id_col), qz.alias("__cvec"))
     # both deterministic samples (centroids at residue 0, codebook
@@ -844,13 +873,26 @@ def ivfpq_ann_topk(
     mm, ssub = m, sub
     code_cols = ", ".join(f"__code_{j} int" for j in range(m))
 
+    # Uniform-dim probe mirroring pq_ann_topk's guard (ADVICE r9):
+    # ragged batches must fail with the contract, not a numpy shape
+    # error. Local def keeps the closures cloudpickle-by-value.
+    def stack(series):
+        rows = series.tolist()
+        bad = sorted({len(r) for r in rows if len(r) != d})
+        if bad:
+            raise ValueError(
+                f"PQ family requires uniform embedding dim {d}; "
+                f"batch contains dims {bad}"
+            )
+        return np.asarray(rows, dtype=np.float64)
+
     def encode_batches(it):
         import pandas as pd
 
         for pdf in it:
             if not len(pdf):
                 continue
-            v = np.asarray(pdf["__cvec"].tolist(), dtype=np.float64)
+            v = stack(pdf["__cvec"])
             d2 = ((v[:, None, :] - cents_np[None]) ** 2).sum(-1)
             cl = d2.argmin(1)
             resid = v - cents_np[cl]
@@ -873,7 +915,7 @@ def ivfpq_ann_topk(
         for pdf in it:
             if not len(pdf):
                 continue
-            v = np.asarray(pdf["__qvec"].tolist(), dtype=np.float64)
+            v = stack(pdf["__qvec"])
             d2 = ((v[:, None, :] - cents_np[None]) ** 2).sum(-1)
             order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
             qids, cls = [], []

@@ -6975,11 +6975,11 @@ def _pq_core_ctes(m: int = 4, n_codes: int = 16) -> str:
     sample_centroids modular codebook rule split into subspaces,
     per-subspace argmin encoding with lowest-index tie-break, and the
     ADC table join."""
-    enc_l2 = _pq_l2_sql(_pq_slice("x.q"), _pq_slice("cents.cq"))
-    adc_l2 = _pq_l2_sql(_pq_slice("qs.qv"), _pq_slice("cents.cq"))
+    enc_l2 = _pq_l2_sql(_pq_slice("x.q", m=m), _pq_slice("cents.cq", m=m))
+    adc_l2 = _pq_l2_sql(_pq_slice("qs.qv", m=m), _pq_slice("cents.cq", m=m))
     return f"""
 WITH {_INT8_QZ_CTES},
-nz AS (SELECT vec_id, q FROM qz WHERE q IS NOT NULL),
+nz AS (SELECT vec_id, q FROM qz WHERE q IS NOT NULL AND vec_id IS NOT NULL),
 cents AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx, q AS cq
   FROM nz
@@ -7108,7 +7108,7 @@ def _ivfpq_oracle_sql(
     step2 = f"greatest((SELECT count(*) FROM nz) // {n_codes}, 1)"
     return f"""
 WITH {_INT8_QZ_CTES},
-nz AS (SELECT vec_id, q FROM qz WHERE q IS NOT NULL),
+nz AS (SELECT vec_id, q FROM qz WHERE q IS NOT NULL AND vec_id IS NOT NULL),
 cents AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx, q AS cq
   FROM nz WHERE vec_id % {step} = 0

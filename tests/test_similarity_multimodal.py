@@ -1367,3 +1367,67 @@ def test_pq_rerank_recovers_recall(spark):
     assert r_rer >= r_raw
     top1 = {r.query_id: r.vec_id for r in rer if r.rank == 1}
     assert top1 == {k: k for k in (0, 50, 100, 150, 200)}
+
+
+def test_pq_oracle_forwards_m(spark, sf_dir):
+    """Regression (ADVICE r10): _pq_core_ctes dropped m when slicing
+    enc/adc distances, so any oracle built with m != 4 silently assumed
+    4 subspaces. Pin the full Spark-vs-DuckDB match at m=2 for both
+    consumers of the shared core (pq_ann and pq_rerank)."""
+    import duckdb
+
+    from smart_fraud_detection_data_pipeline_spark import TABLES, queries as Q
+    from tools.oracle_check import compare
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb)
+    sdf = SIM.pq_ann_topk(emb, q, k=10, m=2, n_codes=16).toPandas()
+    odf = con.sql(Q._pq_oracle_sql(k=10, m=2, n_codes=16)).df()
+    assert not compare(sdf, odf)
+    sdf = SIM.pq_rerank_topk(emb, q, k=10, shortlist=50, m=2, n_codes=16).toPandas()
+    odf = con.sql(Q._pq_rerank_oracle_sql(k=10, shortlist=50, m=2, n_codes=16)).df()
+    assert not compare(sdf, odf)
+    con.close()
+
+
+def test_pq_ragged_dims_raise_contract_error(spark):
+    """Mixed embedding dims in one batch must fail with the PQ
+    uniform-dim contract, not numpy's shapeless ragged-array error
+    (ADVICE r10); NULL ids are excluded at entry like NULL vectors."""
+    rows = [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(40)]
+    rows += [(40, [1.0, 2.0])]  # ragged row
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(Exception, match="uniform embedding dim"):
+        SIM.pq_ann_topk(df, q, k=5, m=2, n_codes=4).collect()
+    with pytest.raises(Exception, match="uniform embedding dim"):
+        SIM.ivfpq_ann_topk(df, q, k=5, n_clusters=4, nprobe=2, m=2, n_codes=4).collect()
+    # NULL-id rows are dropped at entry on both sides of the join
+    ok = df.where(F.col("vec_id") < 40).union(
+        spark.createDataFrame(
+            [(None, [9.0, 9.0, 9.0, 9.0])], "vec_id long, embedding array<double>"
+        )
+    )
+    out = SIM.pq_ann_topk(ok, q, k=50, m=2, n_codes=4)
+    assert out.where(F.col("vec_id").isNull()).count() == 0
+
+
+def test_decode_jpeg_fill_bytes():
+    """T.81 B.1.1.2: encoders may pad any marker with extra 0xFF fill
+    bytes; the marker walk must skip them (ADVICE r10)."""
+    codecs = MM.make_image_codecs()
+    enc, dec = codecs["encode_jpeg"], codecs["decode_jpeg"]
+    w, h, px = _jpeg_flat_fixture(7)
+    payload = enc(w, h, px)
+    base = dec(payload)
+    # insert fill bytes before the first DQT and the SOS marker
+    padded = bytearray(payload)
+    for marker in (b"\xff\xdb", b"\xff\xda"):
+        idx = bytes(padded).find(marker)
+        padded[idx:idx] = b"\xff\xff\xff"
+    assert dec(bytes(padded)) == base
