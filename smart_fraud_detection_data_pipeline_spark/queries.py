@@ -128,95 +128,51 @@ _SLOW = frozenset({
 #: (ADVICE r3: none of round 3's 16 new queries made it into the
 #: 50-entry driver artifact). Refresh this set each round.
 _FRESH = frozenset({
-    # round 9: new or changed implementations / oracles
-    "multimodal_jpeg_decode",       # NEW: real baseline-JPEG decode gate
-    "multimodal_jpeg420_decode",    # NEW: 4:2:0 subsampled-JPEG gate
-    "embed_pq_ann",                 # NEW: product-quantization ANN gate
-    "embed_ivfpq_ann",              # NEW: IVF-PQ (cells + residual codes)
-    "embed_pq_rerank",              # NEW: PQ shortlist + exact rerank
-    "embed_quantized_topk",         # oracle: shared int8-CTE builder
-    "doc_bpe_tokenize",             # NEW: BPE apply (tokenizer inference)
-    "doc_dedup_index_compaction",   # NEW: tombstone index compaction
-    "multimodal_audio_decode",      # NEW: real WAV decode gate
-    "multimodal_video_frames",      # NEW: animated-GIF frame sampling
-    "doc_bpe_merges",               # NEW: learned BPE merge table
-    "embed_ivf_kmeans_ann",         # rows-only -> contract hash gate
-    "embed_semantic_dedup_kmeans",  # rows-only -> contract hash gate
-    "multimodal_image_decode",      # palette-PNG leg + doc_id>=0 contract
-    "doc_ngram_jaccard_capped",     # oracle: shared shingle-CTE NULL fence
-    "doc_ngram_jaccard",            # oracle: same fence
-    "doc_minhash_lsh",              # oracle: same fence
-    "doc_dedup_incremental",        # oracle: same fence
-    "stream_stream_join",           # refactored onto interval_join_streaming
-    "stream_stream_join_bucketed",  # NEW: hot-key hatch under the gate
-    "stream_stream_left_join",      # same refactor (leftOuter path)
-    "fraud_ml_score",               # persist -> localCheckpoint
-    "user_spend_trends_approx",     # persist -> localCheckpoint
-    "user_distinct_sketch_rollup",  # persist -> localCheckpoint
-    "doc_repeated_passages",        # persist -> localCheckpoint (stats)
+    # round 10: new or changed implementations / oracles
+    "embed_pq_ann",                 # NULL-id entry filter (both engines) +
+    "embed_ivfpq_ann",              #   ragged-dim contract error (ADVICE r9)
+    "embed_pq_rerank",              # same entry-filter change
+    "multimodal_jpeg_decode",       # marker walk skips 0xFF fill bytes
+    "multimodal_jpeg420_decode",    # same decoder change
+    "doc_bpe_merges",               # vocab-resident merge loop (auto tier)
+    "doc_bpe_tokenize",             # rides the same learner
+    "stream_stream_left_join_bucketed",  # NEW: outer-safe hot-key hatch
+    "doc_decontaminate_bloom",      # prepare-staged eval bitmap build
 })
 
-#: Driver-block rotation, round 9 (VERDICT r8 #1): an ORDERED tuple.
-#: Tier A (14): this round's new/changed surface, riskiest first — the
-#: CLAUDE.md changed-surface invariant outranks rotation. Tier B (40):
-#: the stale names whose last driver certification is r6 or earlier
-#: and which the round-8 judge did NOT spot-check. Tier C (12): stale
-#: names that are judge-spot-checked (independent verification exists)
-#: or streaming-slow — they ride last and roll to round 10 if the
-#: 50-query budget truncates. The remaining shingle-fence consumers
-#: (doc_clean_corpus, doc_dup_components, corpus_training_export,
-#: dedup_incremental_streaming) share the ONE rebuilt CTE already
-#: certified via tier A's four representatives plus the committed
-#: full-registry local artifacts.
+#: Driver-block rotation, round 10 (VERDICT r9 #1): an ORDERED tuple.
+#: Tier A (~10): this round's new/changed surface, riskiest first —
+#: the CLAUDE.md changed-surface invariant outranks rotation. Tier B
+#: (27): the exact stale set from VERDICT r9 — every registry name
+#: whose last driver certification is r06 or earlier (r07∪r08∪r09
+#: covers the other 129). With this block green in CORRECTNESS_r10,
+#: every registry name has been driver-certified in r07+ on a recent
+#: tree. Within tier B, streaming/staged-write names ride last so a
+#: truncated run still covers the cheap majority.
 _DRIVER_ROTATION = (
-    # --- tier A: round-9 changed (riskiest first) ---
-    "multimodal_jpeg_decode",
-    "multimodal_jpeg420_decode",
+    # --- tier A: round-10 changed (riskiest first) ---
+    "stream_stream_left_join_bucketed",
+    "doc_bpe_merges",
+    "doc_bpe_tokenize",
     "embed_pq_ann",
     "embed_ivfpq_ann",
     "embed_pq_rerank",
-    "embed_quantized_topk",
-    "doc_bpe_tokenize",
-    "doc_dedup_index_compaction",
-    "multimodal_audio_decode",
-    "multimodal_video_frames",
-    "doc_bpe_merges",
-    "embed_ivf_kmeans_ann",
-    "embed_semantic_dedup_kmeans",
-    "multimodal_image_decode",
-    "doc_ngram_jaccard_capped",
-    "doc_ngram_jaccard",
-    "doc_minhash_lsh",
-    "doc_dedup_incremental",
-    "stream_stream_join",
-    "stream_stream_join_bucketed",
-    "stream_stream_left_join",
-    "fraud_ml_score",
-    "user_spend_trends_approx",
-    "user_distinct_sketch_rollup",
-    "doc_repeated_passages",
-    # --- tier B: stale (last cert <= r6), not judge-spot-checked ---
-    "asof_next_error", "brand_basket_revenue", "brand_supplier_counts",
-    "cohort_retention", "customer_order_distribution",
-    "customers_no_big_order", "customers_with_big_order",
-    "doc_chunk_overlap", "embed_label_centroid_dist",
-    "event_type_trimmed_mean", "events_jsonl_roundtrip",
-    "events_orc_roundtrip", "events_pii_redact", "forecast_revenue_change",
-    "idle_rich_customers", "important_part_value", "large_volume_customers",
-    "min_cost_suppliers", "multi_distinct_stats", "multimodal_frame_sample",
-    "multimodal_meta", "multimodal_resize", "nation_market_share",
-    "nation_top_customers_lateral", "nation_trade_volume",
-    "nation_year_profit", "not_in_null_semantics", "order_priority_late_ship",
-    "orders_cube", "prolific_red_part_suppliers", "promo_revenue_pct",
-    "regional_revenue", "returned_item_losses", "returnflag_priority_mix",
-    "salted_user_join", "shipping_priority", "small_quantity_revenue",
-    "user_funnel", "user_value_lag_delta", "zorder_layout_scan",
-    # --- tier C: stale but judge-spot-checked r8, or streaming-slow ---
-    "asof_last_purchase", "corpus_training_export", "dedup_keep_last",
-    "doc_sample_stratified", "embed_cosine_topk", "events_variant_props",
-    "kafka_serde_roundtrip", "multimodal_byte_features",
-    "part_hierarchy_walk", "stream_windowed_rollup", "top_customers",
-    "user_spend_trends_incremental",
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg420_decode",
+    "doc_decontaminate_bloom",
+    # --- tier B: the 27 stale names (last cert <= r06) ---
+    "asof_last_purchase", "dedup_keep_last", "doc_sample_stratified",
+    "embed_cosine_topk", "events_variant_props", "kafka_serde_roundtrip",
+    "multimodal_byte_features", "nation_year_profit",
+    "not_in_null_semantics", "order_priority_late_ship", "orders_cube",
+    "part_hierarchy_walk", "prolific_red_part_suppliers",
+    "promo_revenue_pct", "regional_revenue", "returned_item_losses",
+    "returnflag_priority_mix", "salted_user_join", "shipping_priority",
+    "small_quantity_revenue", "top_customers", "user_funnel",
+    "user_value_lag_delta", "zorder_layout_scan",
+    # slowest stale last: staged writes / streaming / full-pipeline
+    "user_spend_trends_incremental", "stream_windowed_rollup",
+    "corpus_training_export",
 )
 
 
