@@ -138,6 +138,7 @@ def bpe_learn_merges(
     *,
     n_merges: int = 8,
     text_col: str = "text",
+    resident: bool | None = None,
 ) -> DataFrame:
     """Learn byte-pair-encoding merges from the corpus — the REAL
     tokenizer-training step (Sennrich et al. 2016, "Neural Machine
@@ -156,18 +157,20 @@ def bpe_learn_merges(
     gate with zero floats anywhere.
 
     Scale shape: the corpus is scanned ONCE (token explode → word
-    counts, the only corpus-wide shuffle); every iteration then runs on
-    the distinct-word vocab (Heaps' law: ≪ corpus; localCheckpoint-ed),
-    costing one tiny aggregation plus a bounded 1-row collect. K here
-    is a gate-sized 8; a production 32k-merge train keeps the same
-    vocab-resident shape (pair counts are incrementally maintainable,
-    and the per-iteration driver scalar is the textbook algorithm —
-    parallel-merge variants trade exactness for fewer rounds).
+    counts, the only corpus-wide shuffle); the merge loop then runs on
+    the distinct-word vocab (Heaps' law: ≪ corpus) — DRIVER-RESIDENT
+    with incremental pair counts by default (round 10: thousands of
+    merges/sec, the shape a production 32k-merge train needs), or as
+    per-merge Spark jobs when the vocab outgrows one machine. Both
+    paths emit bit-identical tables — see bpe_merge_list.
     """
     spark = df.sparkSession
     out_schema = "rank int, left string, right string, pair_count bigint"
     return spark.createDataFrame(
-        bpe_merge_list(df, n_merges=n_merges, text_col=text_col), out_schema
+        bpe_merge_list(
+            df, n_merges=n_merges, text_col=text_col, resident=resident
+        ),
+        out_schema,
     )
 
 
@@ -176,10 +179,37 @@ def bpe_merge_list(
     *,
     n_merges: int = 8,
     text_col: str = "text",
+    resident: bool | None = None,
+    resident_max_vocab: int = 2_000_000,
 ) -> list[tuple[int, str, str, int]]:
     """The bpe_learn_merges loop, returning the merges as driver-side
     tuples (rank, left, right, pair_count) — the form bpe_apply embeds
-    as replace literals. Bounded: n_merges 1-row collects."""
+    as replace literals.
+
+    Two executions of the SAME algorithm (VERDICT r9 #2):
+
+    - resident (the default whenever the distinct-word vocab fits
+      `resident_max_vocab` rows): ONE corpus scan builds the (word,
+      count) vocab, one bounded collect brings it to the driver (Heaps'
+      law: the vocab is ≪ the corpus — sf0.1's 60k docs hold ~247k
+      distinct words), and the merge loop runs in-process with
+      incrementally-maintained pair counts. This is how a production
+      32k-merge train must run: the distributed loop's ~0.8 s/merge
+      fixed job latency would cost ~7 hours of driver time at 32k
+      merges, while the resident loop is measured in merges/SECOND
+      (SCALING.md §bpe). Equality with the distributed form is pinned
+      at 8 and 256 merges in tests/test_textops.py.
+    - distributed (resident=False, or auto when the vocab outgrows the
+      cap): the round-9 loop — per merge, one tiny Spark job over the
+      localCheckpoint-ed vocab frame plus a 1-row collect. Keeps BPE
+      learnable even when the vocab itself cannot fit one machine
+      (unbounded token universes, e.g. byte-noise corpora).
+
+    Both paths order pairs by (count DESC, left ASC, right ASC) with
+    binary collation — Python's code-point compare and Spark's UTF8
+    binary compare induce the same total order (UTF-8 is
+    order-preserving), so the learned tables are bit-identical and the
+    oracle's chained-CTE re-learn gates whichever path ran."""
     sep = BPE_SEP
     words = (
         df.where(F.col(text_col).isNotNull())
@@ -190,27 +220,32 @@ def bpe_merge_list(
         )
         .where((F.col("word") != "") & ~F.col("word").contains(sep))
     )
-    vocab = (
+    wc = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "cnt",
-            F.expr(
-                "concat(char(31), array_join(transform("
-                "sequence(1, char_length(word)), "
-                "i -> substring(word, i, 1)), char(31) || char(31)), char(31))"
-            ).alias("seq"),
-        )
         # The distinct-word vocab is tiny next to the corpus (Heaps'
-        # law), but each of the n_merges iterations launches a job over
-        # it — at 32 shuffle partitions that is 32 tasks per iteration
-        # of pure scheduling overhead (measured 7.2 s -> 3.4 s at sf0.1
-        # from this coalesce). One partition is right up to
-        # multi-million-word vocabularies; shard again if a production
-        # vocab outgrows an executor.
+        # law), but the distributed loop launches a job over it per
+        # merge — at 32 shuffle partitions that is 32 tasks per
+        # iteration of pure scheduling overhead (measured 7.2 s ->
+        # 3.4 s at sf0.1 from this coalesce). One partition is right
+        # up to multi-million-word vocabularies; shard again if a
+        # production vocab outgrows an executor.
         .coalesce(1)
-        .localCheckpoint()  # the iterations re-read this tiny frame
+        .localCheckpoint()  # the loop(s) re-read this tiny frame
     )
+    if resident is None:
+        resident = wc.count() <= resident_max_vocab
+    if resident:
+        pairs = [(r["word"], int(r["cnt"])) for r in wc.collect()]
+        return _bpe_resident_merges(pairs, n_merges)
+    vocab = wc.select(
+        "cnt",
+        F.expr(
+            "concat(char(31), array_join(transform("
+            "sequence(1, char_length(word)), "
+            "i -> substring(word, i, 1)), char(31) || char(31)), char(31))"
+        ).alias("seq"),
+    ).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         # Stage the split array as a projected attribute BEFORE the
@@ -256,6 +291,70 @@ def bpe_merge_list(
         vocab = vocab.select(
             "cnt", F.replace(F.col("seq"), pat, rep).alias("seq")
         ).localCheckpoint()
+    return merges
+
+
+def _bpe_resident_merges(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The driver-resident merge loop: the textbook Sennrich et al.
+    incremental form. Pair counts are maintained, not recounted — a
+    merge touches only the words that contain its pair (pair_words is
+    a SUPERSET index: words are added when they gain a pair and lazily
+    skipped once they no longer hold it, so bookkeeping stays O(touched
+    words) per merge). Symbol rewriting is the same left-to-right
+    non-overlapping greedy pass as the distributed form's framed
+    string replace (positionally identical on aaa/(a,a) overlap and
+    abab adjacency — see BPE_SEP), and pair selection uses the same
+    (count DESC, left, right) total order, so the two paths emit
+    bit-identical merge tables."""
+    from collections import Counter, defaultdict
+
+    words: list[list[str]] = [list(w) for w, _ in word_counts]
+    counts: list[int] = [c for _, c in word_counts]
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for idx, syms in enumerate(words):
+        c = counts[idx]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += c
+            pair_words[p].add(idx)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        if not pair_counts:
+            break
+        (left, right), total = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, left, right, int(total)))
+        merged = left + right
+        for idx in pair_words.pop((left, right), ()):  # superset index
+            syms = words[idx]
+            c = counts[idx]
+            # subtract the word's CURRENT pairs (exact: stale index
+            # members simply subtract and re-add the same multiset)
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+            out: list[str] = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] += c
+                pair_words[p].add(idx)
     return merges
 
 

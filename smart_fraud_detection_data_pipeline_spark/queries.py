@@ -114,7 +114,8 @@ _SLOW = frozenset({
     "fraud_enrich_streaming", "dedup_streaming", "user_spend_trends_streaming",
     "user_running_totals_streaming", "session_windows_streaming",
     "stream_stream_join", "stream_stream_join_bucketed",
-    "stream_stream_left_join", "stream_windowed_rollup",
+    "stream_stream_left_join", "stream_stream_left_join_bucketed",
+    "stream_windowed_rollup",
     "user_spend_trends_incremental", "warehouse_load", "warehouse_load_incremental",
     "fraud_ml_score", "embed_ivf_kmeans_ann", "embed_ivf_ann",
     "embed_semantic_dedup_kmeans",
@@ -4230,6 +4231,94 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SK.await_or_raise(q)
     # strip the left sentinels' own (unmatched) emissions — a batch-side
     # filter, immune to the streaming pushdown that motivated them
+    return SK.read_or_empty(spark, os.path.join(tmp, "out"), pairs).where(
+        F.col("err_id") >= 0
+    )
+
+
+@_register(
+    "stream_stream_left_join_bucketed",
+    """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+)
+SELECT a.event_id AS err_id, b.event_id AS follow_id
+FROM (SELECT * FROM e WHERE event_type = 'error'
+      AND ts IS NOT NULL) a
+LEFT JOIN e b
+  ON b.user_id = a.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+""",
+    prepare=lambda spark, sf_dir: _staged_outer_source(spark, sf_dir),
+)
+def q_stream_stream_left_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEFT OUTER hot-key hatch UNDER the cross-engine hash gate
+    (round 10, VERDICT r9 #3): the same error→follow-up outer join as
+    stream_stream_left_join, executed with bucket_seconds=600 — the
+    per-copy bucketed outer join followed by the null-consolidation
+    aggregation keyed on the unique left row (streaming/joins.py),
+    which re-emits matched pairs once and null-extends exactly the
+    truly-unmatched errors — against the IDENTICAL batch LEFT-join
+    oracle SQL. Closes the round-9 gap where a hot key had no outer
+    escape (the inner hatch rejected outer joins); measured hot-key
+    numbers in SCALING.md §stream-stream."""
+    import os
+
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+    from smart_fraud_detection_data_pipeline_spark.streaming.joins import (
+        interval_join_streaming,
+    )
+
+    src = _staged_outer_source(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    errors = (
+        reader()
+        .where(F.col("event_type") == "error")  # keeps the error sentinel
+        .select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("err_time"),
+        )
+        .withWatermark("err_time", "15 minutes")
+    )
+    follows = (
+        reader()
+        .select(
+            F.col("event_id").alias("follow_id"),
+            F.col("user_id").alias("f_user"),
+            F.col("ts").cast("timestamp").alias("f_time"),
+        )
+        .withWatermark("f_time", "15 minutes")
+    )
+    pairs = interval_join_streaming(
+        errors,
+        follows,
+        left_key="user_id",
+        right_key="f_user",
+        left_time="err_time",
+        right_time="f_time",
+        window_seconds=600,
+        how="leftOuter",
+        bucket_seconds=600,
+    ).select("err_id", "follow_id")
+    tmp = _scratch("ss_left_join_bucketed_out_")
+    with _shuffle_partitions(spark, 8):
+        q = SK.start_foreach_batch(
+            pairs,
+            SK.parquet_batch_sink(os.path.join(tmp, "out"), partitions=None),
+            os.path.join(tmp, "ckpt"),
+            output_mode="append",
+            available_now=True,
+            query_name="stream_stream_left_join_bucketed",
+        )
+        SK.await_or_raise(q)
     return SK.read_or_empty(spark, os.path.join(tmp, "out"), pairs).where(
         F.col("err_id") >= 0
     )

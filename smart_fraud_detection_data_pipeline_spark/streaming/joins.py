@@ -56,11 +56,23 @@ def interval_join_streaming(
     trunc(e) + window when f <= e + window), and each right row joins
     from exactly one bucket, so no pair is produced twice.
 
-    Outer joins compose with bucketing ONLY for the matched rows'
-    timing; the left explode would emit one null-extended row per
-    probed bucket for an unmatched left row, so ``how != 'inner'``
-    with ``bucket_seconds`` is rejected rather than silently
-    double-emitting.
+    ``how='leftOuter'`` composes with bucketing through a second
+    stateful stage (round 10): the per-copy outer join alone would
+    null-extend an unmatched left row once per probed bucket, and a
+    left row matched in one bucket would STILL null-extend from its
+    other buckets — so the copies are merged downstream by a windowed
+    aggregation keyed on the (unique) left row, which re-emits every
+    matched pair and exactly one null-extension iff ALL copies were
+    unmatched. Spark ≥3.5 supports the time-interval-join →
+    aggregation chain in append mode (probed on 4.1: eviction-emitted
+    null rows pass the downstream late-record filter). CONTRACT: left
+    rows must be unique across ALL their columns (carry a unique id) —
+    the consolidation groups by the full left row, so true duplicate
+    left rows would merge. Matched pairs now emit when the merge
+    window closes rather than on arrival (the latency cost of the
+    hatch); state for the merge stage is keyed by the unique left id,
+    so it is skew-free by construction. Other outer flavors
+    (rightOuter/fullOuter) still reject.
     """
     cond = (
         (F.col(left_key) == F.col(right_key))
@@ -72,11 +84,11 @@ def interval_join_streaming(
     )
     if bucket_seconds is None:
         return left.join(right, cond, how)
-    if how != "inner":
+    if how not in ("inner", "leftOuter", "left_outer"):
         raise ValueError(
-            "bucket_seconds composes with inner joins only: an outer "
-            "join would null-extend an unmatched left row once per "
-            "probed bucket"
+            "bucket_seconds composes with inner and leftOuter joins "
+            "only: other outer flavors would null-extend per probed "
+            "bucket with no consolidation stage"
         )
     n_probe = math.ceil(window_seconds / bucket_seconds)
     lb = left.withColumn(
@@ -92,7 +104,45 @@ def interval_join_streaming(
     rb = right.withColumn(
         "__bucket", F.floor(F.col(right_time).cast("long") / bucket_seconds)
     )
-    return (
-        lb.join(rb, cond & (F.col("__probe_bucket") == F.col("__bucket")), how)
-        .drop("__probe_bucket", "__bucket")
+    bcond = cond & (F.col("__probe_bucket") == F.col("__bucket"))
+    if how == "inner":
+        return lb.join(rb, bcond, how).drop("__probe_bucket", "__bucket")
+    # leftOuter: per-copy join, then consolidate copies per left row.
+    from pyspark.sql.types import StructType
+
+    left_cols = [c for c in left.columns]
+    right_cols = [c for c in right.columns]
+    right_struct_type = StructType(
+        [f for f in right.schema.fields if f.name in right_cols]
+    )
+    j = lb.join(rb, bcond, "leftOuter").select(
+        *left_cols,
+        # null marker: the right EVENT TIME is non-null on every real
+        # match (the join's range predicate requires it) and null on a
+        # null-extension — struct(all-null fields) itself is NOT null,
+        # so the struct must be gated, not collected raw
+        F.when(
+            F.col(right_time).isNotNull(),
+            F.struct(*[F.col(c) for c in right_cols]),
+        ).alias("__m"),
+    )
+    merged = (
+        # left_time is among the group keys and still carries the
+        # propagated event-time watermark, which is what bounds this
+        # stage's state (a second window() column would make the agg
+        # see two event-time columns and fail analysis)
+        j.groupBy(*[F.col(c) for c in left_cols])
+        # collect_list skips the gated-null __m of unmatched copies
+        .agg(F.collect_list("__m").alias("__ms"))
+        .select(
+            *left_cols,
+            F.explode(
+                F.when(F.size("__ms") > 0, F.col("__ms")).otherwise(
+                    F.array(F.lit(None).cast(right_struct_type))
+                )
+            ).alias("__m"),
+        )
+    )
+    return merged.select(
+        *left_cols, *[F.col(f"__m.{c}").alias(c) for c in right_cols]
     )

@@ -470,11 +470,14 @@ def test_stream_stream_join_pairs_across_batches(spark, tmp_path):
 
 def test_stream_stream_join_bucketed_bit_identical(spark, tmp_path):
     """The hot-key state split (streaming/joins.py bucket_seconds) must
-    be BIT-IDENTICAL to the plain join, including the adversarial
-    geometry: pairs exactly ON a bucket boundary, pairs spanning one,
-    a window exactly equal to the bucket, duplicate timestamps on the
-    hot key, and a cross-batch pair. Outer + bucket_seconds must be
-    rejected."""
+    be BIT-IDENTICAL to the plain join — inner AND leftOuter (round
+    10) — including the adversarial geometry: pairs exactly ON a
+    bucket boundary, pairs spanning one, a window exactly equal to the
+    bucket, duplicate timestamps on the hot key, a cross-batch pair,
+    an error with NO follow-ups (the true null-extension), and an
+    error whose matches all live in its SECOND probed bucket (the case
+    a naive bucketed outer would double-emit as both a match and a
+    null row — err 5 here). rightOuter + bucket_seconds must reject."""
     import pytest as _pytest
 
     from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
@@ -490,19 +493,27 @@ def test_stream_stream_join_bucketed_bit_identical(spark, tmp_path):
           (2, 7, "2024-01-01 00:10:00", "view"),    # == err1 + 600 s, next bucket
           (3, 7, "2024-01-01 00:00:01", "view"),
           (4, 7, "2024-01-01 00:00:01", "view"),    # duplicate ts
-          (5, 7, "2024-01-01 09:59:30", "error")]
+          (5, 7, "2024-01-01 09:59:30", "error"),
+          (10, 9, "2024-01-01 05:00:00", "error")]  # never matched -> null row
     f2 = [(6, 7, "2024-01-01 10:00:30", "view"),    # cross-batch, spans bucket
           (7, 7, "2024-01-01 10:09:30", "view"),    # == err5 + 600 s
           (8, 7, "2024-01-01 10:09:31", "view"),    # 601 s — out of window
           (9, 8, "2024-01-01 10:09:31", "view")]    # other user
+    # two sentinel files (one per join side each) advance the watermark
+    # past every horizon and trigger the eviction batch — the outer
+    # queries' _staged_outer_source pattern
+    s1 = [(-1, -1, "2024-01-02 00:00:00", "error"),
+          (-2, -2, "2024-01-02 00:00:00", "view")]
+    s2 = [(-3, -1, "2024-01-03 00:00:00", "error"),
+          (-4, -2, "2024-01-03 00:00:00", "view")]
     schema = "event_id bigint, user_id bigint, ts_str string, event_type string"
-    for batch in (f1, f2):
+    for batch in (f1, f2, s1, s2):
         spark.createDataFrame(batch, schema).select(
             "event_id", "user_id",
             F.col("ts_str").cast("timestamp_ntz").alias("ts"), "event_type",
         ).coalesce(1).write.mode("append").parquet(d)
 
-    def run(bucket_seconds, tag):
+    def run(bucket_seconds, tag, how="inner"):
         def reader():
             return (
                 spark.readStream.schema(spark.read.parquet(d).schema)
@@ -526,7 +537,7 @@ def test_stream_stream_join_bucketed_bit_identical(spark, tmp_path):
             errors, follows,
             left_key="user_id", right_key="f_user",
             left_time="err_time", right_time="f_time",
-            window_seconds=600, bucket_seconds=bucket_seconds,
+            window_seconds=600, how=how, bucket_seconds=bucket_seconds,
         ).select("err_id", "follow_id")
         out = str(tmp_path / f"out_{tag}")
         q = SK.start_foreach_batch(
@@ -540,8 +551,9 @@ def test_stream_stream_join_bucketed_bit_identical(spark, tmp_path):
         rows = [
             (r.err_id, r.follow_id)
             for r in spark.read.parquet(os.path.join(out, "data")).collect()
+            if r.err_id >= 0  # strip the sentinels' own emissions
         ]
-        return sorted(rows), len(rows)
+        return sorted(rows, key=lambda t: (t[0], t[1] if t[1] is not None else -1)), len(rows)
 
     plain_rows, plain_n = run(None, "plain")
     bucketed_rows, bucketed_n = run(600, "b600")
@@ -549,12 +561,20 @@ def test_stream_stream_join_bucketed_bit_identical(spark, tmp_path):
     # bit-identical INCLUDING multiplicity (no pair emitted twice from
     # two probe buckets)
     assert bucketed_rows == plain_rows and bucketed_n == plain_n
-    with _pytest.raises(ValueError, match="inner"):
+
+    outer_plain, outer_plain_n = run(None, "oplain", how="leftOuter")
+    outer_bucketed, outer_bucketed_n = run(600, "ob600", how="leftOuter")
+    # err 10 null-extends; err 1 and 5 must NOT (err 5's matches are
+    # both in its second probed bucket — the naive double-emission trap)
+    assert outer_plain == [(1, 2), (1, 3), (1, 4), (5, 6), (5, 7), (10, None)]
+    assert outer_bucketed == outer_plain and outer_bucketed_n == outer_plain_n
+
+    with _pytest.raises(ValueError, match="inner and leftOuter"):
         interval_join_streaming(
             spark.read.parquet(d), spark.read.parquet(d),
             left_key="user_id", right_key="user_id",
             left_time="ts", right_time="ts",
-            how="leftOuter", bucket_seconds=600,
+            how="rightOuter", bucket_seconds=600,
         )
 
 

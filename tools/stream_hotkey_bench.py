@@ -61,6 +61,12 @@ EVENT_TYPES = ["signup", "click", "error", "view", "purchase"]
 def build_fixture(
     path: str, hot_n: int, tail_n: int, span_days: float, seed: int = 909
 ) -> None:
+    """Two time-ordered data files plus two far-future SENTINEL files
+    (one row per join side each, unmatchable negative ids): outer joins
+    emit null rows only at watermark eviction, so the fixture must
+    advance event time past every horizon (queries._staged_outer_source
+    pattern). Inner runs are unaffected — sentinels match nothing and
+    the read-back strips err_id < 0."""
     rng = np.random.default_rng(seed)
     n = hot_n + tail_n
     user = np.empty(n, dtype="int64")
@@ -89,10 +95,24 @@ def build_fixture(
     os.makedirs(path, exist_ok=True)
     pq.write_table(table.slice(0, cut), os.path.join(path, "part-0.parquet"))
     pq.write_table(table.slice(cut), os.path.join(path, "part-1.parquet"))
+    max_ts = table["ts"].to_numpy().max()
+    for i, days in enumerate((1, 2)):
+        sts = max_ts + np.timedelta64(days * 86_400_000_000, "us")
+        sent = pa.table(
+            {
+                "event_id": pa.array([-1 - 2 * i, -2 - 2 * i], type=pa.int64()),
+                "user_id": pa.array([-1, -2], type=pa.int64()),
+                "ts": pa.array([sts, sts], type=pa.timestamp("us")),
+                "value": pa.array([0.0, 0.0], type=pa.float64()),
+                "event_type": pa.array(["error", "view"], type=pa.string()),
+            }
+        )
+        pq.write_table(sent, os.path.join(path, f"part-{2 + i}.parquet"))
 
 
 def run_join(
-    spark, src: str, out_root: str, bucket_seconds: int | None
+    spark, src: str, out_root: str, bucket_seconds: int | None,
+    how: str = "inner",
 ) -> DataFrame:
     schema = spark.read.parquet(src).schema
 
@@ -130,9 +150,10 @@ def run_join(
         left_time="err_time",
         right_time="f_time",
         window_seconds=600,
+        how=how,
         bucket_seconds=bucket_seconds,
     ).select("err_id", "follow_id")
-    tag = f"b{bucket_seconds or 0}"
+    tag = f"{how}_b{bucket_seconds or 0}"
     q = SK.start_foreach_batch(
         pairs,
         SK.parquet_batch_sink(os.path.join(out_root, f"out_{tag}"), partitions=None),
@@ -142,7 +163,9 @@ def run_join(
         query_name=f"stream_hotkey_{tag}",
     )
     SK.await_or_raise(q)
-    return SK.read_or_empty(spark, os.path.join(out_root, f"out_{tag}"), pairs)
+    return SK.read_or_empty(
+        spark, os.path.join(out_root, f"out_{tag}"), pairs
+    ).where(F.col("err_id") >= 0)  # strip sentinel emissions
 
 
 def digest(df: DataFrame) -> tuple[int, str]:
@@ -162,10 +185,11 @@ def main() -> int:
     ap.add_argument("--span-days", type=float, default=300.0)
     ap.add_argument("--bucket", type=int, default=600)
     ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--how", default="inner", choices=["inner", "leftOuter"])
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
-    path = f"/tmp/sf_ss_hotkey_{args.hot}_{args.tail}"
+    path = f"/tmp/sf_ss_hotkey_s_{args.hot}_{args.tail}"
     if not os.path.exists(os.path.join(path, "part-0.parquet")):
         build_fixture(path, args.hot, args.tail, args.span_days)
     spark = get_spark("stream_hotkey_bench")
@@ -177,7 +201,7 @@ def main() -> int:
             out_root = f"{path}/run_{label}_{rep}"
             shutil.rmtree(out_root, ignore_errors=True)
             t0 = time.monotonic()
-            out = run_join(spark, path, out_root, bucket)
+            out = run_join(spark, path, out_root, bucket, how=args.how)
             nd = digest(out)  # forces the read-back; the stream already ran
             best = min(best, time.monotonic() - t0)
         results[label] = (best, nd)
@@ -187,6 +211,7 @@ def main() -> int:
     print(
         json.dumps(
             {
+                "how": args.how,
                 "hot_rows": args.hot,
                 "tail_rows": args.tail,
                 "span_days": args.span_days,
