@@ -120,7 +120,7 @@ _SLOW = frozenset({
     "fraud_ml_score", "embed_ivf_kmeans_ann", "embed_ivf_ann",
     "embed_semantic_dedup_kmeans",
     "doc_dup_components", "doc_clean_corpus", "merge_upsert",
-    "corpus_training_export",
+    "corpus_training_export", "dedup_streaming_compaction",
 })
 
 #: Queries whose Spark implementation or oracle SQL is NEW or CHANGED
@@ -138,6 +138,7 @@ _FRESH = frozenset({
     "doc_bpe_merges",               # vocab-resident merge loop (auto tier)
     "doc_bpe_tokenize",             # rides the same learner
     "stream_stream_left_join_bucketed",  # NEW: outer-safe hot-key hatch
+    "dedup_streaming_compaction",   # NEW: mid-stream index compaction gate
     "doc_decontaminate_bloom",      # prepare-staged eval bitmap build
 })
 
@@ -153,6 +154,7 @@ _FRESH = frozenset({
 _DRIVER_ROTATION = (
     # --- tier A: round-10 changed (riskiest first) ---
     "stream_stream_left_join_bucketed",
+    "dedup_streaming_compaction",
     "doc_bpe_merges",
     "doc_bpe_tokenize",
     "embed_pq_ann",
@@ -1076,6 +1078,142 @@ def q_doc_dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.incremental_minhash_dedup(
         None, docs.where(is_delta | is_del), threshold=0.5, index=compacted
     )
+
+
+def _minhash_stream_compaction_sql(
+    num_perm: int, bands: int, threshold: float
+) -> str:
+    """Oracle twin of dedup_streaming_compaction: the shared shingle +
+    bucket CTEs, then TWO probe blocks generated by ONE builder
+    (shared-branch rule) — the first delta half (doc_id % 10 = 0)
+    probed against the FULL base index, the second half against the
+    COMPACTED index (base minus the doc_id % 3 = 0 tombstones), both
+    base-only (within_delta=False), UNION ALL'd. All split predicates
+    %-based and COALESCE-fenced (NULL-safe-routing rule)."""
+
+    def probe_block(tag: str, delta_pred: str, other_pred: str) -> str:
+        return f"""{tag}_delta AS (
+  SELECT doc_id FROM documents
+  WHERE {delta_pred} AND text IS NOT NULL
+),
+{tag}_dups AS (
+  SELECT c.id_d, MIN(c.id_o) AS dup_of
+  FROM (
+    SELECT DISTINCT d.doc_id AS id_d, o.doc_id AS id_o
+    FROM buckets d
+    JOIN {tag}_delta dd ON d.doc_id = dd.doc_id
+    JOIN buckets o ON o.band = d.band AND o.key = d.key AND o.doc_id <> d.doc_id
+    WHERE {other_pred}
+  ) c
+  JOIN jacc j ON j.id_a = least(c.id_d, c.id_o)
+             AND j.id_b = greatest(c.id_d, c.id_o)
+  WHERE j.jaccard >= {threshold}
+  GROUP BY c.id_d
+)"""
+
+    is_delta = "COALESCE(doc_id % 5 = 0, FALSE)"
+    half1 = f"{is_delta} AND COALESCE(doc_id % 10 = 0, FALSE)"
+    half2 = f"{is_delta} AND NOT COALESCE(doc_id % 10 = 0, FALSE)"
+    base = "NOT COALESCE(o.doc_id % 5 = 0, FALSE)"
+    survivor = f"{base} AND NOT COALESCE(o.doc_id % 3 = 0, FALSE)"
+    return f"""
+WITH {_SQL_SHINGLE_CTES},
+{_minhash_bucket_ctes(num_perm, bands)},
+{probe_block('h1', half1, base)},
+{probe_block('h2', half2, survivor)}
+SELECT dd.doc_id, d.dup_of, d.dup_of IS NULL AS keep
+FROM h1_delta dd LEFT JOIN h1_dups d ON d.id_d = dd.doc_id
+UNION ALL
+SELECT dd.doc_id, d.dup_of, d.dup_of IS NULL AS keep
+FROM h2_delta dd LEFT JOIN h2_dups d ON d.id_d = dd.doc_id
+"""
+
+
+@_register(
+    "dedup_streaming_compaction",
+    _minhash_stream_compaction_sql(TD.DEFAULT_PERMS, TD.DEFAULT_BANDS, 0.5),
+)
+def q_dedup_streaming_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction DURING a streaming ingest flow (round 10, VERDICT r9
+    #6): the corpus index is persisted once, the delta arrives as two
+    micro-batches, and BETWEEN them a tombstone batch retracts the
+    base docs with doc_id % 3 = 0 (minhash_index_compact applied to
+    the read-back index, its output persisted as the new snapshot —
+    exactly how a production table swaps index versions). The first
+    batch probes the full index; the second probes the compacted one,
+    so a second-half doc whose only near-dup was retracted flips from
+    rejected to admitted mid-stream — the flip the hash gate certifies
+    (plus a constructed-fixture flip test in tests/test_textops.py).
+    Batch→index routing is decided by batch CONTENT (each staged file
+    is one %-rule half), so the output is independent of file arrival
+    order; within each probe within_delta=False keeps it independent
+    of micro-batch boundaries."""
+    import os
+
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.coalesce((F.col("doc_id") % 5) == 0, F.lit(False))
+    is_del = ~is_delta & F.coalesce((F.col("doc_id") % 3) == 0, F.lit(False))
+    delta = docs.where(is_delta)
+    out_schema = "doc_id bigint, dup_of bigint, keep boolean"
+    if delta.isEmpty():
+        return spark.createDataFrame([], out_schema)
+    tmp = _scratch("stream_compaction_")
+
+    def persist_index(index, tag):
+        buckets, sets = index
+        if sets.isEmpty():
+            return index  # zero-row write would break schema inference
+        bpath, spath = os.path.join(tmp, f"{tag}_b"), os.path.join(tmp, f"{tag}_s")
+        buckets.coalesce(1).write.parquet(bpath)
+        sets.coalesce(1).write.parquet(spath)
+        return (spark.read.parquet(bpath), spark.read.parquet(spath))
+
+    index_full = persist_index(TD.minhash_index(docs.where(~is_delta)), "full")
+    # the tombstone batch compacts the READ-BACK snapshot and persists
+    # the result — the index version the post-compaction batches see
+    index_compacted = persist_index(
+        TD.minhash_index_compact(index_full, docs.where(is_del)), "compacted"
+    )
+    dsrc = os.path.join(tmp, "delta_src")
+    half = F.coalesce((F.col("doc_id") % 10) == 0, F.lit(False))
+    delta.where(half).coalesce(1).write.mode("append").parquet(dsrc)
+    delta.where(~half).coalesce(1).write.mode("append").parquet(dsrc)
+    schema = spark.read.parquet(dsrc).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dsrc)
+    )
+    out_path = os.path.join(tmp, "out")
+    write_batch = SK.parquet_batch_sink(out_path, partitions=None)
+
+    def probe(batch_df, batch_id):
+        pre_compaction = not batch_df.where(
+            F.coalesce((F.col("doc_id") % 10) == 0, F.lit(False))
+        ).isEmpty()
+        write_batch(
+            TD.incremental_minhash_dedup(
+                None,
+                batch_df,
+                threshold=0.5,
+                index=index_full if pre_compaction else index_compacted,
+                within_delta=False,
+            ),
+            batch_id,
+        )
+
+    q = SK.start_foreach_batch(
+        stream,
+        probe,
+        os.path.join(tmp, "ckpt"),
+        output_mode="append",
+        available_now=True,
+        query_name="dedup_streaming_compaction",
+    )
+    SK.await_or_raise(q)
+    return SK.read_or_empty(spark, out_path, spark.createDataFrame([], out_schema))
 
 
 @_register(

