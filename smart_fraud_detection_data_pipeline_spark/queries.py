@@ -139,7 +139,6 @@ _FRESH = frozenset({
     "doc_bpe_tokenize",             # rides the same learner
     "stream_stream_left_join_bucketed",  # NEW: outer-safe hot-key hatch
     "dedup_streaming_compaction",   # NEW: mid-stream index compaction gate
-    "doc_decontaminate_bloom",      # prepare-staged eval bitmap build
 })
 
 #: Driver-block rotation, round 10 (VERDICT r9 #1): an ORDERED tuple.
@@ -162,7 +161,6 @@ _DRIVER_ROTATION = (
     "embed_pq_rerank",
     "multimodal_jpeg_decode",
     "multimodal_jpeg420_decode",
-    "doc_decontaminate_bloom",
     # --- tier B: the 27 stale names (last cert <= r06) ---
     "asof_last_purchase", "dedup_keep_last", "doc_sample_stratified",
     "embed_cosine_topk", "events_variant_props", "kafka_serde_roundtrip",
