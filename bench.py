@@ -45,11 +45,17 @@ sys.path.insert(0, REPO)
 from smart_fraud_detection_data_pipeline_spark import get_spark  # noqa: E402
 from smart_fraud_detection_data_pipeline_spark.queries import registry  # noqa: E402
 
-#: Queries measured under 1 s in BOTH the r7 and r8 full sf0.1
-#: artifacts (BENCH_local_r{7,8}.json) — the provably-stable cheap
-#: tail. The `iter` tier samples these 1-in-5 per run instead of
-#: rerunning all of them every iteration; full runs ignore this set.
+#: Queries measured under 1 s in BOTH of the two most recent full
+#: sf0.1 artifacts (refreshed each round: r7+r8 seeded the set, r10
+#: promoted the 9 names sub-second in BOTH BENCH_local_r9 and _r9b) —
+#: the provably-stable cheap tail. The `iter` tier samples these
+#: 1-in-5 per run instead of rerunning all of them every iteration;
+#: full runs ignore this set.
 _STABLE_SUBSEC = frozenset({
+    "brand_supplier_counts", "doc_dedup_exact", "doc_mix_token_budget",
+    "error_burst_window_bucketed", "multimodal_image_decode",
+    "session_windows", "synthetic_transactions", "value_quantiles_approx",
+    "vocab_heavy_hitters",
     "amount_benford", "asof_last_purchase", "asof_next_error",
     "brand_basket_revenue", "cohort_retention", "customer_activity_set_ops",
     "customer_order_distribution", "customer_order_seq",
