@@ -738,6 +738,27 @@ def pq_rerank_topk(
         vec_col=vec_col,
         query_id_col=query_id_col,
     ).select(query_id_col, id_col)
+    return _exact_rerank_stage(
+        corpus, queries, short,
+        k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+def _exact_rerank_stage(
+    corpus: DataFrame,
+    queries: DataFrame,
+    short: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Stage 2 of every PQ rerank composition (ONE implementation so
+    pq_rerank_topk and ivfpq_rerank_topk cannot drift): join the
+    shortlist ids back to the corpus, score with the certified
+    int8-quantized cosine (6-dp rounded, zero-norm -> null), keep the
+    true top-k with (sim DESC NULLS LAST, id) ties."""
     qz = quantize_int8(F.col(vec_col))
     cq = corpus.select(F.col(id_col), qz.alias("__cvec")).withColumn(
         "__cn", _norm(F.col("__cvec"))
@@ -764,6 +785,52 @@ def pq_rerank_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "q_cosine_sim", "rank")
+    )
+
+
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    shortlist: int = 50,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The full FAISS production composition (round 10): IVF-PQ
+    shortlists `shortlist` candidates per query — cell-routed, m
+    residual-code lookups per candidate, never a full scan — and the
+    exact int8-quantized cosine re-ranks only those. The round-10
+    operating-curve sweep (ivfpq_ann_topk docstring) showed a 50-deep
+    rerank lifts even a 16-bit code to 0.90 recall@10, beating every
+    pure-code-budget point below 96 bits — so this composition, not a
+    bigger codebook, is the recommended default at scale. Shares
+    _exact_rerank_stage with pq_rerank_topk and stays a FULL hash
+    gate (both stages deterministic with id tie-breaks)."""
+    corpus = corpus.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+    queries = queries.where(
+        F.col(vec_col).isNotNull() & F.col(query_id_col).isNotNull()
+    )
+    short = ivfpq_ann_topk(
+        corpus,
+        queries,
+        k=shortlist,
+        n_clusters=n_clusters,
+        nprobe=nprobe,
+        m=m,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    return _exact_rerank_stage(
+        corpus, queries, short,
+        k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
 
 

@@ -139,6 +139,7 @@ _FRESH = frozenset({
     "doc_bpe_tokenize",             # rides the same learner
     "stream_stream_left_join_bucketed",  # NEW: outer-safe hot-key hatch
     "dedup_streaming_compaction",   # NEW: mid-stream index compaction gate
+    "embed_ivfpq_rerank",           # NEW: IVF-PQ + exact rerank gate
 })
 
 #: Driver-block rotation, round 10 (VERDICT r9 #1): an ORDERED tuple.
@@ -159,6 +160,7 @@ _DRIVER_ROTATION = (
     "embed_pq_ann",
     "embed_ivfpq_ann",
     "embed_pq_rerank",
+    "embed_ivfpq_rerank",
     "multimodal_jpeg_decode",
     "multimodal_jpeg420_decode",
     # --- tier B: the 27 stale names (last cert <= r06) ---
@@ -7208,16 +7210,13 @@ SELECT query_id, vec_id, pq_dist, rank FROM ranked WHERE rank <= {k}
     )
 
 
-def _pq_rerank_oracle_sql(
-    k: int = 10, shortlist: int = 50, m: int = 4, n_codes: int = 16
-) -> str:
-    """Oracle twin of embed_pq_rerank: the shared PQ core shortlists
-    `shortlist` candidates by ADC, then the certified int8-quantized
-    cosine (embed_quantized_topk's exact formula, 6-dp rounded)
-    re-ranks only those and keeps the true top-k."""
-    return (
-        _pq_core_ctes(m, n_codes)
-        + f""",
+def _rerank_tail_sql(k: int, shortlist: int) -> str:
+    """The exact-rerank tail shared by the embed_pq_rerank and
+    embed_ivfpq_rerank oracles (ONE builder — shared-branch rule; the
+    Spark twin is similarity._exact_rerank_stage): shortlist by ADC
+    pq_dist from `dists`, re-score against the int8-quantized vectors
+    in `nz` with the certified 6-dp cosine, keep the true top-k."""
+    return f""",
 short AS (
   SELECT query_id, vec_id FROM (
     SELECT query_id, vec_id,
@@ -7248,7 +7247,16 @@ ranked AS (
 )
 SELECT query_id, vec_id, q_cosine_sim, rank FROM ranked WHERE rank <= {k}
 """
-    )
+
+
+def _pq_rerank_oracle_sql(
+    k: int = 10, shortlist: int = 50, m: int = 4, n_codes: int = 16
+) -> str:
+    """Oracle twin of embed_pq_rerank: the shared PQ core shortlists
+    `shortlist` candidates by ADC, then the certified int8-quantized
+    cosine (embed_quantized_topk's exact formula, 6-dp rounded)
+    re-ranks only those and keeps the true top-k."""
+    return _pq_core_ctes(m, n_codes) + _rerank_tail_sql(k, shortlist)
 
 
 @_register("embed_pq_rerank", _pq_rerank_oracle_sql())
@@ -7272,16 +7280,16 @@ def q_embed_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_rerank_topk(emb, queries, k=10, shortlist=50, m=4, n_codes=16)
 
 
-def _ivfpq_oracle_sql(
-    k: int = 10, n_clusters: int = 16, nprobe: int = 4, m: int = 4,
-    n_codes: int = 16,
+def _ivfpq_core_sql(
+    n_clusters: int = 16, nprobe: int = 4, m: int = 4, n_codes: int = 16,
 ) -> str:
-    """Oracle twin of embed_ivfpq_ann: int8 quantization (shared CTE),
-    modular coarse centroids + exact-int L2 argmin assignment, residual
+    """The IVF-PQ pipeline through per-candidate `dists` — ONE builder
+    shared by the embed_ivfpq_ann and embed_ivfpq_rerank oracles
+    (shared-branch rule): int8 quantization (shared CTE), modular
+    coarse centroids + exact-int L2 argmin assignment, residual
     codebooks from the OFFSET modular sample, per-subspace residual
-    encoding, nprobe cell probing, per-(query, cell) residual ADC
-    tables, and the exact-integer candidate ranking — everything
-    recomputed from the table in SQL."""
+    encoding, nprobe cell probing, and per-(query, cell) residual ADC
+    tables — everything recomputed from the table in SQL."""
     full_l2 = _pq_l2_sql
     enc_l2 = _pq_l2_sql(_pq_slice("x.rv", m=m), _pq_slice("rb.rv", m=m))
     adc_l2 = _pq_l2_sql(_pq_slice("qr.rv", m=m), _pq_slice("rb.rv", m=m))
@@ -7362,7 +7370,18 @@ dists AS (
   FROM codes cd
   JOIN adc a ON a.cidx = cd.cidx AND a.j = cd.j AND a.sidx = cd.sidx
   GROUP BY a.query_id, cd.vec_id
-),
+)"""
+
+
+def _ivfpq_oracle_sql(
+    k: int = 10, n_clusters: int = 16, nprobe: int = 4, m: int = 4,
+    n_codes: int = 16,
+) -> str:
+    """Oracle twin of embed_ivfpq_ann: the shared core plus the
+    exact-integer ADC ranking."""
+    return (
+        _ivfpq_core_sql(n_clusters, nprobe, m, n_codes)
+        + f""",
 ranked AS (
   SELECT query_id, vec_id, pq_dist,
          CAST(row_number() OVER (
@@ -7372,6 +7391,19 @@ ranked AS (
 )
 SELECT query_id, vec_id, pq_dist, rank FROM ranked WHERE rank <= {k}
 """
+    )
+
+
+def _ivfpq_rerank_oracle_sql(
+    k: int = 10, shortlist: int = 50, n_clusters: int = 16, nprobe: int = 4,
+    m: int = 4, n_codes: int = 16,
+) -> str:
+    """Oracle twin of embed_ivfpq_rerank: the shared IVF-PQ core
+    shortlists by residual ADC, then the shared exact-rerank tail."""
+    return (
+        _ivfpq_core_sql(n_clusters, nprobe, m, n_codes)
+        + _rerank_tail_sql(k, shortlist)
+    )
 
 
 @_register("embed_ivfpq_ann", _ivfpq_oracle_sql())
@@ -7395,6 +7427,32 @@ def q_embed_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_ann_topk(emb, queries, k=10, n_clusters=16, nprobe=4, m=4)
+
+
+@_register("embed_ivfpq_rerank", _ivfpq_rerank_oracle_sql())
+def q_embed_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact rerank under the FULL hash gate (round 10): the
+    complete FAISS production composition — cell-routed residual-code
+    shortlist (never a full scan), then the certified int8 cosine over
+    just shortlist×queries rows. The round-10 operating-curve sweep
+    showed this beats every pure-code-budget point below 96 bits/vec
+    (0.90 recall@10 from a 16-bit code + 50-deep rerank), making it
+    the recommended default at scale. Both stages deterministic with
+    id tie-breaks; the oracle recomputes shortlist and rerank through
+    the shared IVF-PQ core + rerank-tail builders. See
+    operators/similarity.ivfpq_rerank_topk."""
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import (
+        ivfpq_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_rerank_topk(
+        emb, queries, k=10, shortlist=50, n_clusters=16, nprobe=4, m=4,
+        n_codes=16,
+    )
 
 
 @_register("embed_pq_ann", _pq_oracle_sql())

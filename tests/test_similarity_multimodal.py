@@ -1461,3 +1461,27 @@ def test_ivfpq_operating_curve(spark):
     assert r(16, 64, 2) >= knee  # and keeps paying above the knee
     # nprobe is a monotone dial even where it saturates
     assert r(4, 16, 8) >= r(4, 16, 1)
+
+
+def test_ivfpq_rerank_recovers_recall(spark):
+    """Round-10: the IVF-PQ + exact-rerank composition recovers the
+    recall the 16-bit residual code gives up, never ranks worse than
+    raw IVF-PQ, and keeps rank-1 self-match — the FAISS production
+    pattern the operating curve recommends."""
+    emb = _clustered_emb(spark)
+    q = emb.where(F.col("vec_id").isin(0, 50, 100, 150, 200)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(emb, q, k=10).collect()
+    raw = SIM.ivfpq_ann_topk(
+        emb, q, k=10, n_clusters=16, nprobe=2, m=4, n_codes=16
+    ).collect()
+    rer = SIM.ivfpq_rerank_topk(
+        emb, q, k=10, shortlist=50, n_clusters=16, nprobe=2, m=4, n_codes=16
+    ).collect()
+    r_raw, _, _ = _recall(exact, raw)
+    r_rer, es, aps = _recall(exact, rer)
+    assert r_rer >= 0.85
+    assert r_rer >= r_raw
+    top1 = {r.query_id: r.vec_id for r in rer if r.rank == 1}
+    assert top1 == {k: k for k in (0, 50, 100, 150, 200)}
