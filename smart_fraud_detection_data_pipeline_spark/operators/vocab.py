@@ -358,6 +358,63 @@ def _bpe_resident_merges(
     return merges
 
 
+def bpe_vocabulary(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """The final token VOCABULARY a learned tokenizer ships alongside
+    its merge table (round 10): apply the merges to the word vocab and
+    count every surviving symbol's corpus occurrences — (token,
+    n_occurrences). This is the artifact that sizes the embedding
+    matrix and drives id assignment; its long tail is also the
+    standard diagnostic for under-trained merges.
+
+    Same exclusions as the learner (NULL text, empty words, separator
+    bytes); zero floats, so a FULL hash gate — the oracle re-learns
+    the merges through the shared CTE chain and re-splits the final
+    vocab stage. Scale shape: one corpus scan for word counts (the
+    only corpus-wide shuffle), then everything runs on the Heaps'-law
+    word vocab; the token explode fans out by symbols-per-word and
+    regroups on the (small) token space."""
+    sep = BPE_SEP
+    words = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .where((F.col("word") != "") & ~F.col("word").contains(sep))
+    )
+    framed = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).select(
+        "cnt",
+        F.expr(
+            "concat(char(31), array_join(transform("
+            "sequence(1, char_length(word)), "
+            "i -> substring(word, i, 1)), char(31) || char(31)), char(31))"
+        ).alias("seq"),
+    )
+    seq = F.col("seq")
+    for _rank, l, r, _total in merges:
+        seq = F.replace(
+            seq, F.lit(sep + l + sep + sep + r + sep), F.lit(sep + l + r + sep)
+        )
+    # stage the merged seq, then the split array, each as a projected
+    # attribute (the staged-HOF rule) before the explode
+    staged = framed.select("cnt", seq.alias("seq")).select(
+        "cnt",
+        F.split(
+            F.expr("substring(seq, 2, char_length(seq) - 2)"),
+            sep + sep,
+        ).alias("syms"),
+    )
+    return (
+        staged.select("cnt", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("n_occurrences"))
+    )
+
+
 def bpe_apply(
     df: DataFrame,
     merges: list[tuple[int, str, str, int]],

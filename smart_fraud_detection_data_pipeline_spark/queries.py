@@ -137,6 +137,7 @@ _FRESH = frozenset({
     "multimodal_jpeg420_decode",    # same decoder change
     "doc_bpe_merges",               # vocab-resident merge loop (auto tier)
     "doc_bpe_tokenize",             # rides the same learner
+    "doc_bpe_vocab",                # NEW: learned-vocabulary table gate
     "stream_stream_left_join_bucketed",  # NEW: outer-safe hot-key hatch
     "dedup_streaming_compaction",   # NEW: mid-stream index compaction gate
     "embed_ivfpq_rerank",           # NEW: IVF-PQ + exact rerank gate
@@ -157,6 +158,7 @@ _DRIVER_ROTATION = (
     "dedup_streaming_compaction",
     "doc_bpe_merges",
     "doc_bpe_tokenize",
+    "doc_bpe_vocab",
     "embed_pq_ann",
     "embed_ivfpq_ann",
     "embed_pq_rerank",
@@ -2097,6 +2099,44 @@ def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_learn_merges(docs, n_merges=_BPE_MERGES)
+
+
+def _bpe_vocab_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
+    """Oracle twin of doc_bpe_vocab: re-learn the merges through the
+    shared stage chain, then split the FINAL vocab stage back into
+    symbols and sum word counts per token."""
+    u = "chr(31)"
+    return (
+        _bpe_stage_ctes(n_merges)
+        + f"""
+SELECT t.tok AS token, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM (SELECT string_split(substring(seq, 2, length(seq) - 2), {u} || {u}) AS syms,
+             cnt
+      FROM vocab{n_merges}),
+     LATERAL unnest(syms) AS t(tok)
+GROUP BY t.tok
+"""
+    )
+
+
+@_register("doc_bpe_vocab", _bpe_vocab_oracle_sql())
+def q_doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned tokenizer's VOCABULARY table (round 10): token →
+    corpus occurrence count after the 8 learned merges — the third
+    artifact of the BPE family (merges = training, tokenize = apply,
+    vocab = what ships to the embedding layer). Runs the resident
+    learner, then one vocab-sized aggregation; the oracle re-learns
+    every merge through the shared CTE chain and re-splits the final
+    vocab stage, so a wrong merge, a framing leak, or a count drift
+    flips the hash. Zero floats. See operators/vocab.bpe_vocabulary."""
+    from smart_fraud_detection_data_pipeline_spark.operators.vocab import (
+        bpe_merge_list,
+        bpe_vocabulary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_merge_list(docs, n_merges=_BPE_MERGES)
+    return bpe_vocabulary(docs, merges)
 
 
 @_register(

@@ -792,3 +792,27 @@ def test_streaming_compaction_flips_admission(spark, tmp_path):
     assert out[15] == (None, True)
     assert out[25] == (None, True)
     assert set(out) == {10, 15, 25}
+
+
+def test_bpe_vocabulary_hand_corpus(spark):
+    """Round-10: the vocabulary table on the Sennrich corpus after 4
+    merges is fully derivable — 'low'->[low]x5, 'lower'->[lower]x2,
+    'lowest'->[lowe,s,t]x1."""
+    from smart_fraud_detection_data_pipeline_spark.operators.vocab import (
+        bpe_merge_list,
+        bpe_vocabulary,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lower lower"), (3, "lowest"),
+         (4, None)],
+        "doc_id bigint, text string",
+    )
+    merges = bpe_merge_list(docs, n_merges=4)
+    got = {r.token: r.n_occurrences for r in bpe_vocabulary(docs, merges).collect()}
+    assert got == {"low": 5, "lower": 2, "lowe": 1, "s": 1, "t": 1}
+    # zero merges: pure character counts
+    got0 = {r.token: r.n_occurrences
+            for r in bpe_vocabulary(docs, []).collect()}
+    assert got0["l"] == 8 and got0["o"] == 8 and got0["w"] == 8
+    assert got0["e"] == 3 and got0["r"] == 2 and got0["s"] == 1
