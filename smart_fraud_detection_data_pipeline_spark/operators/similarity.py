@@ -73,7 +73,14 @@ def cosine_topk(
     (rank 1 when the query is drawn from the corpus). The broadcast
     nested-loop join never shuffles the corpus; the window top-k
     shuffles only (query_id, k) rows after per-partition pre-ranking.
+
+    NULL ids are excluded on both sides (round 10, family-wide ANN id
+    rule): an id-less vector can't be reported as a neighbor, and the
+    rank tie-break's null ordering differs between engines. Twin
+    fences live in every embed_* oracle.
     """
+    corpus = corpus.where(F.col(id_col).isNotNull())
+    queries = queries.where(F.col(query_id_col).isNotNull())
     q = queries.select(
         F.col(query_id_col), as_double_array(F.col(vec_col)).alias("__qvec")
     )
@@ -275,10 +282,15 @@ def ivf_ann_topk(
 
     NULL vectors are excluded from both the indexed corpus and the
     query set — an ANN index has no cell for an absent vector
-    (adversarial-sweep rule).
+    (adversarial-sweep rule) — and NULL ids with them (the round-10
+    family-wide id rule; note the exclusion happens BEFORE
+    sample_centroids' count, so the oracle's modular sample must run
+    over the same id-fenced corpus).
     """
-    corpus = corpus.where(F.col(vec_col).isNotNull())
-    queries = queries.where(F.col(vec_col).isNotNull())
+    corpus = corpus.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+    queries = queries.where(
+        F.col(vec_col).isNotNull() & F.col(query_id_col).isNotNull()
+    )
     cents = (
         centroids
         if centroids is not None
@@ -406,11 +418,13 @@ def srp_ann_topk(
         probe_hamming = 1 if multiprobe else 0
     if not 0 <= probe_hamming <= 2:
         raise ValueError(f"probe_hamming must be 0..2, got {probe_hamming}")
-    # NULL vectors excluded (same rule as ivf_ann_topk); an EMPTY corpus
-    # yields an empty result instead of dying on the dim probe — the
-    # empty-partition-day case from the empty-fixture sweep.
-    corpus = corpus.where(F.col(vec_col).isNotNull())
-    queries = queries.where(F.col(vec_col).isNotNull())
+    # NULL vectors and NULL ids excluded (the family-wide ANN rules);
+    # an EMPTY corpus yields an empty result instead of dying on the
+    # dim probe — the empty-partition-day case from the empty sweep.
+    corpus = corpus.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+    queries = queries.where(
+        F.col(vec_col).isNotNull() & F.col(query_id_col).isNotNull()
+    )
     probe_row = corpus.select(vec_col).first()
     if probe_row is None:
         spark = corpus.sparkSession
@@ -494,6 +508,8 @@ def quantized_cosine_topk(
     identical — the property that lets this run under the hash gate
     rather than a recall gate: quantization is deterministic math, not
     approximation-by-sampling."""
+    corpus = corpus.where(F.col(id_col).isNotNull())
+    queries = queries.where(F.col(query_id_col).isNotNull())
     # Norms materialized per side BEFORE the join — Catalyst does not CSE,
     # so an inline norm would re-fold per (query, corpus) pair.
     qvec = quantize_int8(F.col(vec_col))
@@ -1126,9 +1142,12 @@ def semantic_dedup(
     fixed k on a growing corpus would silently re-quadratize the
     within-cell join. Pass `n_clusters` or `centroids` to pin the
     cells (what the oracle-twinned query does). Output is one row per
-    non-NULL input vector: (id, cluster, dup_of, keep).
+    non-NULL input vector: (id, cluster, dup_of, keep). NULL ids are
+    excluded with NULL vectors (round 10 family-wide id rule: a
+    keyless vector can't be kept/removed deterministically, and
+    `< id` comparisons against NULL silently immunize it).
     """
-    base = corpus.where(F.col(vec_col).isNotNull())
+    base = corpus.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
     if centroids is None:
         if n_clusters is None:
             import math
@@ -1394,8 +1413,15 @@ def ivf_ann_contract_report(
     )
     if not centroids:
         return spark.createDataFrame([], out_schema)
-    corpus_nn = corpus.where(F.col(vec_col).isNotNull())
-    queries_nn = queries.where(F.col(vec_col).isNotNull())
+    # same fences as the operator under verification (NULL vector AND
+    # NULL id — the round-10 family rule), or the independent
+    # recomputation would verify a different corpus
+    corpus_nn = corpus.where(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    queries_nn = queries.where(
+        F.col(vec_col).isNotNull() & F.col(query_id_col).isNotNull()
+    )
 
     ann = ivf_ann_topk(
         corpus,
@@ -1561,7 +1587,8 @@ def semantic_dedup_contract_report(
     out_schema = (
         f"{id_col} {id_t}, dup_sampled boolean, removed_sound boolean"
     )
-    base = corpus.where(F.col(vec_col).isNotNull())
+    # mirror semantic_dedup's round-10 entry fences (vector AND id)
+    base = corpus.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
     if not centroids:
         return spark.createDataFrame([], out_schema)
 

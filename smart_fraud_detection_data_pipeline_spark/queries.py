@@ -2186,7 +2186,8 @@ _SQL_COSINE_TOPK = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
 ),
-c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE vec_id IS NOT NULL),
 scored AS (
   SELECT query_id, vec_id,
          round(CASE WHEN sqrt(list_sum(list_transform(qv, x -> x*x))) > 0
@@ -3949,7 +3950,8 @@ def q_fraud_ml_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "embed_ivf_kmeans_ann",
     """
-WITH c AS (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL)
+WITH c AS (SELECT vec_id FROM embeddings
+           WHERE embedding IS NOT NULL AND vec_id IS NOT NULL)
 SELECT vec_id AS query_id,
        CAST(LEAST(10, (SELECT count(*) FROM c)) AS BIGINT) AS n_exact,
        TRUE AS probe_exact, TRUE AS recall_ok
@@ -4797,7 +4799,7 @@ WITH q AS (
   WHERE vec_id < 5 AND embedding IS NOT NULL
 ),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
-      WHERE embedding IS NOT NULL),
+      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
 cb AS (SELECT vec_id, cv, {bucket_expr('cv')} AS bucket FROM c),
 qb AS (SELECT query_id, qv, {bucket_expr('qv')} AS bucket FROM q),
 probes AS (
@@ -4912,7 +4914,7 @@ def _ivf_assign_cte(n_clusters: int) -> str:
     never drift between oracles (fuzz-sweep shared-branch rule)."""
     return f"""
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-           WHERE embedding IS NOT NULL),
+           WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
 cents AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx, v AS cv
   FROM c
@@ -7144,7 +7146,7 @@ WITH {_INT8_QZ_CTES}, scored AS (
                             * sqrt(list_dot_product(b.q, b.q))),
                          6) END AS q_cosine_sim
   FROM qz a, qz b
-  WHERE a.vec_id < 5
+  WHERE a.vec_id < 5 AND b.vec_id IS NOT NULL
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY q_cosine_sim DESC NULLS LAST, vec_id) AS rank

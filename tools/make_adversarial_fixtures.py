@@ -379,6 +379,8 @@ def build_tables() -> dict[str, pa.Table]:
         (7, None, 2),              # NULL vector
         (8, unit(2), None),        # NULL label
         (9, [float(j % 7 - 3) for j in range(dim)], 2),
+        (None, unit(3), 0),        # NULL id with a valid vector (r10):
+                                   # exercises the ANN-family id fences
     ]
     tables["embeddings"] = pa.table(
         {
