@@ -141,6 +141,10 @@ _FRESH = frozenset({
     "stream_stream_left_join_bucketed",  # NEW: outer-safe hot-key hatch
     "dedup_streaming_compaction",   # NEW: mid-stream index compaction gate
     "embed_ivfpq_rerank",           # NEW: IVF-PQ + exact rerank gate
+    # family-wide NULL-id fence (Spark entry filters + oracle CTEs):
+    "embed_cosine_topk", "embed_quantized_topk", "embed_srp_ann",
+    "embed_ivf_ann", "embed_ivf_kmeans_ann", "embed_semantic_dedup",
+    "embed_semantic_dedup_kmeans",
 })
 
 #: Driver-block rotation, round 10 (VERDICT r9 #1): an ORDERED tuple.
@@ -165,9 +169,16 @@ _DRIVER_ROTATION = (
     "embed_ivfpq_rerank",
     "multimodal_jpeg_decode",
     "multimodal_jpeg420_decode",
+    "embed_cosine_topk",
+    "embed_quantized_topk",
+    "embed_srp_ann",
+    "embed_ivf_ann",
+    "embed_ivf_kmeans_ann",
+    "embed_semantic_dedup",
+    "embed_semantic_dedup_kmeans",
     # --- tier B: the 27 stale names (last cert <= r06) ---
     "asof_last_purchase", "dedup_keep_last", "doc_sample_stratified",
-    "embed_cosine_topk", "events_variant_props", "kafka_serde_roundtrip",
+    "events_variant_props", "kafka_serde_roundtrip",
     "multimodal_byte_features", "nation_year_profit",
     "not_in_null_semantics", "order_priority_late_ship", "orders_cube",
     "part_hierarchy_walk", "prolific_red_part_suppliers",
