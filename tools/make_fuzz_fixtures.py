@@ -461,9 +461,17 @@ def build_tables(seed: int, scale: int = 1, hotkey: bool = False) -> dict[str, p
             v = centroids[assign[i]] + rng.normal(0.0, 0.3, DIM)
             vecs.append(list(np.float32(v)))
         labels.append(None if rng.random() < label_null_rate else int(assign[i]))
+    # NULL ids on otherwise-valid vectors (r10): exercises the
+    # family-wide ANN id fence on random geometry, not just the fixed
+    # adversarial row; query ids (vec_id < 5) stay intact
+    id_null_rate = _rate(rng, 0.03)
+    ids: list[int | None] = [
+        None if (i >= 5 and rng.random() < id_null_rate) else i + 1
+        for i in range(n_vec)
+    ]
     tables["embeddings"] = pa.table(
         {
-            "vec_id": pa.array(np.arange(n_vec) + 1, type=pa.int64()),
+            "vec_id": pa.array(ids, type=pa.int64()),
             "embedding": pa.array(
                 [None if v is None else [float(x) for x in v] for v in vecs],
                 type=pa.list_(pa.float32()),
