@@ -121,6 +121,7 @@ _SLOW = frozenset({
     "embed_semantic_dedup_kmeans",
     "doc_dup_components", "doc_clean_corpus", "merge_upsert",
     "corpus_training_export", "dedup_streaming_compaction",
+    "embed_ann_streaming",
 })
 
 #: Queries whose Spark implementation or oracle SQL is NEW or CHANGED
@@ -141,6 +142,7 @@ _FRESH = frozenset({
     "stream_stream_left_join_bucketed",  # NEW: outer-safe hot-key hatch
     "dedup_streaming_compaction",   # NEW: mid-stream index compaction gate
     "embed_ivfpq_rerank",           # NEW: IVF-PQ + exact rerank gate
+    "embed_ann_streaming",          # NEW: streaming probe of persisted index
     # family-wide NULL-id fence (Spark entry filters + oracle CTEs):
     "embed_cosine_topk", "embed_quantized_topk", "embed_srp_ann",
     "embed_ivf_ann", "embed_ivf_kmeans_ann", "embed_semantic_dedup",
@@ -160,6 +162,7 @@ _DRIVER_ROTATION = (
     # --- tier A: round-10 changed (riskiest first) ---
     "stream_stream_left_join_bucketed",
     "dedup_streaming_compaction",
+    "embed_ann_streaming",
     "doc_bpe_merges",
     "doc_bpe_tokenize",
     "doc_bpe_vocab",
@@ -4943,13 +4946,17 @@ assign AS (
 )"""
 
 
-def _ivf_oracle_sql(k: int = 10, n_clusters: int = 16, nprobe: int = 4) -> str:
-    """Oracle twin of the sampled-centroid IVF query: the shared
+def _ivf_oracle_sql(
+    k: int = 10, n_clusters: int = 16, nprobe: int = 4,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """Oracle twin of the sampled-centroid IVF queries (batch and
+    streaming — the streaming twin widens query_pred): the shared
     centroid-assignment CTEs plus nprobe cell routing, candidate scoring
     and ranking — all recomputed from the table in SQL."""
     dist = _IVF_DIST
     return f"""{_ivf_assign_cte(n_clusters)},
-q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE {query_pred}),
 qprobe AS (
   SELECT query_id, qv, cidx FROM (
     SELECT q.query_id, q.qv, cents.cidx,
@@ -4984,6 +4991,73 @@ for _i, _s in enumerate(_REGISTRY):
     if _s.name == "embed_ivf_ann":
         _REGISTRY[_i] = QuerySpec("embed_ivf_ann", _s.spark_fn, _ivf_oracle_sql())
         break
+
+
+@_register("embed_ann_streaming", _ivf_oracle_sql(query_pred="vec_id < 10"))
+def q_embed_ann_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming retrieval against a PERSISTED ANN index (round 10) —
+    the serving half of the embedding story, mirroring
+    dedup_incremental_streaming's shape: the IVF coarse centroids are
+    sampled ONCE from the indexed corpus (production: stored with the
+    index), query vectors arrive as a 2-file stream, and every
+    micro-batch is routed/scored in foreachBatch with the SAME
+    cell-routed operator the batch gate certifies. Each query is
+    independent, so the appended output equals one batch probe of all
+    10 queries regardless of where the micro-batch boundary falls —
+    which is exactly what the batch IVF oracle (query_pred widened to
+    vec_id < 10) verifies. At 100 TB the corpus assignment is a
+    partition column and each micro-batch costs |batch| x nprobe cell
+    scans; the index never rebuilds per batch."""
+    import os
+
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import (
+        ivf_ann_topk,
+        sample_centroids,
+    )
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out_schema = "query_id bigint, vec_id bigint, cosine_sim double, rank int"
+    indexed = emb.where(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    # sampled once over the id-fenced corpus — the same modular rule
+    # (and therefore the same centroids) the oracle's cents CTE derives
+    cents = sample_centroids(indexed, 16)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    if not cents or queries.isEmpty():
+        return spark.createDataFrame([], out_schema)
+    tmp = _scratch("ann_stream_")
+    qsrc = os.path.join(tmp, "queries")
+    queries.where(F.col("query_id") < 5).coalesce(1).write.mode("append").parquet(qsrc)
+    queries.where(F.col("query_id") >= 5).coalesce(1).write.mode("append").parquet(qsrc)
+    schema = spark.read.parquet(qsrc).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(qsrc)
+    )
+    out_path = os.path.join(tmp, "out")
+    write_batch = SK.parquet_batch_sink(out_path, partitions=None)
+
+    def probe(batch_df, batch_id):
+        write_batch(
+            ivf_ann_topk(emb, batch_df, k=10, nprobe=4, centroids=cents),
+            batch_id,
+        )
+
+    q = SK.start_foreach_batch(
+        stream,
+        probe,
+        os.path.join(tmp, "ckpt"),
+        output_mode="append",
+        available_now=True,
+        query_name="embed_ann_streaming",
+    )
+    SK.await_or_raise(q)
+    return SK.read_or_empty(spark, out_path, spark.createDataFrame([], out_schema))
 
 
 def _semantic_dedup_oracle_sql(
