@@ -4,7 +4,7 @@ Runs the reference pipeline's full batch path (enrich -> trends -> dedup ->
 warehouse upsert), a training-data pass over ``documents``/``embeddings``
 (near-dup candidates + exact ANN baseline), and the streaming variant of
 the fraud pipeline (availableNow micro-batches into parquet sinks) — all
-with the same operators the 129-query registry verifies against DuckDB.
+with the same operators the 161-query registry verifies against DuckDB.
 
 Usage:
     python examples/end_to_end.py [sf_dir]        # default /root/testdata/sf0.001
