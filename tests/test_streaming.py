@@ -568,6 +568,10 @@ def test_stream_stream_join_bucketed_bit_identical(spark, tmp_path):
     # both in its second probed bucket — the naive double-emission trap)
     assert outer_plain == [(1, 2), (1, 3), (1, 4), (5, 6), (5, 7), (10, None)]
     assert outer_bucketed == outer_plain and outer_bucketed_n == outer_plain_n
+    # a NON-DIVISOR bucket (450 s under the 600 s window: 3 probed
+    # buckets, uneven coverage) must stay bit-identical too
+    outer_450, outer_450_n = run(450, "ob450", how="leftOuter")
+    assert outer_450 == outer_plain and outer_450_n == outer_plain_n
 
     with _pytest.raises(ValueError, match="inner and leftOuter"):
         interval_join_streaming(
