@@ -1187,7 +1187,10 @@ def make_image_codecs() -> dict[str, object]:
             # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a
             # marker; skip them or a spec-valid stream from a padding
             # encoder would fall into the segment-length parse (ADVICE
-            # r9). The pos+4 bound above re-checks each iteration.
+            # r9). The skip can advance past the pos+4 bound checked at
+            # loop top, so length-carrying markers re-check below before
+            # the 2-byte length unpack (ADVICE r10: a payload ending
+            # 'FF FF <marker>' must raise ValueError, not struct.error).
             while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
                 pos += 1
             if pos + 2 > len(payload):
@@ -1198,6 +1201,8 @@ def make_image_codecs() -> dict[str, object]:
                 raise ValueError("EOI before SOS")
             if marker == 0x01 or 0xD0 <= marker <= 0xD7:
                 continue  # standalone markers
+            if pos + 2 > len(payload):
+                raise ValueError("truncated JPEG segment")
             (seglen,) = struct.unpack_from(">H", payload, pos)
             seg = payload[pos + 2 : pos + seglen]
             if len(seg) != seglen - 2:

@@ -1433,6 +1433,21 @@ def test_decode_jpeg_fill_bytes():
     assert dec(bytes(padded)) == base
 
 
+def test_decode_jpeg_truncated_after_fill_bytes():
+    """ADVICE r10: a payload ending 'FF FF <length-marker>' — the fill-
+    byte skip consumed the loop-top pos+4 slack — must raise the
+    documented ValueError, not struct.error from the length unpack."""
+    codecs = MM.make_image_codecs()
+    dec = codecs["decode_jpeg"]
+    # SOI, then fill byte + DQT marker with no length field following
+    for tail in (b"\xff\xff\xdb", b"\xff\xff\xdb\x00"):
+        with pytest.raises(ValueError, match="truncated JPEG"):
+            dec(b"\xff\xd8" + tail)
+    # and without fill bytes: standalone marker then truncated segment
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        dec(b"\xff\xd8\xff\x01\xff\xdb\x00")
+
+
 def test_ivfpq_operating_curve(spark):
     """Round-10 (VERDICT r9 #4): the IVF-PQ recall/cost knee, mirroring
     the SRP operating-point pattern. On the clustered fixture the real
