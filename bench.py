@@ -1,8 +1,12 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints the full JSON line first:
   {"metric": "total_query_time", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": X}
+then ENDS stdout with a compact summary line (no per-query map) that
+always fits the driver's 2000-char tail capture:
+  {"metric": ..., "value": N, "unit": "sec", "sf": X, "n": Q, "errors_n": E}
+Set SPARK_GRAFT_BENCH_OUT=path to also write the full artifact to a file.
 
 Each query materializes fully via the noop sink (distributed execution,
 no driver collect). A shared warm session amortizes JVM startup, mirroring
@@ -162,7 +166,25 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Full artifact (the per-query map) goes FIRST on stdout and, when
+    # SPARK_GRAFT_BENCH_OUT is set, to that file. The LAST stdout line
+    # is a compact summary that always fits the driver's 2000-char tail
+    # capture — round 10's 4.5 KB one-liner overflowed it and the driver
+    # recorded `parsed: null` (VERDICT r10 #2).
     print(json.dumps(out))
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(out, fh)
+    compact = {
+        "metric": "total_query_time",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n": len(times),
+        "errors_n": len(errors),
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 
