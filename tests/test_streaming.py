@@ -551,9 +551,13 @@ def test_stream_stream_join_bucketed_bit_identical(spark, tmp_path):
         rows = [
             (r.err_id, r.follow_id)
             for r in spark.read.parquet(os.path.join(out, "data")).collect()
-            if r.err_id >= 0  # strip the sentinels' own emissions
+            # strip the sentinels' own emissions (either side may be a
+            # NULL extension under the outer flavors)
+            if (r.err_id is None or r.err_id >= 0)
+            and (r.follow_id is None or r.follow_id >= 0)
         ]
-        return sorted(rows, key=lambda t: (t[0], t[1] if t[1] is not None else -1)), len(rows)
+        key = lambda t: tuple(-1 if v is None else v for v in t)  # noqa: E731
+        return sorted(rows, key=key), len(rows)
 
     plain_rows, plain_n = run(None, "plain")
     bucketed_rows, bucketed_n = run(600, "b600")
@@ -573,13 +577,94 @@ def test_stream_stream_join_bucketed_bit_identical(spark, tmp_path):
     outer_450, outer_450_n = run(450, "ob450", how="leftOuter")
     assert outer_450 == outer_plain and outer_450_n == outer_plain_n
 
-    with _pytest.raises(ValueError, match="inner and leftOuter"):
+    # rightOuter (round 11): the probe explode copies only the LEFT
+    # side, so the per-copy join is bit-identical with no consolidation
+    # — unmatched rights (601-s row 8, other-user row 9, the error rows
+    # riding the follows stream) null-extend exactly once, matched ones
+    # never
+    r_plain, r_plain_n = run(None, "rplain", how="rightOuter")
+    r_bucketed, r_bucketed_n = run(600, "rb600", how="rightOuter")
+    assert (None, 8) in r_plain and (None, 9) in r_plain
+    assert r_bucketed == r_plain and r_bucketed_n == r_plain_n
+    # fullOuter (round 11): leftOuter consolidation ∪ rightOuter
+    # null-extensions — both sides' unmatched rows exactly once
+    f_plain, f_plain_n = run(None, "fplain", how="fullOuter")
+    f_bucketed, f_bucketed_n = run(450, "fb450", how="fullOuter")
+    assert (10, None) in f_plain and (None, 8) in f_plain
+    assert f_bucketed == f_plain and f_bucketed_n == f_plain_n
+
+    with _pytest.raises(ValueError, match="composes with"):
         interval_join_streaming(
             spark.read.parquet(d), spark.read.parquet(d),
             left_key="user_id", right_key="user_id",
             left_time="ts", right_time="ts",
-            how="rightOuter", bucket_seconds=600,
+            how="leftSemi", bucket_seconds=600,
         )
+
+
+def test_stream_stream_bucketed_leftouter_duplicate_left_raises(spark, tmp_path):
+    """VERDICT r10 #5: the leftOuter bucket hatch's consolidation stage
+    groups by the full left row, so true duplicate left rows would
+    silently merge into ONE null-extension. A unique unmatched left row
+    consolidates exactly n_probe+1 copies; the stage now asserts that
+    count and fails fast on merged duplicates instead."""
+    import pytest as _pytest
+
+    from smart_fraud_detection_data_pipeline_spark.streaming import sinks as SK
+    from smart_fraud_detection_data_pipeline_spark.streaming.joins import (
+        interval_join_streaming,
+    )
+
+    d = str(tmp_path / "in")
+    schema = "event_id bigint, user_id bigint, ts_str string, event_type string"
+    # two IDENTICAL unmatched error rows — the silent-merge case
+    f1 = [(1, 9, "2024-01-01 00:00:00", "error"),
+          (1, 9, "2024-01-01 00:00:00", "error")]
+    s1 = [(-1, -1, "2024-01-02 00:00:00", "error"),
+          (-2, -2, "2024-01-02 00:00:00", "view")]
+    s2 = [(-3, -1, "2024-01-03 00:00:00", "error"),
+          (-4, -2, "2024-01-03 00:00:00", "view")]
+    for batch in (f1, s1, s2):
+        spark.createDataFrame(batch, schema).select(
+            "event_id", "user_id",
+            F.col("ts_str").cast("timestamp_ntz").alias("ts"), "event_type",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    def reader():
+        return (
+            spark.readStream.schema(spark.read.parquet(d).schema)
+            .option("maxFilesPerTrigger", "1").parquet(d)
+        )
+
+    errors = (
+        reader().where(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("err_id"), "user_id",
+                F.col("ts").cast("timestamp").alias("err_time"))
+        .withWatermark("err_time", "15 minutes")
+    )
+    follows = (
+        reader()
+        .select(F.col("event_id").alias("follow_id"),
+                F.col("user_id").alias("f_user"),
+                F.col("ts").cast("timestamp").alias("f_time"))
+        .withWatermark("f_time", "15 minutes")
+    )
+    pairs = interval_join_streaming(
+        errors, follows,
+        left_key="user_id", right_key="f_user",
+        left_time="err_time", right_time="f_time",
+        window_seconds=600, how="leftOuter", bucket_seconds=600,
+    ).select("err_id", "follow_id")
+    out = str(tmp_path / "out")
+    q = SK.start_foreach_batch(
+        pairs,
+        SK.parquet_batch_sink(os.path.join(out, "data"), partitions=None),
+        os.path.join(out, "ckpt"),
+        output_mode="append", available_now=True,
+        query_name="ss_join_dup_left",
+    )
+    with _pytest.raises(Exception, match="duplicate left rows"):
+        SK.await_or_raise(q)
 
 
 def test_rocksdb_state_store_provider_runs_stateful_agg(spark, tmp_path):
