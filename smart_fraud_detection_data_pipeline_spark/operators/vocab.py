@@ -307,7 +307,24 @@ def _bpe_resident_merges(
     string replace (positionally identical on aaa/(a,a) overlap and
     abab adjacency — see BPE_SEP), and pair selection uses the same
     (count DESC, left, right) total order, so the two paths emit
-    bit-identical merge tables."""
+    bit-identical merge tables.
+
+    Selection is a LAZY MAX-HEAP (round 11, VERDICT r10 #6): the r10
+    loop re-scanned every pair count per merge — O(|pairs|) selection
+    dominated on pathological uniform-random vocabularies where merges
+    touch few words (12–23 merges/s at 200k words). Heap entries are
+    (-count, left, right) so heapq's min order IS the selection order;
+    a pair's entry is re-pushed only when its count settles after a
+    merge (one push per touched pair, not per intermediate +/-), and
+    pops discard entries whose count no longer matches the live table
+    — the standard stale-entry scheme, exact because every live
+    (pair, count) state was pushed when it was reached, so the true
+    maximum is always present. The heap is rebuilt from the live table
+    whenever stale entries outnumber it 4:1, bounding memory at
+    O(|pairs|). Per-merge cost is now O(touched words · word length +
+    touched pairs · log |pairs|) with no O(|vocab|) or O(|pairs|)
+    term; measured worst-case throughput in SCALING.md §round-11."""
+    import heapq
     from collections import Counter, defaultdict
 
     words: list[list[str]] = [list(w) for w, _ in word_counts]
@@ -320,16 +337,26 @@ def _bpe_resident_merges(
             p = (syms[i], syms[i + 1])
             pair_counts[p] += c
             pair_words[p].add(idx)
+    heap: list[tuple[int, str, str]] = [
+        (-c, l, r) for (l, r), c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
-        if not pair_counts:
+        # pop to the first LIVE entry (count still matches the table)
+        while heap:
+            negc, left, right = heap[0]
+            if pair_counts.get((left, right)) == -negc:
+                break
+            heapq.heappop(heap)
+        if not heap:
             break
-        (left, right), total = min(
-            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
-        )
+        negc, left, right = heapq.heappop(heap)
+        total = -negc
         merges.append((rank, left, right, int(total)))
         merged = left + right
+        touched: set[tuple[str, str]] = set()
         for idx in pair_words.pop((left, right), ()):  # superset index
             syms = words[idx]
             c = counts[idx]
@@ -338,6 +365,7 @@ def _bpe_resident_merges(
             for i in range(len(syms) - 1):
                 p = (syms[i], syms[i + 1])
                 pair_counts[p] -= c
+                touched.add(p)
                 if pair_counts[p] <= 0:
                     del pair_counts[p]
             out: list[str] = []
@@ -355,6 +383,14 @@ def _bpe_resident_merges(
                 p = (out[i], out[i + 1])
                 pair_counts[p] += c
                 pair_words[p].add(idx)
+                touched.add(p)
+        for p in touched:
+            c2 = pair_counts.get(p)
+            if c2 is not None:
+                heapq.heappush(heap, (-c2, p[0], p[1]))
+        if len(heap) > 4 * len(pair_counts) + 64:
+            heap = [(-c2, l2, r2) for (l2, r2), c2 in pair_counts.items()]
+            heapq.heapify(heap)
     return merges
 
 
