@@ -1136,3 +1136,105 @@ def repeated_passages(
         .agg(F.lit(1).alias("__one"))
         .select(F.col("__g").alias("passage"), "n_docs", "n_occurrences")
     )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 8,
+    min_df: int = 2,
+    broadcast_limit: int = 1_000_000,
+) -> DataFrame:
+    """The CLEANING half of repeated-passage detection (round 11): for
+    each document, remove every token covered by any ``length``-token
+    passage that occurs in ≥ ``min_df`` distinct documents — the
+    strip-headers/footers/licence-blocks pass a training pipeline runs
+    between `repeated_passages`' report and dedup (Lee et al. 2021's
+    ExactSubstr dedup restricted to fixed-length windows, applied as
+    token-coverage removal). Output: (id, clean_text, n_removed), one
+    row per non-NULL-text input document; docs with nothing to strip
+    pass through verbatim, fully-boilerplate docs come back as ''.
+
+    Scale shape mirrors `repeated_passages`: the corpus-wide exchange
+    for the passage statistics carries 8-byte xxhash64 keys; the
+    qualifying set (bounded by the boilerplate vocabulary) broadcasts
+    back onto the per-doc gram stream (guarded above
+    ``broadcast_limit`` rows — shuffle join fallback, same output);
+    covered-position reconstruction is then per-doc map-only array
+    work. Same shingles convention: a doc shorter than ``length``
+    contributes its whole token sequence as one gram at position 1
+    (which, if it qualifies, covers the whole doc); NULL text is
+    excluded on entry.
+    """
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    t = F.col("__toks")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(t) - F.lit(length - 1), F.lit(1))
+    )
+    pos_grams = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.concat_ws(" ", F.slice(t, i, length))).alias("__h"),
+        ),
+    )
+    stream = toks.select(
+        F.col(id_col), F.explode(pos_grams).alias("__pg")
+    ).select(F.col(id_col), F.col("__pg.pos").alias("__pos"), F.col("__pg.__h").alias("__h"))
+    qual = (
+        stream.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_df)
+        .select("__h")
+        .localCheckpoint()
+    )
+    right = F.broadcast(qual) if qual.count() <= broadcast_limit else qual
+    doc_starts = (
+        stream.join(right, "__h")
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__starts"))
+    )
+    # removed-position set, staged as a projected attribute before the
+    # token filter (the CLAUDE.md HOF rule: a lambda that probes an
+    # outer array re-evaluates its expression per element otherwise)
+    staged = (
+        toks.join(doc_starts, id_col, "left")
+        .select(
+            F.col(id_col),
+            "__toks",
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.coalesce("__starts", F.array().cast("array<int>")),
+                        lambda s: F.sequence(s, s + F.lit(length - 1)),
+                    )
+                )
+            ).alias("__rm"),
+        )
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks")),
+            lambda i: F.struct(
+                i.alias("i"), F.element_at("__toks", i).alias("tok")
+            ),
+        ),
+        lambda x: ~F.array_contains(F.col("__rm"), x["i"]),
+    )
+    staged2 = staged.select(
+        F.col(id_col),
+        F.size("__toks").alias("__ntok"),
+        kept.alias("__kept"),
+    )
+    return staged2.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform(F.col("__kept"), lambda x: x["tok"])
+        ).alias("clean_text"),
+        (F.col("__ntok") - F.size("__kept")).cast("long").alias("n_removed"),
+    )

@@ -6036,6 +6036,66 @@ def q_doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_passages(docs, length=_PASSAGE_LEN, min_df=2)
 
 
+@_register(
+    "doc_strip_boilerplate",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(t) - {_PASSAGE_LEN - 1}, 1))) AS pos,
+         unnest(list_transform(
+           generate_series(1, greatest(len(t) - {_PASSAGE_LEN - 1}, 1)),
+           i -> array_to_string(t[i:i + {_PASSAGE_LEN - 1}], ' '))) AS g
+  FROM toks
+),
+qual AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+starts AS (
+  SELECT DISTINCT grams.doc_id, grams.pos FROM grams JOIN qual USING (g)
+),
+tok AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t))) AS i,
+         unnest(t) AS tok
+  FROM toks
+),
+rm AS (
+  SELECT DISTINCT tok.doc_id, tok.i
+  FROM tok JOIN starts ON starts.doc_id = tok.doc_id
+       AND tok.i BETWEEN starts.pos AND starts.pos + {_PASSAGE_LEN - 1}
+)
+SELECT tk.doc_id,
+       coalesce(string_agg(CASE WHEN rm.i IS NULL THEN tk.tok END,
+                           ' ' ORDER BY tk.i), '') AS clean_text,
+       CAST(count(rm.i) AS BIGINT) AS n_removed
+FROM tok tk LEFT JOIN rm ON rm.doc_id = tk.doc_id AND rm.i = tk.i
+GROUP BY tk.doc_id
+""",
+)
+def q_doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning half of the repeated-passage report (round 11):
+    strip every token covered by a passage that `doc_repeated_passages`
+    would flag (length {_PASSAGE_LEN}, ≥2 distinct docs) — Lee et al.
+    2021's ExactSubstr dedup restricted to fixed-length windows,
+    applied as per-doc token-coverage removal. One row per non-NULL
+    document: (doc_id, clean_text, n_removed); untouched docs pass
+    through verbatim, fully-boilerplate docs come back as ''. Full
+    hash gate — the oracle recomputes passage qualification, coverage
+    and reconstruction from the table (on gram STRINGS; the Spark
+    side's xxhash64 exchange keys are internal only). Scale shape in
+    operators/textdedup.strip_boilerplate."""
+    from smart_fraud_detection_data_pipeline_spark.operators.textdedup import (
+        strip_boilerplate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_boilerplate(docs, length=_PASSAGE_LEN, min_df=2)
+
+
 _SAMPLE_K = 5
 
 

@@ -481,6 +481,36 @@ def test_repeated_passages_counts_and_short_docs(spark):
     assert all("None" not in p for p in out)  # NULL text excluded
 
 
+def test_strip_boilerplate_coverage_and_edges(spark):
+    """Round 11: token-coverage removal of qualifying passages —
+    overlapping windows merge their coverage, untouched docs pass
+    through verbatim, a fully-boilerplate doc comes back '', short
+    docs are covered by their whole-sequence gram, NULL text excluded."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="keep1 common footer text a b c keep2"),
+            Row(doc_id=2, text="common footer text a b c x common footer text a b c"),
+            Row(doc_id=3, text="totally unique document body here now"),
+            Row(doc_id=4, text="tiny doc"),
+            Row(doc_id=5, text="tiny doc"),
+            Row(doc_id=6, text=None),
+        ]
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in TD.strip_boilerplate(docs, length=6, min_df=2).collect()
+    }
+    assert out[1] == ("keep1 keep2", 6)
+    # doc2: both occurrences covered; 'x' sits inside the overlapping
+    # second window ('text a b c x common' does NOT qualify, but the
+    # two qualifying 6-grams cover positions 1-6 and 8-13; position 7
+    # = 'x' survives)
+    assert out[2] == ("x", 12)
+    assert out[3] == ("totally unique document body here now", 0)
+    assert out[4] == ("", 2) and out[5] == ("", 2)
+    assert 6 not in out  # NULL text excluded on entry
+
+
 def test_repeated_passages_min_df_and_exactness(spark, sf_dir):
     """min_df is a hard exact filter (not a candidate heuristic): raising
     it must produce exactly the subset with n_docs >= the new bar."""

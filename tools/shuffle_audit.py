@@ -201,8 +201,18 @@ class StageMeter:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    wanted = set(sys.argv[2:]) or set(HEADLINE)
+    import time
+
+    argv = list(sys.argv[1:])
+    # --out PATH redirects the markdown artifact (scale-curve runs must
+    # not clobber the default sf0.1 SHUFFLE_AUDIT.md)
+    out_md = os.path.join(_REPO, "SHUFFLE_AUDIT.md")
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_md = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    wanted = set(argv[1:]) or set(HEADLINE)
     spark = get_spark("shuffle_audit", extra_conf={"spark.ui.enabled": "true"})
     meter = StageMeter(spark)
 
@@ -212,10 +222,12 @@ def main() -> int:
         if spec.prepare is not None:
             spec.prepare(spark, sf_dir)
         meter.snapshot()
+        t0 = time.time()
         spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall = round(time.time() - t0, 2)
         m = meter.delta()
         tag, why = HEADLINE.get(spec.name, ("", ""))
-        rows.append({"name": spec.name, "tag": tag, "why": why, **m})
+        rows.append({"name": spec.name, "tag": tag, "why": why, "wall": wall, **m})
         print(
             f"[audit] {spec.name}: in={_fmt(m['inputBytes'])} "
             f"shuffle_w={_fmt(m['shuffleWriteBytes'])} "
@@ -265,8 +277,8 @@ def main() -> int:
         "not a growth rate. Regenerate with",
         "`python tools/shuffle_audit.py`.",
         "",
-        "| query | shape | input | in rows | shuffle W | shuffle W rows | shufRec/inRec | spill | tasks |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | shape | wall s | input | in rows | shuffle W | shuffle W rows | shufRec/inRec | spill | tasks |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         ratio = (
@@ -276,7 +288,7 @@ def main() -> int:
         )
         spill = r["memoryBytesSpilled"] + r["diskBytesSpilled"]
         lines.append(
-            f"| {r['name']} | {r['tag']} | {_fmt(r['inputBytes'])} "
+            f"| {r['name']} | {r['tag']} | {r['wall']} | {_fmt(r['inputBytes'])} "
             f"| {r['inputRecords']} "
             f"| {_fmt(r['shuffleWriteBytes'])} | {r['shuffleWriteRecords']} "
             f"| {ratio} | {_fmt(spill)} | {r['numTasks']} |"
@@ -294,7 +306,7 @@ def main() -> int:
             "- ✅ zero disk spill across all audited queries",
             "- ✅ incremental warehouse load reads strictly less input than the full rescan (partition pruning reaches the scan)",
         ]
-    with open(os.path.join(_REPO, "SHUFFLE_AUDIT.md"), "w") as f:
+    with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
 
     print(
