@@ -773,6 +773,24 @@ def test_repeated_passages_exchange_carries_hashes(spark, sf_dir):
     assert "xxhash64" in plan
 
 
+def test_strip_boilerplate_plan_shape(spark, sf_dir):
+    """Round 11: the cleaning twin of repeated_passages keeps its scale
+    shape — the qualifying set broadcasts back onto the gram stream
+    (bounded-candidate probe, no SortMergeJoin over grams), the
+    corpus-wide exchange keys on xxhash64, and the doc-side rebuild
+    join stays a single doc-keyed join, never a cartesian."""
+    from smart_fraud_detection_data_pipeline_spark.operators.textdedup import (
+        strip_boilerplate,
+    )
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    df = strip_boilerplate(load_table(spark, sf_dir, "documents"))
+    c = X.plan_counts(df)
+    assert c["nested_loop_join"] == 0
+    assert c["broadcast_hash_join"] >= 1  # qualifying hashes broadcast
+    assert "xxhash64" in X.executed_plan(df)
+
+
 def test_merge_upsert_delete_single_join_plan(spark):
     """The tombstone verb must not change the merge plan class: ONE
     full-outer join, the delete as a post-join filter — no extra
