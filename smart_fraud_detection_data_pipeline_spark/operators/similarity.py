@@ -1206,7 +1206,23 @@ def semantic_dedup(
     # Norms/assignments are per-row projections BELOW the join (Catalyst
     # keeps them there via column pruning — same shape as
     # cosine_dup_pairs); only the dot product runs per candidate pair.
-    left = assigned.select(
+    #
+    # The PROBE side's task count must scale with the quadratic work,
+    # not with input splits: under a broadcast join the probe keeps the
+    # scan partitioning, and a small single-split file serializes the
+    # whole Σcell² term into ONE task (the round-11 x10 scale audit
+    # measured minutes-long single-task stages exactly here). Round-
+    # robin rows to the session parallelism when the incoming plan is
+    # coarser — each probe row meets its cell's broadcast rows wherever
+    # it lives, so pair production is unchanged and per-task work is
+    # |probe|/P × avg cell regardless of cell skew. At production scale
+    # input splits already exceed defaultParallelism and no exchange is
+    # added.
+    probe = assigned
+    sc = probe.sparkSession.sparkContext
+    if probe.rdd.getNumPartitions() < sc.defaultParallelism:
+        probe = probe.repartition(sc.defaultParallelism)
+    left = probe.select(
         F.col(id_col).alias("__id_a"), "__cluster",
         F.col("__cvec").alias("__va"), F.col("__n").alias("__na"),
     )
