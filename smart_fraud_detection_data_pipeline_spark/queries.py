@@ -130,68 +130,63 @@ _SLOW = frozenset({
 #: (ADVICE r3: none of round 3's 16 new queries made it into the
 #: 50-entry driver artifact). Refresh this set each round.
 _FRESH = frozenset({
-    # round 10: new or changed implementations / oracles
-    "embed_pq_ann",                 # NULL-id entry filter (both engines) +
-    "embed_ivfpq_ann",              #   ragged-dim contract error (ADVICE r9)
-    "embed_pq_rerank",              # same entry-filter change
-    "multimodal_jpeg_decode",       # marker walk skips 0xFF fill bytes
-    "multimodal_jpeg420_decode",    # same decoder change
-    "doc_bpe_merges",               # vocab-resident merge loop (auto tier)
+    # round 11: new or changed implementations / oracles
+    "doc_strip_boilerplate",        # NEW: repeated-passage token removal
+    "embed_ann_streaming",          # persisted __cluster-partitioned index,
+                                    #   per-batch probe via ivf_probe
+    "embed_ivf_ann",                # ivf_probe refactor (same output)
+    "embed_ivf_kmeans_ann",         # same refactor
+    "embed_semantic_dedup",         # probe spread to session parallelism
+    "embed_semantic_dedup_kmeans",  # same (x10 single-task stage fix)
+    "doc_bpe_merges",               # lazy-heap pair selection (same order)
     "doc_bpe_tokenize",             # rides the same learner
-    "doc_bpe_vocab",                # NEW: learned-vocabulary table gate
-    "stream_stream_left_join_bucketed",  # NEW: outer-safe hot-key hatch
-    "dedup_streaming_compaction",   # NEW: mid-stream index compaction gate
-    "embed_ivfpq_rerank",           # NEW: IVF-PQ + exact rerank gate
-    "embed_ann_streaming",          # NEW: streaming probe of persisted index
-    # family-wide NULL-id fence (Spark entry filters + oracle CTEs):
-    "embed_cosine_topk", "embed_quantized_topk", "embed_srp_ann",
-    "embed_ivf_ann", "embed_ivf_kmeans_ann", "embed_semantic_dedup",
-    "embed_semantic_dedup_kmeans",
+    "doc_bpe_vocab",                # same
+    "stream_stream_left_join_bucketed",  # duplicate-left fail-fast in the
+                                    #   consolidation stage
+    "error_burst_window_bucketed",  # shares interval_join_streaming
+    "multimodal_jpeg_decode",       # truncated-payload bound after the
+                                    #   fill-byte skip (error path only)
+    "multimodal_jpeg420_decode",    # same decoder change
 })
 
-#: Driver-block rotation, round 10 (VERDICT r9 #1): an ORDERED tuple.
-#: Tier A (~10): this round's new/changed surface, riskiest first —
-#: the CLAUDE.md changed-surface invariant outranks rotation. Tier B
-#: (27): the exact stale set from VERDICT r9 — every registry name
-#: whose last driver certification is r06 or earlier (r07∪r08∪r09
-#: covers the other 129). With this block green in CORRECTNESS_r10,
-#: every registry name has been driver-certified in r07+ on a recent
-#: tree. Within tier B, streaming/staged-write names ride last so a
-#: truncated run still covers the cheap majority.
+#: Driver-block rotation, round 11 (standing VERDICT r9 #1 policy): an
+#: ORDERED tuple. Tier A: this round's new/changed surface, riskiest
+#: first — the CLAUDE.md changed-surface invariant outranks rotation.
+#: Tier B (35): every registry name whose last driver certification is
+#: r07 (computed from the CORRECTNESS_r01..r10 artifacts: the r08∪r09∪
+#: r10 union covers the rest more recently). Within tier B, streaming/
+#: staged-write names ride last so a truncated run still covers the
+#: cheap majority.
 _DRIVER_ROTATION = (
-    # --- tier A: round-10 changed (riskiest first) ---
-    "stream_stream_left_join_bucketed",
-    "dedup_streaming_compaction",
+    # --- tier A: round-11 changed (riskiest first) ---
+    "doc_strip_boilerplate",
     "embed_ann_streaming",
+    "stream_stream_left_join_bucketed",
+    "embed_semantic_dedup_kmeans",
+    "embed_semantic_dedup",
     "doc_bpe_merges",
     "doc_bpe_tokenize",
     "doc_bpe_vocab",
-    "embed_pq_ann",
-    "embed_ivfpq_ann",
-    "embed_pq_rerank",
-    "embed_ivfpq_rerank",
-    "multimodal_jpeg_decode",
-    "multimodal_jpeg420_decode",
-    "embed_cosine_topk",
-    "embed_quantized_topk",
-    "embed_srp_ann",
     "embed_ivf_ann",
     "embed_ivf_kmeans_ann",
-    "embed_semantic_dedup",
-    "embed_semantic_dedup_kmeans",
-    # --- tier B: the 27 stale names (last cert <= r06) ---
-    "asof_last_purchase", "dedup_keep_last", "doc_sample_stratified",
-    "events_variant_props", "kafka_serde_roundtrip",
-    "multimodal_byte_features", "nation_year_profit",
-    "not_in_null_semantics", "order_priority_late_ship", "orders_cube",
-    "part_hierarchy_walk", "prolific_red_part_suppliers",
-    "promo_revenue_pct", "regional_revenue", "returned_item_losses",
-    "returnflag_priority_mix", "salted_user_join", "shipping_priority",
-    "small_quantity_revenue", "top_customers", "user_funnel",
-    "user_value_lag_delta", "zorder_layout_scan",
+    "error_burst_window_bucketed",
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg420_decode",
+    # --- tier B: the 35 stale names (last cert r07) ---
+    "doc_bigram_coverage", "doc_dup_components", "doc_mix_temperature",
+    "doc_pack_sequences", "doc_repetition", "doc_simhash_pairs",
+    "doc_split_assign", "doc_tfidf", "doc_unigram_logprob", "doc_winnow",
+    "doc_winnow_pairs", "events_json_props", "events_props_map",
+    "lang_id_confusion", "merge_upsert", "schema_evolution_scan",
+    "session_windows", "synthetic_transactions", "user_event_transitions",
+    "user_robust_zscore", "user_scd2_intervals", "value_drift_chi2",
+    "value_quantiles_approx", "vocab_heavy_hitters",
     # slowest stale last: staged writes / streaming / full-pipeline
-    "user_spend_trends_incremental", "stream_windowed_rollup",
-    "corpus_training_export",
+    "asof_last_purchase_bucketed", "doc_clean_corpus", "warehouse_load",
+    "warehouse_load_incremental", "dedup_streaming",
+    "dedup_incremental_streaming", "fraud_enrich_streaming",
+    "session_windows_streaming", "user_running_totals_streaming",
+    "user_spend_trends_streaming",
 )
 
 
