@@ -120,6 +120,95 @@ def heavy_hitter_tokens(
     )
 
 
+# --- Count-Min sketch — round 11 ---------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(token, row, width: int):
+    """Row-salted md5 bucket: 'cms<r>:<token>' → first 8 hex digits →
+    int mod width. md5 is the one cross-engine hash (CLAUDE.md), and
+    both operands are non-negative so Spark pmod == DuckDB %."""
+    digest = F.md5(
+        F.concat(F.lit("cms"), row.cast("string"), F.lit(":"), token)
+    )
+    return F.pmod(
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint"), F.lit(width)
+    )
+
+
+def cms_token_estimates(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    probe_mod: int = 97,
+) -> DataFrame:
+    """Count-Min sketch token-frequency estimation (Cormode &
+    Muthukrishnan 2005, J. Algorithms — the classic mergeable
+    frequency sketch) with the exact side attached, per the self-check
+    pattern: the sketch is depth×width integer counters (bucket =
+    row-salted md5, fully deterministic — no RNG state), built in ONE
+    partial-aggregated pass whose exchange carries at most depth×width
+    keys regardless of corpus size; a probe vocabulary (distinct
+    tokens of every ``probe_mod``-th document, the bm25 sampling
+    convention) is estimated via min-over-rows and recounted exactly
+    (probe-restricted semi-join recount, the heavy-hitters pass-2
+    shape). Output per probe token: (token, est_count, exact_count,
+    overcount_ok) where overcount_ok pins CMS's HARD guarantee — an
+    estimate can never undercount (every occurrence lands in every
+    row's counted bucket). Everything is integer-exact and
+    deterministic, so this is a FULL hash gate: the oracle recomputes
+    the sketch itself, not just the exact side — unlike HLL, where
+    the estimator is engine-internal and only a two-tier contract can
+    face the gate.
+
+    Tokenization matches heavy_hitter_tokens (trim(lower), whitespace
+    split, '' for empty-after-trim docs; NULL text excluded). At
+    100 TB the sketch is the point: a 4×1024 int64 grid (32 KB)
+    absorbs any token stream with one tiny exchange, merges
+    associatively across partitions/days, and answers point queries
+    without ever shuffling on the unbounded vocabulary."""
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    )
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    sketch = (
+        toks.select("token", rows)
+        .select("r", _cms_bucket(F.col("token"), F.col("r"), width).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe = (
+        toks.where(F.col(id_col) % probe_mod == 0).select("token").distinct()
+    )
+    exact = (
+        toks.join(F.broadcast(probe), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    pb = probe.select("token", rows).select(
+        "token", "r", _cms_bucket(F.col("token"), F.col("r"), width).alias("bucket")
+    )
+    est = (
+        pb.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return est.join(exact, "token").select(
+        "token",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("overcount_ok"),
+    )
+
+
 # --- BPE merge learning — round 9 --------------------------------------------
 
 #: Unit separator framing for BPE symbol sequences: every symbol is

@@ -132,6 +132,7 @@ _SLOW = frozenset({
 _FRESH = frozenset({
     # round 11: new or changed implementations / oracles
     "doc_strip_boilerplate",        # NEW: repeated-passage token removal
+    "vocab_cms_counts",             # NEW: Count-Min sketch point queries
     "embed_ann_streaming",          # persisted __cluster-partitioned index,
                                     #   per-batch probe via ivf_probe
     "embed_ivf_ann",                # ivf_probe refactor (same output)
@@ -160,6 +161,7 @@ _FRESH = frozenset({
 _DRIVER_ROTATION = (
     # --- tier A: round-11 changed (riskiest first) ---
     "doc_strip_boilerplate",
+    "vocab_cms_counts",
     "embed_ann_streaming",
     "stream_stream_left_join_bucketed",
     "embed_semantic_dedup_kmeans",
@@ -1952,6 +1954,67 @@ def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return heavy_hitter_tokens(docs, inv_threshold=_HH_INV)
+
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 1024
+_CMS_BUCKET = _md5_bucket_sql(
+    "'cms' || CAST(rs.r AS VARCHAR) || ':' || token", _CMS_WIDTH
+)
+
+
+@_register(
+    "vocab_cms_counts",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+rs AS (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS r),
+sketch AS (
+  SELECT rs.r AS r, {_CMS_BUCKET} AS bucket, COUNT(*) AS cnt
+  FROM toks CROSS JOIN rs
+  GROUP BY 1, 2
+),
+probe AS (SELECT DISTINCT token FROM toks WHERE doc_id % 97 = 0),
+exact AS (
+  SELECT token, COUNT(*) AS exact_count FROM toks
+  WHERE token IN (SELECT token FROM probe) GROUP BY token
+),
+pb AS (
+  SELECT token, rs.r AS r, {_CMS_BUCKET} AS bucket
+  FROM probe CROSS JOIN rs
+),
+est AS (
+  SELECT pb.token, MIN(s.cnt) AS est_count
+  FROM pb JOIN sketch s ON s.r = pb.r AND s.bucket = pb.bucket
+  GROUP BY pb.token
+)
+SELECT est.token,
+       CAST(est.est_count AS BIGINT) AS est_count,
+       CAST(exact.exact_count AS BIGINT) AS exact_count,
+       est.est_count >= exact.exact_count AS overcount_ok
+FROM est JOIN exact ON exact.token = est.token
+""",
+)
+def q_vocab_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch token-frequency estimates (round 11): a
+    4×1024 row-salted-md5 counter grid built in one partial-aggregated
+    pass (exchange ≤ depth×width keys at ANY corpus size — the
+    mergeable point-query sketch for unbounded vocabularies), probed
+    for every 97th document's distinct tokens with the exact recount
+    attached. overcount_ok pins CMS's hard one-sided guarantee. The
+    bucket function is deterministic md5 (no RNG state), so unlike
+    HLL the oracle recomputes the SKETCH itself — a full hash gate
+    with zero probabilistic tiers (operators/vocab.cms_token_estimates)."""
+    from smart_fraud_detection_data_pipeline_spark.operators.vocab import (
+        cms_token_estimates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_token_estimates(
+        docs, depth=_CMS_DEPTH, width=_CMS_WIDTH, probe_mod=97
+    )
 
 
 _BPE_MERGES = 8

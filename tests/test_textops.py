@@ -458,6 +458,39 @@ def test_heavy_hitters_guards_and_empty(spark):
         heavy_hitter_tokens(docs, inv_threshold=64, slots=32)
 
 
+def test_cms_token_estimates_guarantee_and_exactness(spark):
+    """Round 11: CMS estimates can never undercount (hard one-sided
+    guarantee — every occurrence lands in every row's bucket), the
+    exact side is a true recount, and at a width far beyond the
+    vocabulary the deterministic md5 buckets collide rarely enough
+    that most probe estimates are exact. doc 0 (doc_id % 97 == 0)
+    defines the probe vocabulary; NULL text is excluded."""
+    from smart_fraud_detection_data_pipeline_spark.operators.vocab import (
+        cms_token_estimates,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="alpha beta alpha GAMMA"),
+            Row(doc_id=1, text="alpha beta beta delta"),
+            Row(doc_id=2, text="gamma gamma epsilon"),
+            Row(doc_id=3, text=None),
+        ]
+    )
+    out = {r.token: r for r in cms_token_estimates(docs, width=4096).collect()}
+    # probe = doc 0's tokens, lowercased
+    assert set(out) == {"alpha", "beta", "gamma"}
+    assert out["alpha"].exact_count == 3  # 2 in doc0 + 1 in doc1
+    assert out["beta"].exact_count == 3
+    assert out["gamma"].exact_count == 3  # GAMMA lowered + 2 in doc2
+    assert all(r.overcount_ok for r in out.values())
+    assert all(r.est_count >= r.exact_count for r in out.values())
+    # width 4096 >> vocab: at least one estimate must be collision-free
+    assert any(r.est_count == r.exact_count for r in out.values())
+    # empty / all-NULL corpus -> empty probe -> empty output
+    assert cms_token_estimates(docs.where("doc_id = 3")).count() == 0
+
+
 def test_repeated_passages_counts_and_short_docs(spark):
     """Passage counts are occurrence-wise (a footer repeated inside one
     doc counts each occurrence), df is distinct-doc-wise, and docs
