@@ -1306,6 +1306,15 @@ def bm25_topk(
     window only ever sees non-null ids. An empty/all-NULL corpus flows
     through naturally: every aggregate is grouped, so zero rows in →
     zero rows out with the output schema, no special case.
+
+    Scale note (round-11 x10 audit): per query, exact BM25 scores
+    EVERY document sharing a term, so shuffle ∝ Σ_q |matching docs| —
+    linear in the corpus per query, and a query LOAD that scales with
+    the corpus (the gate samples every 97th doc) multiplies on top
+    (measured shufRec/inRec 1.45→23.3 at 10× data with 10× queries;
+    flat per query × corpus). A 100 TB serving tier bounds this with
+    impact-ordered/WAND skipping — approximate early-exit that the
+    exact hash gate deliberately does not model.
     """
     toks = (
         corpus.where(F.col(text_col).isNotNull())

@@ -668,6 +668,14 @@ def simhash_pairs(
     self-join need it, and recomputing the token-hash fold doubles the
     cost (measured 6.5s → 2.2s at sf0.1); unlike persist() nothing
     stays registered on a shared session.
+
+    Scale note (round-11 x10 audit): the band STRUCTURE is fixed, so
+    chunk-bucket occupancy grows linearly with the corpus and candidate
+    pairs quadratically within buckets (measured shufRec/inRec
+    0.034→0.095 at 10× data, damped by hamming verification). Growing
+    corpora should raise ``chunks`` (narrower agree-windows per chunk,
+    more buckets) — the pigeonhole guarantee then covers hamming ≤
+    chunks−1, so raise max_hamming's budget consciously with it.
     """
     h = simhash(F.col(text_col))
     # NULL text has no signature — excluded, same rule as _staged_shingles.
