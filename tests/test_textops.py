@@ -824,6 +824,73 @@ def test_bpe_resident_equals_distributed(spark, sf_dir):
     assert len(r256) > 100  # the budget is genuinely exercised
 
 
+def test_bpe_heap_selection_equals_exhaustive_scan():
+    """Round 11: the lazy max-heap selection must reproduce the r10
+    exhaustive-scan selection exactly — same (count DESC, left, right)
+    total order through stale entries, rebuilds, and tie chains — on
+    seeded random vocabularies run to exhaustion (driver-side only, no
+    Spark; the distributed pin above covers the cluster path)."""
+    import random
+    from collections import Counter, defaultdict
+
+    from smart_fraud_detection_data_pipeline_spark.operators.vocab import (
+        _bpe_resident_merges,
+    )
+
+    def reference(word_counts, n_merges):
+        # the r10 loop verbatim: full pair-table scan per merge
+        words = [list(w) for w, _ in word_counts]
+        counts = [c for _, c in word_counts]
+        pc: Counter = Counter()
+        pw: defaultdict = defaultdict(set)
+        for idx, syms in enumerate(words):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] += counts[idx]
+                pw[p].add(idx)
+        merges = []
+        for rank in range(n_merges):
+            if not pc:
+                break
+            (l, r), total = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, l, r, int(total)))
+            merged = l + r
+            for idx in pw.pop((l, r), ()):
+                syms, c = words[idx], counts[idx]
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pc[p] -= c
+                    if pc[p] <= 0:
+                        del pc[p]
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[idx] = out
+                for i in range(len(out) - 1):
+                    p = (out[i], out[i + 1])
+                    pc[p] += c
+                    pw[p].add(idx)
+        return merges
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        # tiny alphabet → dense tie chains; duplicate words → counts > 1
+        vocab = [
+            ("".join(rng.choice("ab") for _ in range(rng.randint(1, 9))),
+             rng.randint(1, 5))
+            for _ in range(300)
+        ]
+        for n in (1, 17, 10_000):  # 10k = run to exhaustion
+            assert _bpe_resident_merges(list(vocab), n) == reference(
+                list(vocab), n
+            ), f"seed={seed} n={n}"
+
+
 def test_streaming_compaction_flips_admission(spark, tmp_path):
     """VERDICT r9 #6, the constructed flip: the SAME text is rejected
     by the pre-compaction micro-batch (its base near-dup is live) and
