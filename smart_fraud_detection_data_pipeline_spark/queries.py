@@ -2216,8 +2216,10 @@ def q_doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH p AS (
   SELECT event_type,
-         quantile_cont(value, 0.05) AS p05,
-         quantile_cont(value, 0.95) AS p95
+         floor(quantile_cont(value, 0.05) * 1000000.0e0 + 0.5e0)
+           / 1000000.0e0 AS p05,
+         floor(quantile_cont(value, 0.95) * 1000000.0e0 + 0.5e0)
+           / 1000000.0e0 AS p95
   FROM events GROUP BY event_type
 )
 SELECT event_id, e.event_type, value,
@@ -2230,12 +2232,17 @@ def q_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type exact p05/p95. The percentile pass is one shuffle on the
     (tiny-cardinality) type key; the clamp itself joins the 5-row
     threshold table back BROADCAST — the fact stream never reshuffles.
-    Exact-percentile interpolation is bit-identical across engines
-    (proven by value_quantiles), so no rounding is needed."""
+    Percentile interpolation is NOT ulp-stable across engines at every
+    index fraction (the round-11 x10 sweep put 9,920 of 1M clamped
+    rows one ulp apart after sf0.01/sf0.1 passed clean), so the
+    thresholds are 6-dp floor-quantized on both sides BEFORE the clamp
+    — the clamped output is then either the raw 2-dp value or the
+    quantized threshold, engine-exact either way."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     ev = load_table(spark, sf_dir, "events")
     pcts = ev.groupBy("event_type").agg(
-        F.percentile("value", 0.05).alias("p05"),
-        F.percentile("value", 0.95).alias("p95"),
+        q6(F.percentile("value", 0.05)).alias("p05"),
+        q6(F.percentile("value", 0.95)).alias("p95"),
     )
     return (
         ev.join(F.broadcast(pcts), "event_type")
@@ -3645,9 +3652,9 @@ GROUP BY user_id, date_trunc('minute', ts)
     "value_quantiles",
     """
 SELECT event_type,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.9) AS p90,
-       quantile_cont(value, 0.99) AS p99
+       floor(quantile_cont(value, 0.5) * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS p50,
+       floor(quantile_cont(value, 0.9) * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS p90,
+       floor(quantile_cont(value, 0.99) * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS p99
 FROM events
 GROUP BY event_type
 """,
@@ -3656,14 +3663,19 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per key (sort-based agg — the only
     sort-heavy aggregate in the catalog; the approx_percentile sketch is
     the 100 TB path when exactness isn't contractual). Interpolation is
-    bit-identical across engines (verified)."""
+    lo + (hi - lo)·frac on both engines but NOT ulp-stable at every
+    index fraction: the round-11 x10 sweep caught p99 off by one ulp
+    (230.53 vs 230.53000000000003) at 1M rows after sf0.01 AND sf0.1
+    both passed clean — so the outputs are 6-dp floor-quantized on both
+    sides (the transcendental rule applied to interpolation)."""
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.percentile("value", 0.5).alias("p50"),
-            F.percentile("value", 0.9).alias("p90"),
-            F.percentile("value", 0.99).alias("p99"),
+            q6(F.percentile("value", 0.5)).alias("p50"),
+            q6(F.percentile("value", 0.9)).alias("p90"),
+            q6(F.percentile("value", 0.99)).alias("p99"),
         )
     )
 
@@ -5441,10 +5453,24 @@ def q_part_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure stays with the iterative operator
     (operators/graph.py) — this entry covers the hierarchical-recursion
     shape warehouses use for bill-of-materials walks. Only the `//` vs
-    `DIV` integer-division spelling differs between engines."""
+    `DIV` integer-division spelling differs between engines.
+
+    Spark bounds recursive CTEs by spark.sql.cteRecursionRowLimit
+    (default 1e6 TOTAL rows across iterations) as a runaway guard; the
+    walk legitimately emits |part| × (depth+1) ≈ |part| × log2(maxkey)
+    rows, which crossed the default at the x10 scale point
+    (RECURSION_ROW_LIMIT_EXCEEDED at 200k parts — round-11 finding).
+    Size the limit from the actual part count × 40 (depth ≤ 33 for any
+    int64 key, headroom included): the guard keeps guarding, scaled to
+    the data it is guarding."""
     from smart_fraud_detection_data_pipeline_spark.sources.tables import register_temp_views
 
     register_temp_views(spark, sf_dir, names=("part",))
+    n_parts = _table_count(spark, sf_dir, "part")
+    floor_limit = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", max(floor_limit, n_parts * 40)
+    )
     return spark.sql(
         """
 WITH RECURSIVE walk(part, cur, depth) AS (
@@ -8706,7 +8732,9 @@ b AS (
 ),
 th AS (
   SELECT event_type,
-         quantile_cont(value, [0.1e0,0.2e0,0.3e0,0.4e0,0.5e0,0.6e0,0.7e0,0.8e0,0.9e0]) AS qs
+         list_transform(
+           quantile_cont(value, [0.1e0,0.2e0,0.3e0,0.4e0,0.5e0,0.6e0,0.7e0,0.8e0,0.9e0]),
+           t -> floor(t * 1000000.0e0 + 0.5e0) / 1000000.0e0) AS qs
   FROM a GROUP BY event_type
 ),
 ab AS (
@@ -8747,8 +8775,10 @@ def q_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     week's value distribution against the REFERENCE week's exact
     deciles, per event type — the scheduled data-quality check that
     catches upstream schema/unit changes before a model retrains on
-    drifted features. Reference deciles are exact percentiles (the
-    value_quantiles interpolation, already hash-proven cross-engine),
+    drifted features. Reference deciles are exact percentiles,
+    6-dp floor-quantized on both engines BEFORE bucketing (round-11
+    x10 finding: interpolation is not ulp-stable, and a 1-ulp decile
+    shift re-buckets boundary rows into a macroscopic chi2 change),
     broadcast back onto both periods; the bucket is a 9-element
     in-row filter count. Per-bucket chi2 terms round to 6 dp and sum
     in DECIMAL so the statistic is reduction-order-free.
@@ -8763,7 +8793,16 @@ def q_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.where(F.col("ts") < split)
     b = ev.where(F.col("ts") >= split)
     pcts = F.array(*[F.lit(p / 10.0) for p in range(1, 10)])
-    th = a.groupBy("event_type").agg(F.percentile("value", pcts).alias("qs"))
+    th = a.groupBy("event_type").agg(
+        # 6-dp floor-quantize each decile BEFORE bucketing: interpolated
+        # percentiles are not ulp-stable across engines, and a 1-ulp
+        # threshold shift re-buckets boundary rows — the round-11 x10
+        # sweep measured chi2 290.98 vs 290.57 from exactly this
+        F.transform(
+            F.percentile("value", pcts),
+            lambda t: F.floor(t * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("qs")
+    )
     ab = a.select(F.lit("a").alias("period"), "event_type", "value").unionByName(
         b.select(F.lit("b").alias("period"), "event_type", "value")
     )
