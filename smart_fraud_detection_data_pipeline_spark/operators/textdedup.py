@@ -1175,6 +1175,22 @@ def strip_boilerplate(
     contributes its whole token sequence as one gram at position 1
     (which, if it qualifies, covers the whole doc); NULL text is
     excluded on entry.
+
+    Collision budget (ADVICE r11): because this op REWRITES text (a
+    collision would strip non-boilerplate tokens, not just miscount),
+    passages qualify by TWO independent 8-byte hashes — xxhash64(gram)
+    and xxhash64('b2', gram) (multi-arg xxhash64 chains the seed, an
+    independent function) — so a silent wrong-strip needs a
+    simultaneous 128-bit collision (~2^-128 per pair), while the
+    DuckDB oracle qualifies by the gram STRING itself and would
+    surface any single-hash collision as a hash-gate failure.
+
+    The kept-token filter is a position-set difference —
+    ``array_except(sequence(1, ntok), __rm)`` (JVM hash-set build over
+    __rm, one probe per position: O(ntok + |rm|), order-preserving) —
+    then an element_at gather; VERDICT r11 #3 replaced the per-token
+    ``array_contains`` probe that was O(ntok·|rm|) on a long
+    fully-boilerplate doc.
     """
     toks = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
@@ -1188,22 +1204,29 @@ def strip_boilerplate(
         starts,
         lambda i: F.struct(
             i.alias("pos"),
-            F.xxhash64(F.concat_ws(" ", F.slice(t, i, length))).alias("__h"),
+            F.concat_ws(" ", F.slice(t, i, length)).alias("g"),
         ),
     )
+    # gram built ONCE per position, both hashes taken from the
+    # projected value after the explode (HOF staging discipline)
     stream = toks.select(
         F.col(id_col), F.explode(pos_grams).alias("__pg")
-    ).select(F.col(id_col), F.col("__pg.pos").alias("__pos"), F.col("__pg.__h").alias("__h"))
+    ).select(
+        F.col(id_col),
+        F.col("__pg.pos").alias("__pos"),
+        F.xxhash64(F.col("__pg.g")).alias("__h"),
+        F.xxhash64(F.lit("b2"), F.col("__pg.g")).alias("__h2"),
+    )
     qual = (
-        stream.groupBy("__h")
+        stream.groupBy("__h", "__h2")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
         .where(F.col("__nd") >= min_df)
-        .select("__h")
+        .select("__h", "__h2")
         .localCheckpoint()
     )
     right = F.broadcast(qual) if qual.count() <= broadcast_limit else qual
     doc_starts = (
-        stream.join(right, "__h")
+        stream.join(right, ["__h", "__h2"])
         .groupBy(id_col)
         .agg(F.collect_set("__pos").alias("__starts"))
     )
@@ -1225,24 +1248,22 @@ def strip_boilerplate(
             ).alias("__rm"),
         )
     )
-    kept = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.size("__toks")),
-            lambda i: F.struct(
-                i.alias("i"), F.element_at("__toks", i).alias("tok")
-            ),
-        ),
-        lambda x: ~F.array_contains(F.col("__rm"), x["i"]),
-    )
+    # kept positions = sequence(1..ntok) minus the removed set, one
+    # hash-set difference per doc (order-preserving, inputs already
+    # distinct), then an O(1)-per-position element_at gather
     staged2 = staged.select(
         F.col(id_col),
+        "__toks",
         F.size("__toks").alias("__ntok"),
-        kept.alias("__kept"),
+        F.array_except(
+            F.sequence(F.lit(1), F.size("__toks")), F.col("__rm")
+        ).alias("__keep"),
     )
     return staged2.select(
         F.col(id_col),
         F.concat_ws(
-            " ", F.transform(F.col("__kept"), lambda x: x["tok"])
+            " ",
+            F.transform(F.col("__keep"), lambda i: F.element_at("__toks", i)),
         ).alias("clean_text"),
-        (F.col("__ntok") - F.size("__kept")).cast("long").alias("n_removed"),
+        (F.col("__ntok") - F.size("__keep")).cast("long").alias("n_removed"),
     )

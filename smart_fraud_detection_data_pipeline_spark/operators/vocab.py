@@ -146,6 +146,7 @@ def cms_token_estimates(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
     probe_mod: int = 97,
+    broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """Count-Min sketch token-frequency estimation (Cormode &
     Muthukrishnan 2005, J. Algorithms — the classic mergeable
@@ -171,7 +172,15 @@ def cms_token_estimates(
     100 TB the sketch is the point: a 4×1024 int64 grid (32 KB)
     absorbs any token stream with one tiny exchange, merges
     associatively across partitions/days, and answers point queries
-    without ever shuffling on the unbounded vocabulary."""
+    without ever shuffling on the unbounded vocabulary.
+
+    The probe broadcast is GUARDED (VERDICT r11 #4, the
+    `repeated_passages` pattern at textdedup.py): the probe vocabulary
+    grows with the corpus (Heaps-law sublinear but unbounded), so it is
+    localCheckpoint-ed (eager materialize — three consumers anyway),
+    counted once, and above ``broadcast_limit`` rows the semi-join and
+    the estimate probe fall back to shuffle joins on the token key
+    instead of a driver-side OOM. Same output either way."""
     toks = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.explode(
@@ -186,10 +195,14 @@ def cms_token_estimates(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     probe = (
-        toks.where(F.col(id_col) % probe_mod == 0).select("token").distinct()
+        toks.where(F.col(id_col) % probe_mod == 0)
+        .select("token")
+        .distinct()
+        .localCheckpoint()
     )
+    probe_b = F.broadcast(probe) if probe.count() <= broadcast_limit else probe
     exact = (
-        toks.join(F.broadcast(probe), "token", "left_semi")
+        toks.join(probe_b, "token", "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )

@@ -5462,14 +5462,24 @@ def q_part_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (RECURSION_ROW_LIMIT_EXCEEDED at 200k parts — round-11 finding).
     Size the limit from the actual part count × 40 (depth ≤ 33 for any
     int64 key, headroom included): the guard keeps guarding, scaled to
-    the data it is guarding."""
+    the data it is guarding.
+
+    Session-conf scope (ADVICE r11, intentional): the conf CANNOT be
+    restored before returning — the DataFrame is lazy and the caller
+    (driver/bench) executes it after this function exits, so an early
+    restore would re-trip the guard mid-collect. Instead the limit is
+    sized from the HARD-CODED default floor (1e6), never from the
+    current conf value, so repeated calls are idempotent (no
+    compounding ratchet), a later call on smaller data shrinks it back
+    toward the floor, and other recursions in the session keep a guard
+    that is at worst |part|×40 — still a runaway bound, scaled to the
+    largest table this query legitimately walks."""
     from smart_fraud_detection_data_pipeline_spark.sources.tables import register_temp_views
 
     register_temp_views(spark, sf_dir, names=("part",))
     n_parts = _table_count(spark, sf_dir, "part")
-    floor_limit = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
     spark.conf.set(
-        "spark.sql.cteRecursionRowLimit", max(floor_limit, n_parts * 40)
+        "spark.sql.cteRecursionRowLimit", max(1_000_000, n_parts * 40)
     )
     return spark.sql(
         """

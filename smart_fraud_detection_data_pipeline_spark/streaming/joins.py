@@ -167,7 +167,7 @@ def interval_join_streaming(
     dup_guard = F.assert_true(
         (F.size("__ms") > 0) | (F.col("__n") == F.lit(n_probe + 1)),
         F.lit(
-            "interval_join_streaming(how='leftOuter', bucket_seconds=...): "
+            f"interval_join_streaming(how='{how}', bucket_seconds=...): "
             "duplicate left rows detected; the consolidation stage "
             "requires left rows unique across all columns (carry a "
             "unique id)"
