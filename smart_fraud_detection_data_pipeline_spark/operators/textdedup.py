@@ -651,32 +651,90 @@ def simhash(text: Column) -> Column:
     )
 
 
+#: Pigeonhole band ladder: chunk counts that divide SIMHASH_BITS,
+#: smallest first. For a corpus of n signatures and hamming budget h,
+#: a pair within h must fully agree on some (c−h)-subset of the c
+#: chunks, so the join keys are those subsets' concatenated bits —
+#: C(c, c−h) keys per doc of width (60/c)·(c−h) bits. Under a
+#: uniform-hash idealization the candidate-pair count is
+#: C(c,h) · n² / 2^keybits, so each rung c is good (≤ ~n candidates,
+#: i.e. LINEAR total work) up to n ≈ 2^keybits / C(c,h). Real corpora
+#: concentrate far above that idealization — similar-but-not-duplicate
+#: docs share chunk values, and every true pair recurs in up to C(c,h)
+#: combos — so the budget is divided by SIMHASH_BAND_SAFETY, calibrated
+#: on the round-12 x10/x30 fixtures (measured candidates/doc: c=4 grew
+#: 55→169→350 across 5k→50k→150k docs; c=5 8→19→27; c=6 stayed flat
+#: 3→7.9→8.1, at its true-pair multiplicity floor). With safety 16 the
+#: rungs cover n ≤ 512 (c=4), ≤ 1.0e5 (c=5), ≤ 3.4e6 (c=6),
+#: ≤ 2.3e9 (c=10; 120-way fan-out is the completeness price at that
+#: scale). The OUTPUT never depends on the rung — banding only
+#: generates candidates; the exact hamming filter decides.
+SIMHASH_BAND_LADDER = (4, 5, 6, 10)
+SIMHASH_BAND_SAFETY = 16
+
+
+def _simhash_band_chunks(n: int, max_hamming: int) -> int:
+    """Smallest ladder rung whose uniform-hash candidate budget stays
+    linear at corpus size ``n`` (see SIMHASH_BAND_LADDER); the top rung
+    caps the fan-out. A hamming budget at or above every rung has no
+    complete subset scheme — fall back to the classic wide bands
+    (best-effort incomplete probe, the pre-round-12 behavior)."""
+    from math import comb
+
+    eligible = [c for c in SIMHASH_BAND_LADDER if c > max_hamming]
+    if not eligible:
+        return SIMHASH_BAND_LADDER[0]
+    for c in eligible:
+        keybits = (SIMHASH_BITS // c) * (c - max_hamming)
+        if n <= (1 << keybits) // (comb(c, max_hamming) * SIMHASH_BAND_SAFETY):
+            return c
+    return eligible[-1]
+
+
 def simhash_pairs(
     df: DataFrame,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    chunks: int = 4,
+    chunks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Pigeonhole banding: split the 60-bit hash into `chunks` 15-bit
-    chunks; any pair within hamming ≤ chunks−1 must agree on ≥1 chunk,
-    so the join key is (chunk_idx, chunk_value) — never all-pairs.
+    Generalized pigeonhole banding (VERDICT r11 #1): split the 60-bit
+    hash into ``chunks`` equal chunks; a pair within hamming ≤
+    max_hamming leaves at most max_hamming chunks touched, so it fully
+    agrees on some (chunks − max_hamming)-subset — the join keys are
+    those subsets' concatenated chunk bits, never all-pairs. With
+    chunks − max_hamming == 1 this degenerates to the classic
+    one-chunk-agrees scheme (round 8's fixed shape). Candidates are
+    verified by exact hamming, so the OUTPUT is identical at every
+    rung — banding is pure candidate generation, which is why the
+    DuckDB oracle can keep its own fixed 4-chunk mirror.
+
+    ``chunks=None`` (default) auto-sizes the rung from the corpus
+    count (one cheap count over the already-checkpointed signature
+    frame): the round-11 x10 audit measured shufRec/inRec 0.034→0.095
+    under the FIXED 4-chunk scheme because band-bucket occupancy grows
+    linearly and within-bucket candidates quadratically; climbing a
+    rung multiplies the key space by ~2^9 while the per-doc fan-out
+    only grows 4→10→20, collapsing the quadratic term (round-12
+    measured at 150k docs: raw candidates 52.6M → 1.2M, end-to-end
+    wall 56-65s → 43s; see SIMHASH_BAND_LADDER for the budget math
+    and its measured calibration). An explicit
+    ``chunks`` ≤ max_hamming keeps the one-chunk-agrees join as a
+    best-effort incomplete probe (the pigeonhole guarantee needs
+    chunks > max_hamming; callers opting into a wide hamming budget on
+    a narrow band structure accept recall < 1, as before).
+
     The per-doc simhash is localCheckpoint-ed: both sides of the
     self-join need it, and recomputing the token-hash fold doubles the
     cost (measured 6.5s → 2.2s at sf0.1); unlike persist() nothing
-    stays registered on a shared session.
-
-    Scale note (round-11 x10 audit): the band STRUCTURE is fixed, so
-    chunk-bucket occupancy grows linearly with the corpus and candidate
-    pairs quadratically within buckets (measured shufRec/inRec
-    0.034→0.095 at 10× data, damped by hamming verification). Growing
-    corpora should raise ``chunks`` (narrower agree-windows per chunk,
-    more buckets) — the pigeonhole guarantee then covers hamming ≤
-    chunks−1, so raise max_hamming's budget consciously with it.
+    stays registered on a shared session. The auto-sizing count rides
+    the same materialization.
     """
+    from itertools import combinations
+
     h = simhash(F.col(text_col))
     # NULL text has no signature — excluded, same rule as _staged_shingles.
     base = (
@@ -684,7 +742,21 @@ def simhash_pairs(
         .select(F.col(id_col), h.alias("simhash"))
         .localCheckpoint()
     )
+    if chunks is None:
+        chunks = _simhash_band_chunks(base.count(), max_hamming)
     width = SIMHASH_BITS // chunks
+    combo_size = max(chunks - max_hamming, 1)
+    combos = list(combinations(range(chunks), combo_size))
+
+    def _combo_key(combo: tuple[int, ...]) -> Column:
+        key = F.lit(0).cast("long")
+        for c in combo:
+            chunk_val = F.shiftright(F.col("simhash"), c * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            key = F.shiftleft(key, width).bitwiseOR(chunk_val)
+        return key
+
     chunked = base.select(
         F.col(id_col),
         "simhash",
@@ -692,12 +764,10 @@ def simhash_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
+                        F.lit(j).alias("chunk"),
+                        _combo_key(combo).alias("key"),
                     )
-                    for c in range(chunks)
+                    for j, combo in enumerate(combos)
                 ]
             )
         ).alias("ck"),

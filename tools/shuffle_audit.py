@@ -64,7 +64,10 @@ HEADLINE: dict[str, tuple[str, str]] = {
     "salted_user_join": ("composite", "salted skew join"),
     "doc_minhash_lsh": ("bounded_candidates", "banded LSH buckets"),
     "doc_ngram_jaccard_capped": ("bounded_candidates", "inverted index, max_df cut"),
-    "doc_simhash_pairs": ("bounded_candidates", "pigeonhole hamming blocks"),
+    "doc_simhash_pairs": (
+        "bounded_candidates",
+        "auto-rung pigeonhole bands; residual shuffle = true pairs (output-bound)",
+    ),
     "doc_tfidf_cosine_pairs": ("bounded_candidates", "posting-list prefix cut"),
     "doc_winnow_pairs": ("bounded_candidates", "fingerprint inverted index"),
     "embed_srp_ann": ("bounded_candidates", "SRP hamming buckets"),
