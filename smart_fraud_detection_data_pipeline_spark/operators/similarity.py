@@ -1407,6 +1407,202 @@ def bm25_topk(
     )
 
 
+def bm25_topk_pruned(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_terms_col: str = "terms",
+    k: int = 10,
+    m: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Champion-list pruned BM25 top-k with exact candidate rescoring
+    (VERDICT r11 #2) — the approximate scale tier next to exact
+    `bm25_topk`, the way `value_quantiles_approx` sits next to
+    `value_quantiles`. Two-stage retrieval in its classic static form
+    (champion lists, Manning/Raghavan/Schütze IR §7.1.3; the
+    impact-ordered index-pruning family of Moffat & Zobel 1996 and
+    Carmel et al. 2001):
+
+    1. For every term keep its top-``m`` postings by IMPACT (the
+       per-term score contribution — a pure CORPUS artifact: tf, dl,
+       dft, avgdl; never the query).
+    2. A query's CANDIDATES are the docs in any of its terms' champion
+       lists (≤ m × |terms| docs).
+    3. Candidates are rescored EXACTLY — all their postings for the
+       query's terms, not just the kept ones — so every emitted score
+       is the TRUE BM25 value and the candidate ranking is the true
+       relative order; pruning can only lose docs, never mis-score
+       them.
+    4. The per-term impact at rank m+1 (``ub_t``) bounds every dropped
+       posting, so a NON-candidate's whole score is at most
+       ``ub_total = Σ_t ub_t`` (it sits below the cut in every list).
+       ``lossless_set_ok`` = (ub_total == 0) OR (n_cand ≥ k AND
+       kth > ub_total): when TRUE the output provably IS the exact
+       top-k — same set, same order, same scores (kth is exact;
+       strict > absorbs would-be boundary ties).
+
+    FULL hash gate: every quantity is the same floor-quantized int64
+    micro-unit arithmetic as `bm25_topk` (identical parse tree, shared
+    oracle SQL builder), the per-term ranking and the per-query
+    ranking both pin (value DESC, doc_id ASC NULLS FIRST), and the
+    certificate is integer comparisons — the DuckDB oracle recomputes
+    the PRUNED algorithm itself, certificate included. The
+    certificate ⇒ top-k-equality contract is additionally pinned
+    against exact `bm25_topk` in tests (fixed + fuzz corpora).
+
+    Scale shape — what pruning buys at 100 TB: exact BM25's per-query
+    candidate set is EVERY document sharing a term (shuffle ∝
+    queries × corpus; the r11 x10 audit measured shufRec/inRec
+    1.45→23.3). Here the champion lists are a corpus artifact
+    (production precomputes them exactly like tf/dl; this one-plan
+    form rebuilds them per call, bounded by the query vocabulary), and
+    everything per-query is bounded by m×|terms|: the candidate set,
+    the rescore probe (impacts never shuffles — the candidate triples
+    broadcast into a map-side semi-restriction), and the final
+    per-query exchanges — shuffle ∝ queries, flat in the corpus.
+
+    ``m`` trades candidate-set size against certificate coverage and
+    must reflect the corpus' term-frequency decay: on Zipfian text a
+    small m certifies because impacts collapse within a few hundred
+    ranks; the gate fixture's synthetic 31-token vocabulary (every
+    term in ~78% of docs) is the adversarial extreme and needs
+    m ≈ 0.4·|corpus-per-term| before certificates fire — the honest
+    price of a hard guarantee on stopword-only queries. Certificates
+    REFUSE (all-false, never wrong) below that; the hash gate passes
+    either way because the oracle mirrors the refusal.
+
+    Reference semantics baseline: the reference pipeline has no
+    retrieval tier; this extends `bm25_topk` (see its docstring for
+    the reference citations) with the pruning production engines
+    (Lucene WAND/block-max) apply at corpus scale.
+    """
+    toks = (
+        corpus.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: F.xxhash64(t),
+                )
+            ).alias("__tok"),
+        )
+    )
+    tf = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__f"))
+    dl = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__dl")
+    ).localCheckpoint()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__nd"), F.sum("__dl").alias("__nt")
+    )
+
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(F.col(query_terms_col))).alias("__term"),
+    ).select(F.col(query_id_col), F.xxhash64("__term").alias("__tok"))
+    tfq = tf.join(
+        F.broadcast(qterms.select("__tok").distinct()), "__tok"
+    ).localCheckpoint()
+    dft = tfq.groupBy("__tok").agg(F.count(F.lit(1)).alias("__dft"))
+
+    idf = (
+        F.floor(
+            F.log(
+                (
+                    (F.col("__nd") - F.col("__dft") + F.lit(0.5))
+                    / (F.col("__dft") + F.lit(0.5))
+                )
+                + F.lit(1.0)
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    avgdl = F.col("__nt").cast("double") / F.col("__nd").cast("double")
+    tf_part = (F.col("__f").cast("double") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("__f").cast("double")
+        + F.lit(k1)
+        * (
+            (F.lit(1.0) - F.lit(b))
+            + F.lit(b) * (F.col("__dl").cast("double") / avgdl)
+        )
+    )
+    s_micro = F.floor(idf * tf_part * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+
+    # query-independent impact index: per (term, doc) the exact score
+    # contribution, then the per-term top-m cut and the rank-(m+1)
+    # upper bound on everything dropped
+    impacts = (
+        tfq.join(dl, id_col)
+        .join(F.broadcast(dft), "__tok")
+        .crossJoin(F.broadcast(stats))
+        .select("__tok", id_col, s_micro.alias("__s"))
+    )
+    w_t = Window.partitionBy("__tok").orderBy(
+        F.desc("__s"), F.asc_nulls_first(id_col)
+    )
+    ranked_t = impacts.withColumn("__rn", F.row_number().over(w_t)).localCheckpoint()
+    kept = ranked_t.where(F.col("__rn") <= m).drop("__rn")
+    ub = ranked_t.where(F.col("__rn") == m + 1).select(
+        "__tok", F.col("__s").alias("__ub")
+    )
+
+    # candidate docs per query: union of the query terms' champion
+    # lists, then EXACT rescore — the (query, doc, term) triples are
+    # bounded by |queries|·|terms|·m and broadcast into a map-side
+    # restriction of the impact stream, so the rescore aggregation's
+    # exchange carries candidate postings only (never queries×corpus)
+    cand = (
+        kept.join(F.broadcast(qterms), "__tok")
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    triples = cand.join(qterms, query_id_col).select(
+        query_id_col, id_col, "__tok"
+    )
+    resc = (
+        impacts.join(F.broadcast(triples), ["__tok", id_col])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__s").alias("__sm"))
+    )
+    ubq = (
+        qterms.join(F.broadcast(ub), "__tok", "left")
+        .groupBy(query_id_col)
+        .agg(F.coalesce(F.sum("__ub"), F.lit(0)).cast("bigint").alias("__ubt"))
+    )
+    w_q = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__sm"), F.asc_nulls_first(id_col)
+    )
+    ranked_q = resc.withColumn("rank", F.row_number().over(w_q)).localCheckpoint()
+    qstats = ranked_q.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("__ncand"),
+        F.max(F.when(F.col("rank") == k, F.col("__sm"))).alias("__kth"),
+    )
+    lossless = F.coalesce(
+        (F.col("__ubt") == 0)
+        | ((F.col("__ncand") >= k) & (F.col("__kth") > F.col("__ubt"))),
+        F.lit(False),
+    )
+    return (
+        ranked_q.where(F.col("rank") <= k)
+        .join(F.broadcast(qstats), query_id_col)
+        .join(F.broadcast(ubq), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            (F.col("__sm").cast("double") / F.lit(1e6)).alias("bm25"),
+            F.col("rank").cast("bigint").alias("rank"),
+            lossless.alias("lossless_set_ok"),
+        )
+    )
+
+
 # --- Contract reports: hash gates for learned-quantizer operators -----------
 #
 # MLlib KMeans centroids are floats whose exact values depend on

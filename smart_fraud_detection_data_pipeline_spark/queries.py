@@ -1551,10 +1551,12 @@ def q_doc_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "doc_bm25_topk",
-    """
-WITH docs AS (
+#: Shared BM25 oracle fragments (ONE builder for exact + pruned, the
+#: fuzz-sweep shared-branch rule): the CTE prefix (tokenize, tf/dl,
+#: corpus stats, the %97-sampled query set, document frequencies) and
+#: the floor-quantized int64 micro-unit score expression with the
+#: tf/dl operand slots as placeholders.
+_BM25_CTE_PREFIX = """docs AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
   FROM documents WHERE text IS NOT NULL
 ),
@@ -1566,19 +1568,26 @@ q AS (
   SELECT doc_id AS query_id, unnest(list_distinct(t[1:5])) AS tok
   FROM docs WHERE doc_id % 97 = 0
 ),
-dft AS (SELECT tok, COUNT(*) AS dft FROM tf GROUP BY tok),
-terms AS (
-  SELECT q.query_id, tf.doc_id,
-         CAST(floor(
+dft AS (SELECT tok, COUNT(*) AS dft FROM tf GROUP BY tok)"""
+
+_BM25_S_MICRO = """CAST(floor(
            (floor(ln(((s.n_docs - dft.dft + 0.5e0) / (dft.dft + 0.5e0)) + 1.0e0)
                   * 1e6 + 0.5e0) / 1e6)
-           * ((CAST(tf.f AS DOUBLE) * (1.2e0 + 1.0e0))
-              / (CAST(tf.f AS DOUBLE)
+           * ((CAST({f} AS DOUBLE) * (1.2e0 + 1.0e0))
+              / (CAST({f} AS DOUBLE)
                  + 1.2e0 * ((1.0e0 - 0.75e0)
-                            + 0.75e0 * (CAST(dl.dl AS DOUBLE)
+                            + 0.75e0 * (CAST({dl} AS DOUBLE)
                                         / (CAST(s.n_toks AS DOUBLE)
                                            / CAST(s.n_docs AS DOUBLE))))))
-           * 1e6 + 0.5e0) AS BIGINT) AS s_micro
+           * 1e6 + 0.5e0) AS BIGINT)"""
+
+
+def _bm25_oracle_sql(k: int = 10) -> str:
+    return f"""
+WITH {_BM25_CTE_PREFIX},
+terms AS (
+  SELECT q.query_id, tf.doc_id,
+         {_BM25_S_MICRO.format(f="tf.f", dl="dl.dl")} AS s_micro
   FROM q
   JOIN tf ON q.tok = tf.tok
   JOIN dl ON tf.doc_id = dl.doc_id
@@ -1597,9 +1606,77 @@ ranked AS (
 )
 SELECT query_id, doc_id, CAST(sm AS DOUBLE) / 1e6 AS bm25,
        CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 10
-""",
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _bm25_pruned_oracle_sql(k: int = 10, m: int = 24) -> str:
+    """Mirror of operators/similarity.bm25_topk_pruned: the impact
+    index is query-independent (tf restricted to the query vocabulary,
+    same values), the per-term top-m champion cut and the per-query
+    ranking pin (value DESC, doc_id NULLS FIRST), candidates are
+    rescored exactly from the full impact stream, and the lossless
+    certificate is pure integer comparisons — the oracle recomputes
+    the PRUNED algorithm itself (the vocab_cms_counts pattern)."""
+    return f"""
+WITH {_BM25_CTE_PREFIX},
+impacts AS (
+  SELECT tf.tok, tf.doc_id,
+         {_BM25_S_MICRO.format(f="tf.f", dl="dl.dl")} AS s_micro
+  FROM tf
+  JOIN (SELECT DISTINCT tok FROM q) qv ON tf.tok = qv.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dft ON tf.tok = dft.tok
+  CROSS JOIN stats s
+),
+ranked_t AS (
+  SELECT tok, doc_id, s_micro,
+         row_number() OVER (PARTITION BY tok
+                            ORDER BY s_micro DESC, doc_id NULLS FIRST) AS rn
+  FROM impacts
+),
+kept AS (SELECT tok, doc_id FROM ranked_t WHERE rn <= {m}),
+ub AS (SELECT tok, s_micro AS ub FROM ranked_t WHERE rn = {m} + 1),
+ubq AS (
+  SELECT q.query_id, CAST(COALESCE(SUM(ub.ub), 0) AS BIGINT) AS ub_total
+  FROM q LEFT JOIN ub ON q.tok = ub.tok
+  GROUP BY q.query_id
+),
+cand AS (
+  SELECT DISTINCT q.query_id, kept.doc_id
+  FROM q JOIN kept ON q.tok = kept.tok
+),
+resc AS (
+  SELECT c.query_id, c.doc_id, CAST(SUM(i.s_micro) AS BIGINT) AS sm
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN impacts i ON i.tok = q.tok AND i.doc_id = c.doc_id
+  GROUP BY c.query_id, c.doc_id
+),
+rq AS (
+  SELECT query_id, doc_id, sm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sm DESC, doc_id NULLS FIRST) AS rank
+  FROM resc
+),
+qstats AS (
+  SELECT query_id, COUNT(*) AS n_cand,
+         MAX(CASE WHEN rank = {k} THEN sm END) AS kth
+  FROM rq GROUP BY query_id
 )
+SELECT rq.query_id, rq.doc_id, CAST(rq.sm AS DOUBLE) / 1e6 AS bm25,
+       CAST(rq.rank AS BIGINT) AS rank,
+       COALESCE(u.ub_total = 0
+                OR (s.n_cand >= {k} AND s.kth > u.ub_total),
+                FALSE) AS lossless_set_ok
+FROM rq
+JOIN qstats s USING (query_id)
+JOIN ubq u USING (query_id)
+WHERE rq.rank <= {k}
+"""
+
+
+@_register("doc_bm25_topk", _bm25_oracle_sql())
 def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical top-10 retrieval (round 8): every 97th document's
     first five distinct tokens play the query set (pure arithmetic on
@@ -1624,6 +1701,41 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("terms"),
     )
     return bm25_topk(docs, qset, k=10)
+
+
+_BM25_PRUNE_M = 192
+
+
+@_register("doc_bm25_topk_pruned", _bm25_pruned_oracle_sql(m=_BM25_PRUNE_M))
+def q_doc_bm25_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion-list pruned BM25 with exact candidate rescoring
+    (round 12, VERDICT r11 #2): same %97 query sampling and k as exact
+    doc_bm25_topk, but candidates come from each term's top-192
+    impact-ordered champion list, are rescored exactly, and every
+    query carries a provable lossless certificate computed from the
+    pruned data alone — certificate TRUE means the output IS the exact
+    top-k (set, order, and scores; see
+    operators/similarity.bm25_topk_pruned). At the gate fixture's
+    degenerate 31-token vocabulary m=192 certifies every sf0.01 query
+    while pruning ~half of each champion list. Full hash gate: the
+    oracle recomputes the pruned algorithm itself — impact index,
+    champion cut, rank-(m+1) bounds, exact rescore, certificate —
+    through the SAME SQL builder fragments as the exact gate;
+    certificate ⇒ top-k-equality against exact bm25_topk is pinned in
+    tests. Scale: per-query work is bounded by m×|terms| — shuffle ∝
+    queries, flat in the corpus (the exact tier's x10 audit measured
+    shuffle ∝ queries × corpus)."""
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import bm25_topk_pruned
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("text").isNotNull())
+    qset = base.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5)
+        ).alias("terms"),
+    )
+    return bm25_topk_pruned(docs, qset, k=10, m=_BM25_PRUNE_M)
 
 
 _PACK_BUDGET = 512

@@ -1039,6 +1039,86 @@ def test_bm25_topk_plan_is_candidate_bounded(spark, sf_dir):
     assert c["broadcast_hash_join"] >= 2  # qterms + query-vocab dft
 
 
+def test_bm25_topk_pruned_certificate_is_lossless(spark):
+    """Champion-list pruned BM25 (round 12): on a Zipfian-ish corpus
+    where rare terms dominate, a small m fires the lossless
+    certificate and the certified output equals exact bm25_topk row
+    for row (set, order, score); every emitted score — certified or
+    not — is the EXACT BM25 value of that doc (rescore exactness);
+    and on all-stopword queries with tiny m the certificate honestly
+    refuses (all-false) instead of certifying a lossy set."""
+    # 3 docs share 'rare'; every doc has 'common'; fillers pad lengths
+    rows = [(i, "common filler%d filler%d x%d" % (i, i + 1, i % 7))
+            for i in range(1, 40)]
+    rows += [(100, "rare common a b"), (101, "rare c d e f"),
+             (102, "rare common rare g")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    q = spark.createDataFrame(
+        [(1, ["rare", "common"])], "query_id bigint, terms array<string>"
+    )
+    exact = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25)
+        for r in SIM.bm25_topk(docs, q, k=3).collect()
+    }
+    exact_scores = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in SIM.bm25_topk(docs, q, k=10_000).collect()
+    }
+    # k=3: the three 'rare' docs score orders above the dropped-common
+    # bound; at k=5 ranks 4-5 are common-only docs AT the bound and the
+    # certificate must (and does) refuse
+    pruned = SIM.bm25_topk_pruned(docs, q, k=3, m=8).collect()
+    assert pruned and all(r.lossless_set_ok for r in pruned), (
+        "'rare' (df=3, fully kept) + 'common' champion head must "
+        "out-certify the dropped-common bound"
+    )
+    for r in pruned:
+        assert exact[(r.query_id, r.rank)] == (r.doc_id, r.bm25)
+    # rescore exactness holds even when the certificate refuses:
+    # stopword-only query, m far below df('common')
+    q2 = spark.createDataFrame(
+        [(2, ["common"])], "query_id bigint, terms array<string>"
+    )
+    refused = SIM.bm25_topk_pruned(docs, q2, k=5, m=4).collect()
+    assert refused and not any(r.lossless_set_ok for r in refused)
+    for r in refused:
+        assert exact_scores.get((2, r.doc_id), None) is None  # different qid
+    exact2 = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in SIM.bm25_topk(docs, q2, k=10_000).collect()
+    }
+    for r in refused:
+        assert exact2[(r.query_id, r.doc_id)] == r.bm25
+    # ub_total == 0 (m >= every df) certifies trivially and IS exact
+    all_kept = SIM.bm25_topk_pruned(docs, q2, k=5, m=50).collect()
+    assert all(r.lossless_set_ok for r in all_kept)
+    ex2_rank = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25)
+        for r in SIM.bm25_topk(docs, q2, k=5).collect()
+    }
+    for r in all_kept:
+        assert ex2_rank[(r.query_id, r.rank)] == (r.doc_id, r.bm25)
+
+
+def test_bm25_topk_pruned_gate_query_certifies_sf(spark, sf_dir):
+    """The registered gate query's m certifies every sampled query at
+    the gate fixture (the certificate path is exercised, not vacuous),
+    and certified rows equal the exact gate's rows."""
+    from smart_fraud_detection_data_pipeline_spark.queries import (
+        q_doc_bm25_topk,
+        q_doc_bm25_topk_pruned,
+    )
+
+    exact = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25)
+        for r in q_doc_bm25_topk(spark, sf_dir).collect()
+    }
+    pruned = q_doc_bm25_topk_pruned(spark, sf_dir).collect()
+    assert pruned and all(r.lossless_set_ok for r in pruned)
+    for r in pruned:
+        assert exact[(r.query_id, r.rank)] == (r.doc_id, r.bm25)
+
+
 def _jpeg_flat_fixture(i: int):
     """The q_multimodal_jpeg_decode fixture shape: a mosaic of flat 8x8
     tiles (see synthesize_jpegs)."""

@@ -131,6 +131,10 @@ HEADLINE: dict[str, tuple[str, str]] = {
         "bounded_candidates",
         "query vocab broadcasts; tf/dl aggs structural, scoring bounded by matching docs",
     ),
+    "doc_bm25_topk_pruned": (
+        "bounded_candidates",
+        "champion lists: per-query work <= m x |terms|; rescore probe map-side",
+    ),
     "doc_mix_token_budget": (
         "keyed_shuffle",
         "one hash exchange on source; quota is a window decision, no joins",
