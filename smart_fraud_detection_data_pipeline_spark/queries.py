@@ -130,65 +130,50 @@ _SLOW = frozenset({
 #: (ADVICE r3: none of round 3's 16 new queries made it into the
 #: 50-entry driver artifact). Refresh this set each round.
 _FRESH = frozenset({
-    # round 11: new or changed implementations / oracles
-    "doc_strip_boilerplate",        # NEW: repeated-passage token removal
-    "vocab_cms_counts",             # NEW: Count-Min sketch point queries
-    "embed_ann_streaming",          # persisted __cluster-partitioned index,
-                                    #   per-batch probe via ivf_probe
-    "embed_ivf_ann",                # ivf_probe refactor (same output)
-    "embed_ivf_kmeans_ann",         # same refactor
-    "embed_semantic_dedup",         # probe spread to session parallelism
-    "embed_semantic_dedup_kmeans",  # same (x10 single-task stage fix)
-    "doc_bpe_merges",               # lazy-heap pair selection (same order)
-    "doc_bpe_tokenize",             # rides the same learner
-    "doc_bpe_vocab",                # same
-    "stream_stream_left_join_bucketed",  # duplicate-left fail-fast in the
-                                    #   consolidation stage
-    "error_burst_window_bucketed",  # shares interval_join_streaming
-    "multimodal_jpeg_decode",       # truncated-payload bound after the
-                                    #   fill-byte skip (error path only)
-    "multimodal_jpeg420_decode",    # same decoder change
+    # round 12: new or changed implementations / oracles
+    "doc_bm25_topk_pruned",   # NEW: champion-list pruned BM25 + certificate
+    "doc_bm25_topk",          # oracle SQL now built from the shared fragments
+    "doc_simhash_pairs",      # generalized auto-rung pigeonhole banding
+    "doc_strip_boilerplate",  # array_except kept-token filter, dual-hash qualify
+    "vocab_cms_counts",       # guarded probe broadcast (shuffle fallback)
+    "part_hierarchy_walk",    # recursion limit sized from the default floor
 })
 
-#: Driver-block rotation, round 11 (standing VERDICT r9 #1 policy): an
+#: Driver-block rotation, round 12 (standing VERDICT r9 #1 policy): an
 #: ORDERED tuple. Tier A: this round's new/changed surface, riskiest
 #: first — the CLAUDE.md changed-surface invariant outranks rotation.
-#: Tier B (35): every registry name whose last driver certification is
-#: r07 (computed from the CORRECTNESS_r01..r10 artifacts: the r08∪r09∪
-#: r10 union covers the rest more recently). Within tier B, streaming/
-#: staged-write names ride last so a truncated run still covers the
-#: cheap majority.
+#: Tier B (36): every registry name whose last driver certification is
+#: r08 (computed from the CORRECTNESS_r01..r11 artifacts; the two tier-A
+#: overlaps already lead). Tier C: eight r09-stale cheap names so the
+#: 50-query cap starts re-certifying that block too. Staged-write names
+#: ride last within a tier so a truncated run still covers the cheap
+#: majority.
 _DRIVER_ROTATION = (
-    # --- tier A: round-11 changed (riskiest first) ---
+    # --- tier A: round-12 changed (riskiest first) ---
+    "doc_bm25_topk_pruned",
+    "doc_simhash_pairs",
     "doc_strip_boilerplate",
+    "doc_bm25_topk",
     "vocab_cms_counts",
-    "embed_ann_streaming",
-    "stream_stream_left_join_bucketed",
-    "embed_semantic_dedup_kmeans",
-    "embed_semantic_dedup",
-    "doc_bpe_merges",
-    "doc_bpe_tokenize",
-    "doc_bpe_vocab",
-    "embed_ivf_ann",
-    "embed_ivf_kmeans_ann",
-    "error_burst_window_bucketed",
-    "multimodal_jpeg_decode",
-    "multimodal_jpeg420_decode",
-    # --- tier B: the 35 stale names (last cert r07) ---
-    "doc_bigram_coverage", "doc_dup_components", "doc_mix_temperature",
-    "doc_pack_sequences", "doc_repetition", "doc_simhash_pairs",
-    "doc_split_assign", "doc_tfidf", "doc_unigram_logprob", "doc_winnow",
-    "doc_winnow_pairs", "events_json_props", "events_props_map",
-    "lang_id_confusion", "merge_upsert", "schema_evolution_scan",
-    "session_windows", "synthetic_transactions", "user_event_transitions",
-    "user_robust_zscore", "user_scd2_intervals", "value_drift_chi2",
-    "value_quantiles_approx", "vocab_heavy_hitters",
-    # slowest stale last: staged writes / streaming / full-pipeline
-    "asof_last_purchase_bucketed", "doc_clean_corpus", "warehouse_load",
-    "warehouse_load_incremental", "dedup_streaming",
-    "dedup_incremental_streaming", "fraud_enrich_streaming",
-    "session_windows_streaming", "user_running_totals_streaming",
-    "user_spend_trends_streaming",
+    "part_hierarchy_walk",
+    # --- tier B: the 36 remaining stale names (last cert r08) ---
+    "amount_benford", "customer_activity_set_ops", "customer_order_seq",
+    "data_quality_report", "doc_decontaminate", "doc_decontaminate_bloom",
+    "doc_dedup_exact", "doc_mix_token_budget", "doc_profile", "doc_simhash",
+    "doc_tfidf_cosine_pairs", "embed_cosine_dups", "error_burst_window",
+    "late_shipment_orders", "late_sole_suppliers", "observed_quality",
+    "orders_grouping_sets", "orders_rollup", "orders_snapshot_diff",
+    "pricing_summary", "salted_category_totals", "scan_filter_project",
+    "sliding_window_trends", "sql_pricing_summary", "time_layout_scan",
+    "top_supplier_revenue", "user_event_type_pivot", "user_event_type_unpivot",
+    "user_txn_velocity", "user_value_ewma", "user_value_ohlc",
+    "user_value_trend", "value_quantiles", "value_winsorized",
+    "vocab_top_ngrams", "warehouse_compaction",
+    # --- tier C: oldest r09 names, cheap first ---
+    "asof_next_error", "brand_basket_revenue", "brand_supplier_counts",
+    "cohort_retention", "customer_order_distribution",
+    "customers_no_big_order", "customers_with_big_order",
+    "doc_chunk_overlap",
 )
 
 
