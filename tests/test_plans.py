@@ -791,6 +791,62 @@ def test_strip_boilerplate_plan_shape(spark, sf_dir):
     assert "xxhash64" in X.executed_plan(df)
 
 
+def test_cms_probe_broadcast_guard(spark, sf_dir):
+    """Round 12 (VERDICT r11 #4): the CMS probe vocabulary broadcast is
+    count-guarded. Below the cap the probe rides broadcast joins; above
+    it (cap forced to 0) the hint is GONE from the analyzed plan —
+    AQE may still broadcast adaptively once actual sizes are known,
+    which is the safe outcome, so the assertion targets ResolvedHint,
+    never the executed join (the repeated_passages r8 rule)."""
+    from smart_fraud_detection_data_pipeline_spark.operators.vocab import (
+        cms_token_estimates,
+    )
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hinted = cms_token_estimates(docs)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    guarded = cms_token_estimates(docs, broadcast_limit=0)
+    analyzed = guarded._jdf.queryExecution().analyzed().toString()
+    # the sketch broadcast (bounded by depth x width) legitimately stays;
+    # the guard must have stripped the PROBE-side hints: with the cap at
+    # 0 the probe frame is hint-free, so strictly fewer hints than the
+    # hinted plan
+    assert analyzed.count("ResolvedHint") < (
+        hinted._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+    )
+    # same output either way (guard changes strategy, not semantics)
+    a = {r.token: (r.est_count, r.exact_count) for r in hinted.collect()}
+    b = {r.token: (r.est_count, r.exact_count) for r in guarded.collect()}
+    assert a == b
+
+
+def test_bm25_topk_pruned_plan_shape(spark, sf_dir):
+    """Round 12: the pruned tier's per-query side is broadcast-bounded —
+    query terms, candidate triples, per-term bounds, and per-query
+    stats all broadcast; the only nested-loop node is the benign 1-row
+    corpus-stats attach; no cartesian over corpus x queries."""
+    from pyspark.sql import functions as F
+
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import (
+        bm25_topk_pruned,
+    )
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5)
+        ).alias("terms"),
+    )
+    df = bm25_topk_pruned(docs, q, k=10, m=24)
+    c = X.plan_counts(df)
+    assert c["nested_loop_join"] <= 1  # the 1-row stats cross only
+    assert c["broadcast_hash_join"] >= 3  # qterms, triples, qstats/ubq
+    assert "xxhash64" in X.executed_plan(df)
+
+
 def test_merge_upsert_delete_single_join_plan(spark):
     """The tombstone verb must not change the merge plan class: ONE
     full-outer join, the delete as a post-join filter — no extra
