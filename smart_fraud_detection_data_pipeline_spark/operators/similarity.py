@@ -1419,6 +1419,7 @@ def bm25_topk_pruned(
     m: int = 64,
     k1: float = 1.2,
     b: float = 0.75,
+    broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """Champion-list pruned BM25 top-k with exact candidate rescoring
     (VERDICT r11 #2) — the approximate scale tier next to exact
@@ -1441,10 +1442,18 @@ def bm25_topk_pruned(
     4. The per-term impact at rank m+1 (``ub_t``) bounds every dropped
        posting, so a NON-candidate's whole score is at most
        ``ub_total = Σ_t ub_t`` (it sits below the cut in every list).
-       ``lossless_set_ok`` = (ub_total == 0) OR (n_cand ≥ k AND
+       ``lossless_set_ok`` = (n_dropped_terms == 0) OR (n_cand ≥ k AND
        kth > ub_total): when TRUE the output provably IS the exact
        top-k — same set, same order, same scores (kth is exact;
-       strict > absorbs would-be boundary ties).
+       strict > absorbs would-be boundary ties). The first branch
+       counts rank-(m+1) ROWS over the query's terms, not the bound
+       SUM (ADVICE r12): a dropped posting whose impact floor-
+       quantizes to exactly 0 (idf→0 for a term in ~all of >1e6 docs,
+       or extreme doc-length skew zeroing tf_part) makes ub_total==0
+       while the dropped doc can still belong to the exact top-k via
+       the doc-id tie-break at kth==0 or when n_cand < k. "No term
+       dropped anything" ⇒ candidates ARE the exact candidate set ⇒
+       the exact rescore makes the output exact even when n_cand < k.
 
     FULL hash gate: every quantity is the same floor-quantized int64
     micro-unit arithmetic as `bm25_topk` (identical parse tree, shared
@@ -1476,6 +1485,15 @@ def bm25_topk_pruned(
     REFUSE (all-false, never wrong) below that; the hash gate passes
     either way because the oracle mirrors the refusal.
 
+    Broadcast guards (ADVICE r12, the cms_token_estimates pattern):
+    the query-side frames grow with the query load — qterms (and its
+    dft/ub/qstats/ubq derivatives, all ≤ |qterms| resp. |queries|
+    rows) ∝ queries×terms, and the candidate triples ∝
+    |queries|·|terms|²·m — so each is localCheckpoint-ed, counted
+    once, and above ``broadcast_limit`` rows the hint is dropped and
+    AQE picks the strategy from actual sizes (broadcast-size-guard
+    rule; plan test asserts on ResolvedHint). Same output either way.
+
     Reference semantics baseline: the reference pipeline has no
     retrieval tier; this extends `bm25_topk` (see its docstring for
     the reference citations) with the pruning production engines
@@ -1501,12 +1519,23 @@ def bm25_topk_pruned(
         F.count(F.lit(1)).alias("__nd"), F.sum("__dl").alias("__nt")
     )
 
-    qterms = queries.select(
-        F.col(query_id_col),
-        F.explode(F.array_distinct(F.col(query_terms_col))).alias("__term"),
-    ).select(F.col(query_id_col), F.xxhash64("__term").alias("__tok"))
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(F.array_distinct(F.col(query_terms_col))).alias("__term"),
+        )
+        .select(F.col(query_id_col), F.xxhash64("__term").alias("__tok"))
+        .localCheckpoint()
+    )
+    # One count guards every query-bounded hint: dft/ub are ≤ the query
+    # vocabulary, qstats/ubq are ≤ |queries| — all ≤ |qterms| rows.
+    small_q = qterms.count() <= broadcast_limit
+
+    def _q(frame: DataFrame) -> DataFrame:
+        return F.broadcast(frame) if small_q else frame
+
     tfq = tf.join(
-        F.broadcast(qterms.select("__tok").distinct()), "__tok"
+        _q(qterms.select("__tok").distinct()), "__tok"
     ).localCheckpoint()
     dft = tfq.groupBy("__tok").agg(F.count(F.lit(1)).alias("__dft"))
 
@@ -1540,7 +1569,7 @@ def bm25_topk_pruned(
     # upper bound on everything dropped
     impacts = (
         tfq.join(dl, id_col)
-        .join(F.broadcast(dft), "__tok")
+        .join(_q(dft), "__tok")
         .crossJoin(F.broadcast(stats))
         .select("__tok", id_col, s_micro.alias("__s"))
     )
@@ -1559,22 +1588,34 @@ def bm25_topk_pruned(
     # restriction of the impact stream, so the rescore aggregation's
     # exchange carries candidate postings only (never queries×corpus)
     cand = (
-        kept.join(F.broadcast(qterms), "__tok")
+        kept.join(_q(qterms), "__tok")
         .select(query_id_col, id_col)
         .distinct()
     )
-    triples = cand.join(qterms, query_id_col).select(
-        query_id_col, id_col, "__tok"
+    triples = (
+        cand.join(qterms, query_id_col)
+        .select(query_id_col, id_col, "__tok")
+        .localCheckpoint()
+    )
+    triples_b = (
+        F.broadcast(triples)
+        if triples.count() <= broadcast_limit
+        else triples
     )
     resc = (
-        impacts.join(F.broadcast(triples), ["__tok", id_col])
+        impacts.join(triples_b, ["__tok", id_col])
         .groupBy(query_id_col, id_col)
         .agg(F.sum("__s").alias("__sm"))
     )
     ubq = (
-        qterms.join(F.broadcast(ub), "__tok", "left")
+        qterms.join(_q(ub), "__tok", "left")
         .groupBy(query_id_col)
-        .agg(F.coalesce(F.sum("__ub"), F.lit(0)).cast("bigint").alias("__ubt"))
+        .agg(
+            F.coalesce(F.sum("__ub"), F.lit(0)).cast("bigint").alias("__ubt"),
+            # rank-(m+1) rows seen across the query's terms: 0 ⇒ no
+            # posting was dropped anywhere ⇒ candidates are exact
+            F.count("__ub").cast("bigint").alias("__nub"),
+        )
     )
     w_q = Window.partitionBy(query_id_col).orderBy(
         F.desc("__sm"), F.asc_nulls_first(id_col)
@@ -1585,14 +1626,14 @@ def bm25_topk_pruned(
         F.max(F.when(F.col("rank") == k, F.col("__sm"))).alias("__kth"),
     )
     lossless = F.coalesce(
-        (F.col("__ubt") == 0)
+        (F.col("__nub") == 0)
         | ((F.col("__ncand") >= k) & (F.col("__kth") > F.col("__ubt"))),
         F.lit(False),
     )
     return (
         ranked_q.where(F.col("rank") <= k)
-        .join(F.broadcast(qstats), query_id_col)
-        .join(F.broadcast(ubq), query_id_col)
+        .join(_q(qstats), query_id_col)
+        .join(_q(ubq), query_id_col)
         .select(
             query_id_col,
             id_col,

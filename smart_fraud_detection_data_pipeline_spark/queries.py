@@ -1291,19 +1291,29 @@ def q_dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
     return SK.read_or_empty(spark, out_path, spark.createDataFrame([], out_schema))
 
 
-@_register("doc_simhash", None)  # hex→int (conv) has no DuckDB equivalent
+@_register("doc_simhash", None)  # FULL oracle attached below (_simhash_sql_cte
+# replaces this spec): conv(hex,16,10) is rebuilt as a pure-SQL integer
+# fold over md5 hex digits, so this is a hash gate, not rows-only.
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document (map-only projection; rows-only check —
-    the bit math needs conv(hex,16,10), which the oracle engine lacks).
+    """60-bit SimHash per document (map-only projection). FULL hash
+    gate: the oracle recomputes the hex→int conversion as an integer
+    fold over md5 hex digits (see _simhash_sql_cte, which replaces
+    this registration's placeholder-None oracle at import time).
     NULL text is excluded on both engines (absent content has no
     signature — adversarial-sweep rule, same as the pair ops)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return docs.select("doc_id", TD.simhash(F.col("text")).alias("simhash"))
 
 
-@_register("doc_simhash_pairs", None)  # same conv() limitation
+@_register("doc_simhash_pairs", None)  # FULL oracle attached below (the
+# _simhash_sql_cte fixed-4-chunk mirror replaces this spec — the output
+# is rung-invariant, so the oracle keeps its own banding).
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with hamming ≤ 3 via pigeonhole chunk join."""
+    """SimHash near-dup pairs with hamming ≤ 3 via pigeonhole chunk
+    join. FULL hash gate: the oracle (attached at import time, below)
+    recomputes signatures via the SQL hex fold and pairs them with its
+    own fixed 4-chunk banding — legitimate because banding is pure
+    candidate generation and the exact hamming filter decides."""
     return TD.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -1602,7 +1612,12 @@ def _bm25_pruned_oracle_sql(k: int = 10, m: int = 24) -> str:
     ranking pin (value DESC, doc_id NULLS FIRST), candidates are
     rescored exactly from the full impact stream, and the lossless
     certificate is pure integer comparisons — the oracle recomputes
-    the PRUNED algorithm itself (the vocab_cms_counts pattern)."""
+    the PRUNED algorithm itself (the vocab_cms_counts pattern).
+    Certificate first branch counts rank-(m+1) ROWS (n_ub = 0 ⇔ no
+    posting dropped for any query term), never ub_total == 0 — a
+    dropped posting can floor-quantize to impact 0 and still belong
+    to the exact top-k via tie-breaks (ADVICE r12 soundness fix,
+    mirrored from the operator)."""
     return f"""
 WITH {_BM25_CTE_PREFIX},
 impacts AS (
@@ -1623,7 +1638,8 @@ ranked_t AS (
 kept AS (SELECT tok, doc_id FROM ranked_t WHERE rn <= {m}),
 ub AS (SELECT tok, s_micro AS ub FROM ranked_t WHERE rn = {m} + 1),
 ubq AS (
-  SELECT q.query_id, CAST(COALESCE(SUM(ub.ub), 0) AS BIGINT) AS ub_total
+  SELECT q.query_id, CAST(COALESCE(SUM(ub.ub), 0) AS BIGINT) AS ub_total,
+         CAST(COUNT(ub.ub) AS BIGINT) AS n_ub
   FROM q LEFT JOIN ub ON q.tok = ub.tok
   GROUP BY q.query_id
 ),
@@ -1651,7 +1667,7 @@ qstats AS (
 )
 SELECT rq.query_id, rq.doc_id, CAST(rq.sm AS DOUBLE) / 1e6 AS bm25,
        CAST(rq.rank AS BIGINT) AS rank,
-       COALESCE(u.ub_total = 0
+       COALESCE(u.n_ub = 0
                 OR (s.n_cand >= {k} AND s.kth > u.ub_total),
                 FALSE) AS lossless_set_ok
 FROM rq

@@ -844,7 +844,14 @@ def test_bm25_topk_pruned_plan_shape(spark, sf_dir):
     c = X.plan_counts(df)
     assert c["nested_loop_join"] <= 1  # the 1-row stats cross only
     assert c["broadcast_hash_join"] >= 3  # qterms, triples, qstats/ubq
-    assert "xxhash64" in X.executed_plan(df)
+    # the r13 broadcast guards checkpoint qterms/triples, cutting the
+    # final plan at those boundaries — the xxhash64 token projection
+    # lives upstream of the cut, so pin it via the checkpointed scan
+    # schema instead: every exchange keys on the hashed-token longs
+    plan = X.executed_plan(df)
+    assert "__tok" in plan and "ExistingRDD" in plan
+    # and the guard hints are present under the default cap
+    assert "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
 
 
 def test_merge_upsert_delete_single_join_plan(spark):

@@ -1100,6 +1100,91 @@ def test_bm25_topk_pruned_certificate_is_lossless(spark):
         assert ex2_rank[(r.query_id, r.rank)] == (r.doc_id, r.bm25)
 
 
+def test_bm25_topk_pruned_certificate_zero_impact_postings(spark):
+    """ADVICE r12 soundness fix: a dropped posting whose impact
+    floor-quantizes to exactly 0 must NOT short-circuit the
+    certificate. Fixture: 3998 one-token docs ('t0') plus two
+    1200-token docs whose single 't0' occurrence scores
+    floor(idf·tf_part·1e6 + 0.5) = 0 (idf = 125 µ units at df=N=4000;
+    doc-length skew shrinks tf_part to ~3.3e-3). With m = 3999 the
+    champion cut drops exactly one zero-impact posting (doc 5001), so
+    ub_total == 0 while the dropped doc still belongs to the exact
+    top-4000 — the old `ub_total == 0` disjunct certified that lossy
+    set; the n_ub == 0 rule must refuse."""
+    long_text = "t0 " + " ".join("f%d" % i for i in range(1199))
+    rows = [(i, "t0") for i in range(1, 3999)]
+    rows += [(5000, long_text), (5001, long_text)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    q = spark.createDataFrame(
+        [(1, ["t0"])], "query_id bigint, terms array<string>"
+    )
+    # sanity: the long docs really score 0 (the fixture's whole point)
+    exact_all = SIM.bm25_topk(docs, q, k=4000).collect()
+    scores = {r.doc_id: r.bm25 for r in exact_all}
+    assert scores[5000] == 0.0 and scores[5001] == 0.0
+    assert len(exact_all) == 4000  # zero-score docs ARE in the exact set
+
+    # m=3999 keeps doc 5000 (id tie-break) and drops doc 5001 at rank
+    # 4000 with impact 0 -> ub_total == 0 but n_ub == 1. k=4000: the
+    # output is MISSING doc 5001, so certifying would be unsound; the
+    # fixed certificate refuses (n_cand 3999 < k blocks branch two).
+    lossy = SIM.bm25_topk_pruned(docs, q, k=4000, m=3999).collect()
+    assert len(lossy) == 3999
+    assert not any(r.lossless_set_ok for r in lossy)
+
+    # same cut at k=10: kth = 148 µ > ub_total = 0 -> branch two
+    # certifies, and the certified rows equal exact top-10
+    exact10 = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25)
+        for r in SIM.bm25_topk(docs, q, k=10).collect()
+    }
+    top10 = SIM.bm25_topk_pruned(docs, q, k=10, m=3999).collect()
+    assert top10 and all(r.lossless_set_ok for r in top10)
+    for r in top10:
+        assert exact10[(r.query_id, r.rank)] == (r.doc_id, r.bm25)
+
+    # m=4000: nothing dropped anywhere -> n_ub == 0 branch certifies,
+    # and the k=4000 output equals the full exact set row for row
+    full = SIM.bm25_topk_pruned(docs, q, k=4000, m=4000).collect()
+    assert len(full) == 4000 and all(r.lossless_set_ok for r in full)
+    exact_rank = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25) for r in exact_all
+    }
+    for r in full:
+        assert exact_rank[(r.query_id, r.rank)] == (r.doc_id, r.bm25)
+
+
+def test_bm25_topk_pruned_broadcast_guard(spark, sf_dir):
+    """ADVICE r12: the query-side frames (qterms/dft/ub/qstats/ubq) and
+    the candidate triples broadcast only under the count guard; with
+    the cap forced to 0 every guarded hint is gone from the analyzed
+    plan (AQE may still broadcast adaptively — the ResolvedHint rule,
+    never the executed join) and the output is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5)
+        ).alias("terms"),
+    )
+    hinted = SIM.bm25_topk_pruned(docs, q, k=10, m=8)
+    guarded = SIM.bm25_topk_pruned(docs, q, k=10, m=8, broadcast_limit=0)
+    n_hints = hinted._jdf.queryExecution().analyzed().toString().count(
+        "ResolvedHint"
+    )
+    n_guarded = guarded._jdf.queryExecution().analyzed().toString().count(
+        "ResolvedHint"
+    )
+    # the 1-row stats broadcast legitimately stays; everything
+    # query-bounded must have dropped its hint
+    assert n_guarded < n_hints
+    a = {(r.query_id, r.rank): (r.doc_id, r.bm25, r.lossless_set_ok)
+         for r in hinted.collect()}
+    b = {(r.query_id, r.rank): (r.doc_id, r.bm25, r.lossless_set_ok)
+         for r in guarded.collect()}
+    assert a == b
+
+
 def test_bm25_topk_pruned_gate_query_certifies_sf(spark, sf_dir):
     """The registered gate query's m certifies every sampled query at
     the gate fixture (the certificate path is exercised, not vacuous),
