@@ -1264,6 +1264,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    max_scored_postings: int | None = 200_000_000,
 ) -> DataFrame:
     """BM25 lexical top-k retrieval (Robertson/Sparck Jones; the
     Lucene-practical form with IDF = ln((N - df + 0.5)/(df + 0.5) + 1))
@@ -1315,6 +1316,20 @@ def bm25_topk(
     flat per query × corpus). A 100 TB serving tier bounds this with
     impact-ordered/WAND skipping — approximate early-exit that the
     exact hash gate deliberately does not model.
+
+    Scale FENCE (VERDICT r12 #2): the exact tier measurably falls off
+    a cliff when the per-query candidate join grows — the r12 x30
+    diagnostic (150k docs × 1546 queries ≈ 9×10⁸ scored postings)
+    spilled 102.7 GB on a 128 GiB box, while the x10 point (≈1×10⁸)
+    ran clean. Before building the candidate join this operator
+    computes the EXACT scored-posting count (Σ over query terms of
+    dft — one small aggregate over the query vocabulary, no extra
+    corpus scan) and REFUSES above ``max_scored_postings`` (default
+    2×10⁸, between the two measured points) with a pointer to the
+    scale tiers: `bm25_topk_pruned` (champion lists + certificate)
+    and the persisted `bm25_index_build`/`bm25_topk_indexed` family.
+    ``None`` disables the fence (the diagnostic/benchmark override —
+    how the x30 measurement itself is reproduced).
     """
     toks = (
         corpus.where(F.col(text_col).isNotNull())
@@ -1352,6 +1367,25 @@ def bm25_topk(
         F.broadcast(qterms.select("__tok").distinct()), "__tok"
     ).localCheckpoint()
     dft = tfq.groupBy("__tok").agg(F.count(F.lit(1)).alias("__dft"))
+
+    # Scale fence (see docstring): the candidate join emits EXACTLY
+    # Σ_(q,t) dft_t rows — computable up front from the tiny per-term
+    # frame, so the refusal costs one aggregate over the query
+    # vocabulary, never a corpus scan.
+    if max_scored_postings is not None:
+        est = qterms.join(dft, "__tok").agg(F.sum("__dft")).first()[0]
+        if est is not None and est > max_scored_postings:
+            raise ValueError(
+                f"bm25_topk would score {est:,} (query, posting) pairs, "
+                f"over the max_scored_postings fence of "
+                f"{max_scored_postings:,} — the exact tier's shuffle is "
+                "∝ queries × corpus and measurably spills at this size "
+                "(102.7 GB at 9e8 pairs on a 128 GiB box). Use "
+                "bm25_topk_pruned (champion lists + lossless "
+                "certificate) or the persisted bm25_index_build/"
+                "bm25_topk_indexed family, or pass "
+                "max_scored_postings=None to override."
+            )
 
     # idf micro-quantized on output (transcendental rule); integer
     # arithmetic stays integer until the explicit +0.5 promotion so the

@@ -1100,6 +1100,29 @@ def test_bm25_topk_pruned_certificate_is_lossless(spark):
         assert ex2_rank[(r.query_id, r.rank)] == (r.doc_id, r.bm25)
 
 
+def test_bm25_topk_scale_fence(spark, sf_dir):
+    """VERDICT r12 #2: the exact tier refuses above max_scored_postings
+    (the measured x30 spill cliff) with a pointer to the pruned/indexed
+    scale tiers; the default cap leaves the gate fixture untouched and
+    None disables the fence entirely."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5)
+        ).alias("terms"),
+    )
+    with pytest.raises(ValueError, match="max_scored_postings"):
+        SIM.bm25_topk(docs, q, k=10, max_scored_postings=10)
+    # default cap: far above any gate fixture -> identical behavior,
+    # and None disables the fence (the x30-diagnostic override)
+    a = SIM.bm25_topk(docs, q, k=10).collect()
+    b = SIM.bm25_topk(docs, q, k=10, max_scored_postings=None).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
+
+
 def test_bm25_topk_pruned_certificate_zero_impact_postings(spark):
     """ADVICE r12 soundness fix: a dropped posting whose impact
     floor-quantizes to exactly 0 must NOT short-circuit the
