@@ -854,6 +854,45 @@ def test_bm25_topk_pruned_plan_shape(spark, sf_dir):
     assert "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
 
 
+def test_bm25_topk_indexed_query_plan_shape(spark, sf_dir):
+    """Round 13: the persisted-index query path never rescans the
+    corpus — candidates come from the stored champion lists, the
+    rescore joins stored postings restricted to the query vocabulary,
+    and the per-query side broadcasts under the count guard. The only
+    nested-loop nodes are the 1-row stats attaches (impact + ub);
+    guard hints are present under the default cap and stripped at 0."""
+    from pyspark.sql import functions as F
+
+    from smart_fraud_detection_data_pipeline_spark.operators.similarity import (
+        bm25_index_build,
+        bm25_topk_indexed,
+    )
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5)
+        ).alias("terms"),
+    )
+    idx = bm25_index_build(docs, m=24)
+    df = bm25_topk_indexed(idx, q, k=10)
+    c = X.plan_counts(df)
+    assert c["nested_loop_join"] <= 2  # the two 1-row stats crosses
+    assert c["broadcast_hash_join"] >= 3  # qtoks/qterms/triples/ubq...
+    assert "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+    guarded = bm25_topk_indexed(idx, q, k=10, broadcast_limit=0)
+    n_h = df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+    n_g = guarded._jdf.queryExecution().analyzed().toString().count(
+        "ResolvedHint"
+    )
+    assert n_g < n_h
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
 def test_merge_upsert_delete_single_join_plan(spark):
     """The tombstone verb must not change the merge plan class: ONE
     full-outer join, the delete as a post-join filter — no extra

