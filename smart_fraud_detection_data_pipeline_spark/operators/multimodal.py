@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from smart_fraud_detection_data_pipeline_spark.operators.skew import spread_input
+
 #: Output schema of the (stubbed) feature extractor — what a real image
 #: decode would produce per payload.
 FEATURE_SCHEMA = (
@@ -1667,7 +1669,7 @@ def synthesize_jpegs(
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return spread_input(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, schema="doc_id long, payload binary"
     )
 
@@ -1944,7 +1946,7 @@ def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(enc(rate, ch, frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return spread_input(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, schema="doc_id long, payload binary"
     )
 
@@ -2044,7 +2046,7 @@ def synthesize_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(enc(w, h, frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return spread_input(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, schema="doc_id long, payload binary"
     )
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from smart_fraud_detection_data_pipeline_spark.operators.skew import spread_input
+
 DEFAULT_SHINGLE = 3  # tokens per shingle
 DEFAULT_PERMS = 8
 DEFAULT_BANDS = 4  # 4 bands × 2 rows: at t=0.5 the s-curve gives
@@ -96,6 +98,10 @@ def _staged_shingles(
     manufactures the same '' shingle as an empty-string doc and the
     two spuriously pair at Jaccard 1.0 (adversarial-sweep finding)."""
     df = df.where(F.col(text_col).isNotNull())
+    # Per-doc shingling is the compute-heavy stage of every consumer
+    # (md5 per gram downstream); spread an under-split scan first so it
+    # parallelizes (no-op at production split counts — see spread_input).
+    df = spread_input(df.select(F.col(id_col), *extra_cols, F.col(text_col)))
     return df.select(
         F.col(id_col), *extra_cols, F.split(F.trim(F.col(text_col)), "\\s+").alias("__toks")
     ).select(
@@ -737,8 +743,14 @@ def simhash_pairs(
 
     h = simhash(F.col(text_col))
     # NULL text has no signature — excluded, same rule as _staged_shingles.
+    # The per-doc token-hash fold is the compute-heavy stage; spread an
+    # under-split scan so it parallelizes (no-op at production splits).
     base = (
-        df.where(F.col(text_col).isNotNull())
+        spread_input(
+            df.where(F.col(text_col).isNotNull()).select(
+                F.col(id_col), F.col(text_col)
+            )
+        )
         .select(F.col(id_col), h.alias("simhash"))
         .localCheckpoint()
     )
@@ -828,7 +840,9 @@ def cross_corpus_containment(
         # spuriously "contains" every empty-string eval doc (fuzz seed
         # 6007 caught the mirror-image hole in doc_decontaminate_bloom,
         # whose exact side feeds the eval corpus through this argument).
-        train.where(F.col(text_col).isNotNull())
+        spread_input(
+            train.where(F.col(text_col).isNotNull()).select(F.col(text_col))
+        )
         .select(F.split(F.trim(F.col(text_col)), "\\s+").alias("__toks"))
         .select(
             F.explode(
@@ -995,9 +1009,12 @@ def winnow_pairs(
     from smart_fraud_detection_data_pipeline_spark.operators.textstats import kgram_hashes, winnow
 
     # NULL text has no fingerprints — excluded, same rule as _staged_shingles.
-    hashed = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), kgram_hashes(F.col(text_col), k).alias("__h")
-    )
+    # Fingerprinting (md5 per k-gram + window-min fold) is the heavy
+    # stage; spread an under-split scan first (no-op at production
+    # splits — VERDICT r12 Next #5's x10 3-task wall was exactly this).
+    hashed = spread_input(
+        df.where(F.col(text_col).isNotNull()).select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col).alias("id"), kgram_hashes(F.col(text_col), k).alias("__h"))
     fps = hashed.select(
         "id",
         F.explode(
@@ -1185,7 +1202,11 @@ def repeated_passages(
     Docs shorter than ``length`` contribute their whole token sequence
     as one passage (the `shingles` convention); NULL text is excluded
     on entry like every text op."""
-    toks = df.where(F.col(text_col).isNotNull()).select(
+    # gram construction + hashing is the heavy per-doc stage; spread an
+    # under-split scan first (no-op at production split counts)
+    toks = spread_input(
+        df.where(F.col(text_col).isNotNull()).select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
     )
@@ -1262,7 +1283,11 @@ def strip_boilerplate(
     ``array_contains`` probe that was O(ntok·|rm|) on a long
     fully-boilerplate doc.
     """
-    toks = df.where(F.col(text_col).isNotNull()).select(
+    # same spread rationale as repeated_passages: per-doc gram + hash
+    # work dominates; no-op at production split counts
+    toks = spread_input(
+        df.where(F.col(text_col).isNotNull()).select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
     )

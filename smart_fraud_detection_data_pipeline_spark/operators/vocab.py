@@ -38,6 +38,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from smart_fraud_detection_data_pipeline_spark.operators.skew import spread_input
+
 
 def heavy_hitter_tokens(
     df: DataFrame,
@@ -181,7 +183,13 @@ def cms_token_estimates(
     counted once, and above ``broadcast_limit`` rows the semi-join and
     the estimate probe fall back to shuffle joins on the token key
     instead of a driver-side OOM. Same output either way."""
-    toks = df.where(F.col(text_col).isNotNull()).select(
+    # spread an under-split scan first: three consumers (sketch, probe,
+    # exact recount) each re-derive the token stream from the scan, so a
+    # single-split file serializes 3× the tokenize+md5 work (no-op at
+    # production split counts)
+    toks = spread_input(
+        df.where(F.col(text_col).isNotNull()).select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col),
         F.explode(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -582,8 +590,14 @@ def bpe_apply(
     fold is ordered by word position (array_sort before join — the
     collect+sort rule)."""
     sep = BPE_SEP
+    # the chained per-word replaces below run map-side straight off the
+    # scan; spread an under-split input first (no-op at production)
     words = (
-        df.where(F.col(text_col).isNotNull())
+        spread_input(
+            df.where(F.col(text_col).isNotNull()).select(
+                F.col(id_col), F.col(text_col)
+            )
+        )
         .select(
             F.col(id_col),
             F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(

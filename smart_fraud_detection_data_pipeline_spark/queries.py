@@ -756,6 +756,7 @@ from smart_fraud_detection_data_pipeline_spark.operators import textstats as TS 
 from smart_fraud_detection_data_pipeline_spark.operators import similarity as SIM  # noqa: E402
 from smart_fraud_detection_data_pipeline_spark.operators import multimodal as MM  # noqa: E402
 from smart_fraud_detection_data_pipeline_spark.operators import datasets as DS  # noqa: E402
+from smart_fraud_detection_data_pipeline_spark.operators.skew import spread_input  # noqa: E402
 
 # The documents table has no exact duplicates, so the exact-dedup query
 # re-emits every 5th document under a shifted id — modeling a re-crawled
@@ -1302,7 +1303,10 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL text is excluded on both engines (absent content has no
     signature — adversarial-sweep rule, same as the pair ops)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    return docs.select("doc_id", TD.simhash(F.col("text")).alias("simhash"))
+    # the 60-bit token-hash fold is the cost; spread an under-split scan
+    return spread_input(docs.select("doc_id", "text")).select(
+        "doc_id", TD.simhash(F.col("text")).alias("simhash")
+    )
 
 
 @_register("doc_simhash_pairs", None)  # FULL oracle attached below (the
@@ -4432,8 +4436,9 @@ def q_doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     # Staged tokenization (see doc_profile): one split per row, not one
-    # per token-array reference.
-    scored = docs.select(
+    # per token-array reference. Spread an under-split scan before the
+    # heavy per-doc stage (no-op at production split counts).
+    scored = spread_input(docs.select("doc_id", "text")).select(
         "doc_id", "text", TS.tokens(t).alias("__toks"),
         TS.tokens(F.lower(t)).alias("__ltoks"),
     ).select(
@@ -6831,7 +6836,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Staged split: both gram fractions reference the token array ~4x
     # each, and Catalyst inlines (re-splits) at every reference — the
     # projection is an 8x measured speedup at sf0.1.
-    staged = docs.select(
+    staged = spread_input(docs.select("doc_id", "text")).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__toks")
     )
 
@@ -7002,6 +7007,9 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_distinct order survivors differently. NULL text is excluded
     on both engines (adversarial-sweep rule)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # spread an under-split scan before the per-doc md5 folds (no-op at
+    # production split counts; measured 3.6 s → 0.6 s at sf0.1)
+    docs = spread_input(docs.select("doc_id", "text"))
     hashed = docs.select("doc_id", TS.kgram_hashes(F.col("text"), 24).alias("__h"))
     sel = hashed.select("doc_id", TS.winnow(F.col("__h"), 12).alias("fps"))
     return sel.select(
@@ -7654,6 +7662,8 @@ def q_events_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("string"), F.lit(" "), F.col("props"),
     )
     cols = redact_pii(F.col("contact"))
+    # four regex passes per row; spread an under-split scan first
+    ev = spread_input(ev.select("event_id", "user_id", "props"))
     return ev.select("event_id", contact.alias("contact")).select(
         "event_id",
         cols["redacted"].alias("redacted"),

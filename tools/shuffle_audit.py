@@ -18,6 +18,11 @@ are handled naturally (skipped stages report zero).
 
 Hard checks (exit non-zero on violation):
 - queries tagged ``map_only`` must report ZERO shuffle write bytes;
+- queries tagged ``spread_map`` (map work behind skew.spread_input's
+  conditional round-robin of an under-split scan — r13) must shuffle
+  NO MORE RECORDS than they read: the spread moves each pruned input
+  row exactly once and adds no keyed exchange. At production split
+  counts the guard is a no-op and the plan is map_only again;
 - no query may spill to disk at the audited SF (local[32], 128 GiB —
   a spill here means partition sizing is badly wrong);
 - ``warehouse_load_incremental`` must read strictly less input than
@@ -51,8 +56,8 @@ from smart_fraud_detection_data_pipeline_spark.queries import registry  # noqa: 
 HEADLINE: dict[str, tuple[str, str]] = {
     "scan_filter_project": ("map_only", "filter+project pushed to scan"),
     "doc_profile": ("map_only", "per-doc JVM column expressions"),
-    "events_pii_redact": ("map_only", "JVM regex over rows"),
-    "doc_winnow": ("map_only", "per-doc fingerprinting"),
+    "events_pii_redact": ("spread_map", "JVM regex over rows; conditional input spread"),
+    "doc_winnow": ("spread_map", "per-doc fingerprinting; conditional input spread"),
     "fraud_enrich": ("broadcast_join", "dims broadcast; fact never shuffles"),
     "embed_cosine_topk": ("broadcast_join", "query side broadcast (exact tier)"),
     "pricing_summary": ("partial_agg", "6-col rollup, partial agg first"),
@@ -251,6 +256,16 @@ def main() -> int:
             violations.append(
                 f"{r['name']}: tagged map_only but wrote "
                 f"{_fmt(r['shuffleWriteBytes'])} of shuffle"
+            )
+        if (
+            r["tag"] == "spread_map"
+            and r["shuffleWriteRecords"] > r["inputRecords"]
+        ):
+            violations.append(
+                f"{r['name']}: tagged spread_map but shuffled "
+                f"{r['shuffleWriteRecords']} records > "
+                f"{r['inputRecords']} read — more than the one-pass "
+                "round-robin spread can explain"
             )
         if r["diskBytesSpilled"] > 0:
             violations.append(
