@@ -130,50 +130,76 @@ _SLOW = frozenset({
 #: (ADVICE r3: none of round 3's 16 new queries made it into the
 #: 50-entry driver artifact). Refresh this set each round.
 _FRESH = frozenset({
-    # round 12: new or changed implementations / oracles
-    "doc_bm25_topk_pruned",   # NEW: champion-list pruned BM25 + certificate
-    "doc_bm25_topk",          # oracle SQL now built from the shared fragments
-    "doc_simhash_pairs",      # generalized auto-rung pigeonhole banding
-    "doc_strip_boilerplate",  # array_except kept-token filter, dual-hash qualify
-    "vocab_cms_counts",       # guarded probe broadcast (shuffle fallback)
-    "part_hierarchy_walk",    # recursion limit sized from the default floor
+    # round 13 (optimization round): spread_input added to the heavy
+    # map stages of these queries' plans (r13 commit 3c6fea0/fe84c9c) —
+    # implementation changed, output contract unchanged; plus the
+    # round-13 in-flight BM25 index/certificate work (abf737b chain).
+    "doc_bm25_index_incremental",  # NEW: persisted champion-list lifecycle
+    "doc_bm25_topk_pruned",        # certificate soundness fix + broadcast guard
+    "doc_bm25_topk",               # scale fence (max_scored_postings)
+    "doc_winnow", "doc_winnow_pairs", "doc_profile", "doc_clean_corpus",
+    "doc_strip_boilerplate", "doc_repeated_passages", "doc_simhash",
+    "doc_simhash_pairs", "doc_ngram_jaccard", "doc_ngram_jaccard_capped",
+    "doc_minhash_lsh", "doc_dedup_incremental", "doc_dedup_index_compaction",
+    "dedup_incremental_streaming", "dedup_streaming_compaction",
+    "doc_decontaminate", "doc_decontaminate_bloom", "corpus_training_export",
+    "doc_dup_components", "vocab_cms_counts", "doc_bpe_tokenize",
+    "events_pii_redact", "multimodal_jpeg_decode", "multimodal_jpeg420_decode",
+    "multimodal_audio_decode", "multimodal_video_frames",
 })
 
-#: Driver-block rotation, round 12 (standing VERDICT r9 #1 policy): an
-#: ORDERED tuple. Tier A: this round's new/changed surface, riskiest
-#: first — the CLAUDE.md changed-surface invariant outranks rotation.
-#: Tier B (36): every registry name whose last driver certification is
-#: r08 (computed from the CORRECTNESS_r01..r11 artifacts; the two tier-A
-#: overlaps already lead). Tier C: eight r09-stale cheap names so the
-#: 50-query cap starts re-certifying that block too. Staged-write names
-#: ride last within a tier so a truncated run still covers the cheap
-#: majority.
+#: Driver-block rotation, round 13 (standing VERDICT r9 #1 policy): an
+#: ORDERED tuple. Tier A: this round's new/changed surface (the
+#: spread_input plan changes + the in-flight BM25 index work), riskiest
+#: first — the CLAUDE.md changed-surface invariant outranks rotation;
+#: 9 of these double as r09-stale re-certs. Tier B: the remaining 22
+#: names whose last driver certification is r09 (computed from the
+#: CORRECTNESS_r01..r12 artifacts), so the 50-query cap leaves nothing
+#: older than r10 once this round's artifact lands (VERDICT r12 #4).
+#: Streaming/staged-write names ride last within tier A so a truncated
+#: run still covers the cheap majority.
 _DRIVER_ROTATION = (
-    # --- tier A: round-12 changed (riskiest first) ---
+    # --- tier A: round-13 changed (riskiest first) ---
+    "doc_bm25_index_incremental",
     "doc_bm25_topk_pruned",
-    "doc_simhash_pairs",
-    "doc_strip_boilerplate",
     "doc_bm25_topk",
+    "doc_winnow",
+    "doc_winnow_pairs",
+    "doc_profile",
+    "doc_simhash",
+    "doc_simhash_pairs",
+    "doc_minhash_lsh",
+    "doc_ngram_jaccard",
+    "doc_ngram_jaccard_capped",
+    "doc_dedup_incremental",
+    "doc_dedup_index_compaction",
+    "doc_repeated_passages",
+    "doc_strip_boilerplate",
+    "doc_clean_corpus",
+    "doc_decontaminate",
+    "doc_decontaminate_bloom",
+    "doc_dup_components",
     "vocab_cms_counts",
-    "part_hierarchy_walk",
-    # --- tier B: the 36 remaining stale names (last cert r08) ---
-    "amount_benford", "customer_activity_set_ops", "customer_order_seq",
-    "data_quality_report", "doc_decontaminate", "doc_decontaminate_bloom",
-    "doc_dedup_exact", "doc_mix_token_budget", "doc_profile", "doc_simhash",
-    "doc_tfidf_cosine_pairs", "embed_cosine_dups", "error_burst_window",
-    "late_shipment_orders", "late_sole_suppliers", "observed_quality",
-    "orders_grouping_sets", "orders_rollup", "orders_snapshot_diff",
-    "pricing_summary", "salted_category_totals", "scan_filter_project",
-    "sliding_window_trends", "sql_pricing_summary", "time_layout_scan",
-    "top_supplier_revenue", "user_event_type_pivot", "user_event_type_unpivot",
-    "user_txn_velocity", "user_value_ewma", "user_value_ohlc",
-    "user_value_trend", "value_quantiles", "value_winsorized",
-    "vocab_top_ngrams", "warehouse_compaction",
-    # --- tier C: oldest r09 names, cheap first ---
-    "asof_next_error", "brand_basket_revenue", "brand_supplier_counts",
-    "cohort_retention", "customer_order_distribution",
-    "customers_no_big_order", "customers_with_big_order",
-    "doc_chunk_overlap",
+    "doc_bpe_tokenize",
+    "events_pii_redact",
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg420_decode",
+    "multimodal_audio_decode",
+    "multimodal_video_frames",
+    "corpus_training_export",
+    "dedup_incremental_streaming",
+    "dedup_streaming_compaction",
+    # --- tier B: remaining r09-stale names (cheap first) ---
+    "embed_label_centroid_dist", "event_type_trimmed_mean",
+    "events_jsonl_roundtrip", "events_orc_roundtrip",
+    "forecast_revenue_change", "idle_rich_customers",
+    "important_part_value", "large_volume_customers", "min_cost_suppliers",
+    "multi_distinct_stats", "multimodal_frame_sample", "multimodal_image_decode",
+    "multimodal_meta", "multimodal_resize", "nation_market_share",
+    "nation_top_customers_lateral", "nation_trade_volume",
+    "user_distinct_sketch_rollup", "fraud_ml_score",
+    "stream_stream_join", "stream_stream_join_bucketed",
+    "stream_stream_left_join",
 )
 
 

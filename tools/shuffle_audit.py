@@ -55,7 +55,7 @@ from smart_fraud_detection_data_pipeline_spark.queries import registry  # noqa: 
 #: all-pairs; composite = multi-stage pipeline of the above.
 HEADLINE: dict[str, tuple[str, str]] = {
     "scan_filter_project": ("map_only", "filter+project pushed to scan"),
-    "doc_profile": ("map_only", "per-doc JVM column expressions"),
+    "doc_profile": ("spread_map", "per-doc JVM column expressions; conditional input spread (fingerprint fold)"),
     "events_pii_redact": ("spread_map", "JVM regex over rows; conditional input spread"),
     "doc_winnow": ("spread_map", "per-doc fingerprinting; conditional input spread"),
     "fraud_enrich": ("broadcast_join", "dims broadcast; fact never shuffles"),
