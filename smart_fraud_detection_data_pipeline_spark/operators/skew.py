@@ -50,9 +50,29 @@ def spread_input(df: DataFrame) -> DataFrame:
         # micro-batch frames (foreachBatch) take the normal path
         return df
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    if _planned_partitions(df) < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
+
+
+#: (session id, analyzed-plan semanticHash) → planned partition count.
+#: df.rdd.getNumPartitions() compiles a full physical plan — pure
+#: driver-side py4j cost paid on EVERY query build, and shared helpers
+#: (_staged_shingles) probe the same scan several times per query
+#: (ADVICE r13). semanticHash only needs analysis, and the partition
+#: count is a pure function of (plan, session conf) for the scans this
+#: guards. A hash collision could only skip/add the round-robin spread
+#: — a performance wobble, never a correctness issue.
+_PROBE_CACHE: dict[tuple[int, int], int] = {}
+
+
+def _planned_partitions(df: DataFrame) -> int:
+    key = (id(df.sparkSession), df._jdf.queryExecution().analyzed().semanticHash())
+    n = _PROBE_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _PROBE_CACHE[key] = n
+    return n
 
 
 def with_salt(df: DataFrame, salt_from: Column, buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:

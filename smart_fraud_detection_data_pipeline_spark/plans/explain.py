@@ -40,6 +40,10 @@ def plan_counts(df: DataFrame) -> dict[str, int]:
         "sort_merge_join": len(re.findall(r"SortMergeJoin", plan)),
         "nested_loop_join": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
         "exchange": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
+        # the skew.spread_input under-split guard emits exactly this kind
+        # (keyless, deterministic); counted separately so map-only plan
+        # tests can pin "keyed exchanges == 0 AND roundrobin <= 1"
+        "roundrobin": len(re.findall(r"Exchange RoundRobinPartitioning", plan)),
         "hash_aggregate": len(re.findall(r"HashAggregate", plan)),
         "sort": len(re.findall(r"\bSort\b", plan)),
         # codegen stages render as "*(n)" markers in plan text (and as

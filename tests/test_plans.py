@@ -195,13 +195,18 @@ def test_winsorize_broadcasts_thresholds(spark, sf_dir):
 
 def test_text_profile_is_map_only(spark, sf_dir):
     """The whole text-analysis profile must be a narrow projection —
-    zero shuffles at any scale."""
+    zero KEYED shuffles at any scale. The one exchange allowed is the
+    round-robin spread of an under-split scan (skew.spread_input, a
+    no-op at production split counts), and it must stay round-robin:
+    a keyed exchange appearing here means the fold grew a shuffle."""
     c = X.plan_counts(Q["doc_profile"](spark, sf_dir))
     assert c["exchange"] == 0
+    assert c["roundrobin"] <= 1
     assert c["sort_merge_join"] == 0
     # same contract for the repetition quality rule
     r = X.plan_counts(Q["doc_repetition"](spark, sf_dir))
     assert r["exchange"] == 0
+    assert r["roundrobin"] <= 1
     assert r["sort_merge_join"] == 0
 
 
@@ -337,9 +342,11 @@ def test_winnow_fingerprints_map_only_and_pairs_shuffle_budget(spark, sf_dir):
     pays exactly two shuffles: fingerprint inverted index + pair count."""
     c = X.plan_counts(Q["doc_winnow"](spark, sf_dir))
     assert c["exchange"] == 0
+    assert c["roundrobin"] <= 1  # spread_input only — never a keyed shuffle
     assert c["sort_merge_join"] == 0
     p = X.plan_counts(Q["doc_winnow_pairs"](spark, sf_dir))
     assert p["exchange"] == 2
+    assert p["roundrobin"] <= 1
     assert p["sort_merge_join"] == 0
 
 
@@ -490,9 +497,11 @@ def test_chunk_overlap_map_only(spark, sf_dir):
 
 
 def test_pii_redact_map_only(spark, sf_dir):
-    """Regex scrubbing must stay a pure projection over the scan."""
+    """Regex scrubbing must stay a pure projection over the scan (plus
+    at most the round-robin under-split spread, never a keyed one)."""
     c = X.plan_counts(Q["events_pii_redact"](spark, sf_dir))
     assert c["exchange"] == 0
+    assert c["roundrobin"] <= 1
 
 
 def test_quantized_topk_broadcasts_queries_not_corpus(spark, sf_dir):

@@ -325,6 +325,7 @@ def main() -> int:
     else:
         lines += [
             "- ✅ every `map_only` query wrote 0 shuffle bytes",
+            "- ✅ every `spread_map` query shuffled no more records than it read (round-robin spread only, no row amplification)",
             "- ✅ zero disk spill across all audited queries",
             "- ✅ incremental warehouse load reads strictly less input than the full rescan (partition pruning reaches the scan)",
         ]
