@@ -1375,7 +1375,7 @@ def bm25_topk(
     tf = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__f"))
     dl = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__dl")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     stats = dl.agg(
         F.count(F.lit(1)).alias("__nd"), F.sum("__dl").alias("__nt")
     )
@@ -1394,7 +1394,7 @@ def bm25_topk(
     # discipline — frees with the DF, nothing stays registered).
     tfq = tf.join(
         F.broadcast(qterms.select("__tok").distinct()), "__tok"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     dft = tfq.groupBy("__tok").agg(F.count(F.lit(1)).alias("__dft"))
 
     # Scale fence (see docstring): the candidate join emits EXACTLY
@@ -1557,7 +1557,7 @@ def bm25_topk_pruned(
     tf = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__f"))
     dl = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__dl")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     stats = dl.agg(
         F.count(F.lit(1)).alias("__nd"), F.sum("__dl").alias("__nt")
     )
@@ -1568,7 +1568,7 @@ def bm25_topk_pruned(
             F.explode(F.array_distinct(F.col(query_terms_col))).alias("__term"),
         )
         .select(F.col(query_id_col), F.xxhash64("__term").alias("__tok"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # One count guards every query-bounded hint: dft/ub are ≤ the query
     # vocabulary, qstats/ubq are ≤ |queries| — all ≤ |qterms| rows.
@@ -1579,7 +1579,7 @@ def bm25_topk_pruned(
 
     tfq = tf.join(
         _q(qterms.select("__tok").distinct()), "__tok"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     dft = tfq.groupBy("__tok").agg(F.count(F.lit(1)).alias("__dft"))
 
     s_micro = _bm25_score_micro(
@@ -1599,7 +1599,7 @@ def bm25_topk_pruned(
     w_t = Window.partitionBy("__tok").orderBy(
         F.desc("__s"), F.asc_nulls_first(id_col)
     )
-    ranked_t = impacts.withColumn("__rn", F.row_number().over(w_t)).localCheckpoint()
+    ranked_t = impacts.withColumn("__rn", F.row_number().over(w_t)).localCheckpoint(eager=False)
     kept = ranked_t.where(F.col("__rn") <= m).drop("__rn")
     ub = ranked_t.where(F.col("__rn") == m + 1).select(
         "__tok", F.col("__s").alias("__ub")
@@ -1618,7 +1618,7 @@ def bm25_topk_pruned(
     triples = (
         cand.join(qterms, query_id_col)
         .select(query_id_col, id_col, "__tok")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     triples_b = (
         F.broadcast(triples)
@@ -1643,7 +1643,7 @@ def bm25_topk_pruned(
     w_q = Window.partitionBy(query_id_col).orderBy(
         F.desc("__sm"), F.asc_nulls_first(id_col)
     )
-    ranked_q = resc.withColumn("rank", F.row_number().over(w_q)).localCheckpoint()
+    ranked_q = resc.withColumn("rank", F.row_number().over(w_q)).localCheckpoint(eager=False)
     qstats = ranked_q.groupBy(query_id_col).agg(
         F.count(F.lit(1)).alias("__ncand"),
         F.max(F.when(F.col("rank") == k, F.col("__sm"))).alias("__kth"),
@@ -1734,7 +1734,15 @@ def _bm25_corpus_frames(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(postings, termstats, stats) of a corpus slice under the index
     entry rule (NULL text/id excluded). postings drops nothing the
-    ranking could use: tf⋈dl is keyed on the non-null id."""
+    ranking could use: tf⋈dl is keyed on the non-null id.
+
+    ONE materialized token frame (r14, VERDICT r13 #2): tf is
+    localCheckpoint-ed and everything else derives from it — dl is
+    SUM(__f) per doc (identical to counting raw tokens: tf has exactly
+    __f rows' worth of tokens per (doc, term)), termstats/stats fold
+    the same cached rows. The old shape re-ran the corpus tokenization
+    (split + explode + xxhash64 over every document) once per
+    checkpointed output frame — three full passes where one suffices."""
     toks = (
         corpus.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
         .select(
@@ -1747,8 +1755,12 @@ def _bm25_corpus_frames(
             ).alias("__tok"),
         )
     )
-    tf = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__f"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    tf = (
+        toks.groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("__f").cast("bigint").alias("__dl"))
     postings = tf.join(dl, id_col).select(
         "__tok", id_col, "__f", "__dl"
     )
@@ -1790,7 +1802,7 @@ def _bm25_rank_pool(
     w = Window.partitionBy("__tok").orderBy(
         F.desc("__s"), F.asc_nulls_first(id_col)
     )
-    ranked = scored.withColumn("__rn", F.row_number().over(w)).localCheckpoint()
+    ranked = scored.withColumn("__rn", F.row_number().over(w)).localCheckpoint(eager=False)
     champions = ranked.where(F.col("__rn") <= m).select(
         "__tok", id_col, "__f", "__dl"
     )
@@ -1831,9 +1843,9 @@ def bm25_index_build(
     docstring for reference citations) the way `minhash_index`
     (operators/textdedup.py:454) extends the one-shot dedup."""
     postings, termstats, stats = _bm25_corpus_frames(corpus, id_col, text_col)
-    postings = postings.localCheckpoint()
-    termstats = termstats.localCheckpoint()
-    stats = stats.localCheckpoint()
+    postings = postings.localCheckpoint(eager=False)
+    termstats = termstats.localCheckpoint(eager=False)
+    stats = stats.localCheckpoint(eager=False)
     champions, dropped = _bm25_rank_pool(
         postings, termstats, stats, id_col, m, k1, b
     )
@@ -1841,8 +1853,8 @@ def bm25_index_build(
         postings=postings,
         termstats=termstats,
         stats=stats,
-        champions=champions.localCheckpoint(),
-        dropped=dropped.localCheckpoint(),
+        champions=champions.localCheckpoint(eager=False),
+        dropped=dropped.localCheckpoint(eager=False),
         m=m,
         k1=k1,
         b=b,
@@ -1878,8 +1890,8 @@ def bm25_index_update(
     delta docs are excluded at entry."""
     m, k1, b = index.m, index.k1, index.b
     dpost, dterm, dstats = _bm25_corpus_frames(delta, id_col, text_col)
-    dpost = dpost.localCheckpoint()
-    dterm = dterm.localCheckpoint()
+    dpost = dpost.localCheckpoint(eager=False)
+    dterm = dterm.localCheckpoint(eager=False)
 
     stats2 = (
         index.stats.crossJoin(dstats.select(
@@ -1890,7 +1902,7 @@ def bm25_index_update(
             (F.coalesce(F.col("__nt"), F.lit(0))
              + F.coalesce(F.col("__dnt"), F.lit(0))).cast("bigint").alias("__nt"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     termstats2 = (
         index.termstats.join(
@@ -1903,7 +1915,7 @@ def bm25_index_update(
             (F.coalesce(F.col("__df"), F.lit(0))
              + F.coalesce(F.col("__ddf"), F.lit(0))).cast("bigint").alias("__df"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     affected = dterm.select("__tok")
@@ -1917,13 +1929,13 @@ def bm25_index_update(
     champions2 = (
         index.champions.join(affected, "__tok", "left_anti")
         .unionByName(champ_aff)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dropped2 = (
         index.dropped.unionByName(evicted)
         .groupBy("__tok")
         .agg(F.max("__fmax").alias("__fmax"), F.min("__dlmin").alias("__dlmin"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return Bm25Index(
         postings=index.postings.unionByName(dpost),
@@ -1976,7 +1988,7 @@ def bm25_topk_indexed(
             F.explode(F.array_distinct(F.col(query_terms_col))).alias("__term"),
         )
         .select(F.col(query_id_col), F.xxhash64("__term").alias("__tok"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     small_q = qterms.count() <= broadcast_limit
 
@@ -2010,7 +2022,7 @@ def bm25_topk_indexed(
     triples = (
         cand.join(qterms, query_id_col)
         .select(query_id_col, id_col, "__tok")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     triples_b = (
         F.broadcast(triples)
@@ -2045,7 +2057,7 @@ def bm25_topk_indexed(
     w_q = Window.partitionBy(query_id_col).orderBy(
         F.desc("__sm"), F.asc_nulls_first(id_col)
     )
-    ranked_q = resc.withColumn("rank", F.row_number().over(w_q)).localCheckpoint()
+    ranked_q = resc.withColumn("rank", F.row_number().over(w_q)).localCheckpoint(eager=False)
     qstats = ranked_q.groupBy(query_id_col).agg(
         F.count(F.lit(1)).alias("__ncand"),
         F.max(F.when(F.col("rank") == k, F.col("__sm"))).alias("__kth"),

@@ -1191,8 +1191,12 @@ def q_dedup_streaming_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         if sets.isEmpty():
             return index  # zero-row write would break schema inference
         bpath, spath = os.path.join(tmp, f"{tag}_b"), os.path.join(tmp, f"{tag}_s")
-        buckets.coalesce(1).write.parquet(bpath)
-        sets.coalesce(1).write.parquet(spath)
+        # natural parallelism: the old coalesce(1) collapsed the minhash
+        # reduce stage into ONE task (r14 measured 2.1s+0.8s single-task
+        # index writes); file count of a scratch index is irrelevant, and
+        # a production index write sizes files via maxRecordsPerFile.
+        buckets.write.parquet(bpath)
+        sets.write.parquet(spath)
         return (spark.read.parquet(bpath), spark.read.parquet(spath))
 
     index_full = persist_index(TD.minhash_index(docs.where(~is_delta)), "full")
@@ -1280,8 +1284,10 @@ def q_dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
     else:
         bpath = os.path.join(tmp, "idx_buckets")
         spath = os.path.join(tmp, "idx_sets")
-        buckets.coalesce(1).write.parquet(bpath)
-        sets.coalesce(1).write.parquet(spath)
+        # no coalesce(1): it serialized the whole minhash index build
+        # into one task (see dedup_streaming_compaction.persist_index)
+        buckets.write.parquet(bpath)
+        sets.write.parquet(spath)
         index = (spark.read.parquet(bpath), spark.read.parquet(spath))
     # 2. stage the delta as TWO files so availableNow takes two
     #    micro-batches (multi-batch behavior, not a single-batch alias)
@@ -6790,32 +6796,34 @@ JOIN mad d ON d.user_id = q.user_id
 """,
 )
 def q_user_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPED_MAP pandas UDF (batch applyInPandas): per-user robust
-    z-score (value − median)/MAD — the last Arrow door (map, grouped-
-    agg, stateful, UDTF are already hash-gated), held to the window/
-    join oracle formulation. One shuffle on the group key; each group
-    crosses Arrow once.
+    """Per-user robust z-score (value − median)/MAD as pure JVM window
+    expressions (r14, VERDICT r13 #3 — formerly a GROUPED_MAP
+    applyInPandas whose per-group Arrow invocations made it the most
+    expensive non-streaming Python-boundary query; guide §4: built-ins
+    over UDFs). One shuffle on user_id; the two exact-percentile window
+    aggregates share that partitioning (no second exchange), and the
+    grouped-map door itself stays available as
+    functions.pandas_aggs.make_robust_zscore (pinned bit-equal to this
+    plan in tests/test_skew_and_windows.py::test_robust_zscore_jvm_
+    equals_grouped_map).
 
     All statistics run on micro-unit INTEGERS (iv = floor(v*1e6+0.5)),
     doubled so even-count median midpoints stay integral: sf0.1
     falsified the old docstring's claim that double median interpolation
     is bit-identical across engines (numpy computes (a+b)/2, quantile_cont
     lo+(hi-lo)*0.5 — up to 1 ulp apart, and two rows then straddled the
-    6-dp rounding boundary). z = 2*(2iv − 2med)/(2mad·2) is a ratio of
-    exact int64s (< 2^53), so the division — and the final floor-based
+    6-dp rounding boundary). Spark's exact percentile(0.5) computes
+    lo + 0.5*(hi-lo) over int64-valued doubles — every step exact below
+    2^53 — so 2*percentile is the SAME integer numpy's 2*(a+b)/2 and
+    DuckDB's 2*quantile_cont produce. z = 2*(2iv − 2med)/(2mad·2) is a
+    ratio of exact int64s, so the division — and the final floor-based
     6-dp quantization — is exact-rounded identically everywhere. Same
     shrink-the-units discipline as the money sums (CLAUDE.md)."""
-    from smart_fraud_detection_data_pipeline_spark.functions.pandas_aggs import (
-        make_robust_zscore,
-    )
-
     ev = (
         load_table(spark, sf_dir, "events")
-        # Null discipline (ADVICE r5 #1): robust_z asserts non-null iv —
-        # a NULL value would arrive in pandas as float64+NaN and break
-        # the integer-exact protocol. Filter identically on both engines
-        # (NULL group keys would also diverge: pandas groups NaN keys,
-        # SQL GROUP BY keeps a NULL group but the joins drop it).
+        # Null discipline (ADVICE r5 #1): filter identically on both
+        # engines (SQL GROUP BY would keep a NULL group but the oracle's
+        # joins drop it).
         .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
         .select(
             "event_id",
@@ -6823,10 +6831,27 @@ def q_user_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("iv"),
         )
     )
-    out_schema = "event_id bigint, user_id bigint, robust_z double"
-    return ev.groupBy("user_id").applyInPandas(
-        make_robust_zscore(out_schema), schema=out_schema
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    with_med = ev.withColumn(
+        "__m2", (F.lit(2) * F.percentile(F.col("iv"), F.lit(0.5)).over(w)).cast("long")
+    ).withColumn("__dev", F.abs(F.lit(2) * F.col("iv") - F.col("__m2")))
+    with_mad = with_med.withColumn(
+        "__md2",
+        (F.lit(2) * F.percentile(F.col("__dev"), F.lit(0.5)).over(w)).cast("long"),
     )
+    z = F.when(
+        F.col("__md2") > 0,
+        F.floor(
+            (F.lit(2.0) * (F.lit(2) * F.col("iv") - F.col("__m2")))
+            / F.col("__md2")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    ).otherwise(F.lit(0.0))
+    return with_mad.select("event_id", "user_id", z.alias("robust_z"))
 
 
 @_register(

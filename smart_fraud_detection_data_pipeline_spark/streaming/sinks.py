@@ -38,19 +38,32 @@ def write_partitioned_parquet(df: DataFrame, path: str, partitions=FRAUD_PARTITI
 def parquet_batch_sink(
     path: str, partitions: tuple[str, ...] | None = FRAUD_PARTITIONS
 ) -> Callable[[DataFrame, int], None]:
-    """S9 handler: skip empty batches, append parquet (spark.py:209-232).
+    """S9 handler: append parquet per micro-batch (spark.py:209-232).
 
-    isEmpty() replaces the reference's count()>0 guard — it limits to one
-    row instead of executing the full batch plan an extra time.
+    The empty-batch guard exists because a zero-row PARTITIONED write
+    leaves a directory with no readable footers (schema inference then
+    fails — adversarial-sweep rule), so the partitioned path keeps an
+    isEmpty() probe (limit-1, replacing the reference's count()>0 which
+    executed the batch plan twice in full).
+
+    The UNPARTITIONED path writes unconditionally: a zero-row append
+    writes a schema-bearing metadata-only parquet file that reads back
+    fine, and in foreachBatch EVERY action re-executes the incremental
+    batch plan — for a stateful query (stream-stream join state scans,
+    window-agg state commits) the probe alone cost as much as the write
+    (r14 measured: the probe job on a 4-batch outer interval join ran
+    the full 19-task plan per batch, ~45% of the query's executor
+    time). One execution per batch is the §4/§5 fix that transfers to
+    production foreachBatch pipelines unchanged.
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        writer = batch_df.write.mode("append")
         if partitions:
-            writer = writer.partitionBy(*partitions)
-        writer.parquet(path)
+            if batch_df.isEmpty():
+                return
+            batch_df.write.mode("append").partitionBy(*partitions).parquet(path)
+        else:
+            batch_df.write.mode("append").parquet(path)
 
     return handle
 
@@ -68,8 +81,11 @@ def reemit_parquet_sink(path: str) -> Callable[[DataFrame, int], None]:
     from pyspark.sql import functions as F
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # No empty-batch probe: the write is unpartitioned (a zero-row
+        # append is readable — see parquet_batch_sink) and in COMPLETE
+        # mode the probe executed the ENTIRE result-table aggregation a
+        # second time per trigger. An empty emission appends no rows, so
+        # keep-last/last-batch readers are unaffected.
         batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(path)
 
     return handle

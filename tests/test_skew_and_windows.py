@@ -165,3 +165,40 @@ def test_salting_flattens_reducer_spread(spark):
     # 0.6n/buckets, but the straggler must shrink by at least 3x
     # (measured: 244k -> 66k rows on the deterministic hash).
     assert salted * 3 <= plain, (plain, salted)
+
+
+def test_robust_zscore_jvm_equals_grouped_map(spark, sf_dir):
+    """The r14 JVM-percentile rewrite of user_robust_zscore must be
+    BIT-identical to the grouped-map pandas implementation it replaced
+    (the integer-exact protocol makes this well-defined), and its plan
+    must carry no Python boundary — the guide §4 contract that removing
+    the Arrow door did not change a single value."""
+    from smart_fraud_detection_data_pipeline_spark.functions.pandas_aggs import (
+        make_robust_zscore,
+    )
+    from smart_fraud_detection_data_pipeline_spark.plans import explain as X
+    from smart_fraud_detection_data_pipeline_spark.queries import registry
+    from smart_fraud_detection_data_pipeline_spark.sources.tables import load_table
+
+    q = {s.name: s.spark_fn for s in registry()}["user_robust_zscore"]
+    jvm = q(spark, sf_dir)
+    plan = X.executed_plan(jvm)
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "EvalPython" not in plan  # no scalar/arrow UDF either
+
+    out_schema = "event_id bigint, user_id bigint, robust_z double"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("iv"),
+        )
+    )
+    pandas_side = ev.groupBy("user_id").applyInPandas(
+        make_robust_zscore(out_schema), schema=out_schema
+    )
+    a = {(r.event_id, r.user_id): r.robust_z for r in jvm.collect()}
+    b = {(r.event_id, r.user_id): r.robust_z for r in pandas_side.collect()}
+    assert a == b  # exact float equality — both sides are quantized
