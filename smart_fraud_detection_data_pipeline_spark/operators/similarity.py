@@ -28,6 +28,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from smart_fraud_detection_data_pipeline_spark.operators.skew import spread_input
+
 
 ROUND_DP = 6
 
@@ -86,7 +88,12 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col), as_double_array(F.col(vec_col)).alias("__qvec")
     )
-    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec"))
+    # |Q| cosine folds per corpus row behind a broadcast join keep the
+    # SCAN partitioning — spread an under-split scan (no-op at
+    # production split counts; row-local arithmetic, hash-safe)
+    c = spread_input(
+        corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec"))
+    )
     scored = c.join(F.broadcast(q)).select(
         query_id_col,
         id_col,
@@ -310,8 +317,16 @@ def ivf_ann_topk(
             f"{query_id_col} {qid_t}, {id_col} {id_t}, "
             "cosine_sim double, rank int",
         )
+    # k distance folds per row is the compute-heavy map stage; spread an
+    # under-split scan before it (no-op at production split counts).
+    # This is AFTER any centroid fit — the fit consumes the raw corpus,
+    # so seeded-determinism of learned centroids is untouched.
     c = ivf_assign(
-        corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")),
+        spread_input(
+            corpus.select(
+                F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")
+            )
+        ),
         cents,
         vec_col="__cvec",
     )
@@ -2166,9 +2181,13 @@ def ivf_ann_contract_report(
     )
 
     # --- probe_exact: independent exact-over-probed recomputation ---
+    # spread the under-split scan before the per-row distance folds
+    # (post-fit verification path — never the fit input)
     assigned = ivf_assign(
-        corpus_nn.select(
-            F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")
+        spread_input(
+            corpus_nn.select(
+                F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")
+            )
         ),
         centroids,
         vec_col="__cvec",

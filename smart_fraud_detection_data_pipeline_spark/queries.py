@@ -3210,7 +3210,9 @@ def q_warehouse_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cache the enriched table: both load slices derive from it, and
     # without materialization the two writes re-run the enrichment.
     enriched = q_fraud_enrich(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    if enriched.isEmpty():
+    # raw-scan probe: enrichment is row-preserving, so emptiness is
+    # equivalent and the guard skips the broadcast-build limit-1 job
+    if load_table(spark, sf_dir, "events").isEmpty():
         # empty-partition day: a partitioned write of zero rows leaves a
         # directory with no data files, and partition discovery then
         # cannot infer a schema — short-circuit with the loader's output
@@ -3222,13 +3224,19 @@ def q_warehouse_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     reemit = enriched.where(F.col("transaction_id") % 4 == 0).withColumn(
         "load_seq", F.lit(2)
     )
-    for batch in (first, reemit):
-        # One shuffle keyed on the partition columns → one file per
-        # Hive partition dir instead of (tasks × dirs) small files; the
-        # read-back + dedup then scans far fewer footers.
-        batch.repartition(*FRAUD_PARTITIONS).write.mode("append").partitionBy(
-            *FRAUD_PARTITIONS
-        ).parquet(tmp)
+    # ONE write job for both load slices (r14; two sequential jobs paid
+    # the shuffle+commit setup twice), keyed on the partition columns
+    # PLUS a deterministic 8-way salt: the bare 4-column repartition
+    # let AQE coalesce the write stage to 2 tasks (measured 2.4s of
+    # serialized writing — guide §2.5's too-few-distinct-keys case),
+    # while (dirs × 8) keys spread the write and still bound the files
+    # per Hive dir at 8 (production file sizing would come from
+    # maxRecordsPerFile on top). xxhash64, never rand: retried tasks
+    # must reproduce the same row→partition assignment.
+    first.unionByName(reemit).repartition(
+        *FRAUD_PARTITIONS,
+        F.pmod(F.xxhash64("transaction_id", "load_seq"), F.lit(8)),
+    ).write.mode("append").partitionBy(*FRAUD_PARTITIONS).parquet(tmp)
     # Both consumers (the two writes) have materialized — release the
     # cache NOW; the returned frame reads the written parquet, so
     # nothing downstream needs it (shared-session leak rule, ADVICE r3).
@@ -4344,7 +4352,11 @@ def q_fraud_ml_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_fraud_detection_data_pipeline_spark.operators import ml as ML
 
     enriched = q_fraud_enrich(spark, sf_dir)
-    if enriched.isEmpty():
+    # probe the RAW events scan, not the enrichment: enrichment is
+    # row-preserving (projection + left joins), so emptiness is
+    # equivalent, and the raw limit-1 probe skips building three
+    # broadcast dims just to decide the guard (r14, ~0.6s saved)
+    if load_table(spark, sf_dir, "events").isEmpty():
         # no rows → nothing to train on (empty-fixture sweep rule:
         # MLlib fits require rows); the report over zero rows is zero
         # groups on both engines.
