@@ -1212,34 +1212,38 @@ def semantic_dedup(
         return spark.createDataFrame(
             [], f"{id_col} {id_t}, cluster int, dup_of {id_t}, keep boolean"
         )
-    assigned = ivf_assign(
-        base.select(
-            F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")
-        ),
-        centroids,
-        vec_col="__cvec",
-        out_col="__cluster",
-    ).withColumn("__n", _norm(F.col("__cvec")))
-    # Norms/assignments are per-row projections BELOW the join (Catalyst
-    # keeps them there via column pruning — same shape as
-    # cosine_dup_pairs); only the dot product runs per candidate pair.
+    # The assignment (k distance folds per row) is referenced THREE
+    # times below (probe side, build side, final cluster projection) and
+    # Catalyst does not CSE reused subplans — materialize it ONCE
+    # (lazily, so the checkpoint folds into the first consuming job),
+    # computed over a SPREAD scan:
     #
-    # The PROBE side's task count must scale with the quadratic work,
+    # The probe side's task count must scale with the quadratic work,
     # not with input splits: under a broadcast join the probe keeps the
     # scan partitioning, and a small single-split file serializes the
     # whole Σcell² term into ONE task (the round-11 x10 scale audit
-    # measured minutes-long single-task stages exactly here). Round-
-    # robin rows to the session parallelism when the incoming plan is
-    # coarser — each probe row meets its cell's broadcast rows wherever
-    # it lives, so pair production is unchanged and per-task work is
-    # |probe|/P × avg cell regardless of cell skew. At production scale
-    # input splits already exceed defaultParallelism and no exchange is
-    # added.
-    probe = assigned
-    sc = probe.sparkSession.sparkContext
-    if probe.rdd.getNumPartitions() < sc.defaultParallelism:
-        probe = probe.repartition(sc.defaultParallelism)
-    left = probe.select(
+    # measured minutes-long single-task stages exactly here; round 14
+    # measured the UNSPREAD build/projection re-evaluations at 0.6s
+    # single-task each). Each probe row meets its cell's broadcast rows
+    # wherever it lives, so pair production is unchanged and per-task
+    # work is |probe|/P × avg cell regardless of cell skew. At
+    # production scale input splits already exceed defaultParallelism
+    # and no exchange is added.
+    assigned = (
+        ivf_assign(
+            spread_input(
+                base.select(
+                    F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")
+                )
+            ),
+            centroids,
+            vec_col="__cvec",
+            out_col="__cluster",
+        )
+        .withColumn("__n", _norm(F.col("__cvec")))
+        .localCheckpoint(eager=False)
+    )
+    left = assigned.select(
         F.col(id_col).alias("__id_a"), "__cluster",
         F.col("__cvec").alias("__va"), F.col("__n").alias("__na"),
     )

@@ -856,9 +856,15 @@ def test_bm25_topk_pruned_plan_shape(spark, sf_dir):
     # the r13 broadcast guards checkpoint qterms/triples, cutting the
     # final plan at those boundaries — the xxhash64 token projection
     # lives upstream of the cut, so pin it via the checkpointed scan
-    # schema instead: every exchange keys on the hashed-token longs
+    # SCHEMA (VERDICT r13 #8): __tok must be a LONG attribute (the #nL
+    # suffix). A revert to raw-string tokens would checkpoint a string
+    # __tok (no L suffix) and fail here — the type, not the name, is
+    # what only the hash projection can produce.
+    import re
+
     plan = X.executed_plan(df)
-    assert "__tok" in plan and "ExistingRDD" in plan
+    assert re.search(r"__tok#\d+L", plan), "checkpointed __tok is not a hashed long"
+    assert "ExistingRDD" in plan
     # and the guard hints are present under the default cap
     assert "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
 
